@@ -1,0 +1,124 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+Extends the reference's unstructured/text layer (unstructured/vocab.py:29-114
+tokenization; unstructured/edgar.py:246-319 text cleaning) with the
+operations a training-data pipeline needs: token counting, quality scoring,
+language ID, shingling, fingerprinting.  All are JVM-side column expressions
+(no Python UDFs) so they stay inside whole-stage codegen on a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small: the point is the Spark plumbing (hit-count
+# argmax entirely in column expressions), not lexicon quality.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "un", "una", "es", "para"],
+}
+
+# A BPE-ish pre-tokenization regex: words, numbers, or single non-space
+# symbols — the GPT-2 pre-tokenizer shape without lookaheads so it runs
+# identically under Java regex and RE2.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+
+
+def n_tokens(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def n_bpe_tokens(text: str | Column) -> Column:
+    """Count of BPE-ish pre-tokens via regexp_extract_all."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def word_shingles(text: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (n-grams) of the lowercased text.
+
+    Built from sequence+transform+slice — stays in codegen; the shingle
+    array feeds MinHash / Jaccard dedup.
+    """
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    n = F.size(toks)
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))
+    # Build k-grams by zipping k shifted slices — the token expression is
+    # referenced k times total, NOT once per index (a sequence+transform+
+    # slice formulation re-evaluates the tokenizer per position: O(n^2)
+    # string splits per row, measured 100x slower).
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(grams)
+
+
+def quality_features(text: str | Column) -> dict[str, Column]:
+    """Heuristic document-quality features (length/punct/stopword ratios)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    nt = F.size(toks).cast("double")
+    chars = F.length(c).cast("double")
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return {
+        "n_chars": chars.cast("long"),
+        "n_tokens": nt.cast("long"),
+        "avg_token_len": F.when(nt > 0, (chars - nt + 1) / nt),
+        "stopword_ratio": F.when(nt > 0, n_stop / nt),
+        "alpha_ratio": F.when(chars > 0, alpha_chars / chars),
+    }
+
+
+def lang_scores(text: str | Column) -> Column:
+    """Map lang -> stopword-hit count, for argmax language ID."""
+    c = F.lower(text if isinstance(text, Column) else F.col(text))
+    toks = tokens(c)
+    entries = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id(text: str | Column, default: str = "und") -> Column:
+    """Argmax-stopword-hits language ID; ties break by list order (en first),
+    zero hits -> ``default``."""
+    scores = lang_scores(text)
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit("").alias("lang"), F.lit(-1).alias("hits")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def fingerprint(text: str | Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Deterministic polynomial rolling hash of the normalized token stream.
+
+    Engine-agnostic document fingerprint (same value in any system that
+    folds ``h = (h*base + tokhash) % mod`` over lowercase tokens); tokhash
+    is xxhash64 here so this one is Spark-specific but stable across runs.
+    mod < 2^31 keeps the fold in long arithmetic without overflow.
+    """
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    m = F.lit(mod).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(base) + F.pmod(F.xxhash64(t), m)) % m,
+    )

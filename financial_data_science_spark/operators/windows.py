@@ -1,0 +1,154 @@
+"""Ordered-window operators: ffill, islands, running stats, change compression.
+
+Reference semantics:
+  - forward-fill (W7): readers/taq.py:461,485,556; readers/real_time.py:88-89.
+  - gaps-and-islands / recession spans (A13): readers/alfred.py:244-259
+    ``date_spans`` — boolean run-length grouping via shift+cumsum.
+  - running cumsum / max drawdown (W4): backtesting/eventstudy.py:120-122,
+    recipes/finance.py:286-307.
+  - reverse cumulative product (W5): readers/real_time.py:71-80 (split
+    back-adjustment).
+  - change-only compression (W9): readers/taq.py:379.
+  - per-group sequence / cumcount (W6): readers/real_time.py:337-338.
+
+All are single-window (one shuffle on the partition keys, sort within
+partition); none materialize intermediate frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _w(keys: list[str] | str | None, order: list[str] | str) -> WindowSpec:
+    order = [order] if isinstance(order, str) else list(order)
+    if keys:
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        return Window.partitionBy(*keys).orderBy(*order)
+    return Window.orderBy(*order)
+
+
+def ffill(
+    df: DataFrame,
+    cols: list[str] | str,
+    order: list[str] | str,
+    keys: list[str] | str | None = None,
+) -> DataFrame:
+    """Forward-fill nulls in ``cols`` along ``order`` within ``keys`` (W7)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    w = _w(keys, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in cols],
+    )
+
+
+def running(
+    df: DataFrame,
+    exprs: dict[str, Column],
+    order: list[str] | str,
+    keys: list[str] | str | None = None,
+) -> DataFrame:
+    """Attach running aggregates (cumsum/cummax/...) along ``order`` (W4).
+
+    ``exprs`` maps output name -> aggregate Column (e.g. ``F.sum('x')``);
+    each is evaluated over rows unbounded-preceding..current.
+    """
+    w = _w(keys, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for name, expr in exprs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
+
+
+def cumcount(
+    df: DataFrame, keys: list[str] | str, order: list[str] | str, out: str = "seq"
+) -> DataFrame:
+    """0-based per-group sequence (W6, real_time.py:337-338)."""
+    return df.withColumn(out, F.row_number().over(_w(keys, order)) - 1)
+
+
+def islands(
+    df: DataFrame,
+    flag: Column | str,
+    order: list[str] | str,
+    keys: list[str] | str | None = None,
+    island_col: str = "island",
+) -> DataFrame:
+    """Run-length island ids over a boolean flag (A13, alfred.py:244-259).
+
+    island id increments whenever the flag changes along ``order``; filter
+    on the flag afterwards and groupBy(island) for span min/max.
+    """
+    f = F.col(flag) if isinstance(flag, str) else flag
+    w = _w(keys, order)
+    changed = (
+        F.when(F.lag(f).over(w).isNull() | (F.lag(f).over(w) != f), 1).otherwise(0)
+    )
+    run = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(island_col, run)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str | int,
+    keys: list[str] | str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Session ids: a new session starts when the gap to the previous event
+    exceeds ``gap`` (seconds if the ts column is a timestamp, else same
+    units as the column).  Batch analogue of ``F.session_window`` (§2.9).
+    """
+    w = _w(keys, ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    delta = F.col(ts_col).cast("double") - prev.cast("double")
+    new_sess = F.when(prev.isNull() | (delta > F.lit(float(gap))), 1).otherwise(0)
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, sid)
+
+
+def drop_unchanged(
+    df: DataFrame,
+    watch: list[str],
+    order: list[str] | str,
+    keys: list[str] | str | None = None,
+) -> DataFrame:
+    """Keep only rows where any watched column differs from the previous row
+    (W9, taq.py:379).  First row per group always kept.
+    """
+    w = _w(keys, order)
+    cur = F.struct(*[F.col(c) for c in watch])
+    prev = F.lag(cur).over(w)
+    return (
+        df.withColumn("__prev__", prev)
+        .filter(F.col("__prev__").isNull() | (F.col("__prev__") != cur))
+        .drop("__prev__")
+    )
+
+
+def reverse_cumprod(
+    df: DataFrame,
+    col: str,
+    order: list[str] | str,
+    keys: list[str] | str | None = None,
+    out: str = "cumfactor",
+) -> DataFrame:
+    """Reversed cumulative product (W5, real_time.py:71-80): product of
+    ``col`` over all *later* rows (exclusive), e.g. split back-adjustment
+    factors.  Implemented as product over a descending-ordered window.
+    """
+    order = [order] if isinstance(order, str) else list(order)
+    keys_l = [keys] if isinstance(keys, str) else list(keys or [])
+    w = (
+        Window.partitionBy(*keys_l).orderBy(*[F.col(c).desc() for c in order])
+        if keys_l
+        else Window.orderBy(*[F.col(c).desc() for c in order])
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    prod = F.coalesce(F.product(F.col(col)).over(w), F.lit(1.0))
+    return df.withColumn(out, prod)

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults target local[N] testing but every knob is the one you would set on a
+real cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), UTC session timezone (oracle comparability), Arrow enabled for
+the Pandas-UDF slow path, shuffle partitions sized to cores locally (on a
+cluster this should be ~2-3x total cores; AQE coalesces down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "financial_data_science_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults.
+
+    Parameters
+    ----------
+    master : default ``local[$SPARK_GRAFT_CPUS]`` when not on a cluster.
+    shuffle_partitions : post-shuffle parallelism; AQE coalesces below it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long ns
+        # and convert explicitly (sources/testdata.py) — Spark has no ns type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master:
+        builder = builder.config("spark.master", master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.config("spark.master", f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

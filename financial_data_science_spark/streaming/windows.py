@@ -1,0 +1,123 @@
+"""Structured Streaming counterparts of the batch tick/event operators
+(SURVEY §2.9).
+
+The reference's TAQ pipeline is a stream in disguise (per-symbol
+time-ordered iteration readers/taq.py:173-204; 5-minute binning
+taq.py:449-453; keep-last dedup taq.py:377-378).  Here the *same aggregate
+expressions* used by operators/binning.py run under ``readStream`` with a
+watermark, so batch/stream parity is a test, not a hope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_bin_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: list[str] | str | None = None,
+    aggs: dict[str, Column] | None = None,
+    watermark: str = "10 minutes",
+    label: str = "right",
+) -> DataFrame:
+    """Streaming tumbling-window aggregate with late-data watermark.
+
+    Same output schema as ``operators.binning.bin_aggregate`` so results
+    can be compared row-for-row in parity tests.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys or [])
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    win = F.window(F.col(ts_col), width)
+    g = stream.withWatermark(ts_col, watermark).groupBy(win.alias("__w__"), *keys)
+    out = g.agg(*[expr.alias(name) for name, expr in aggs.items()])
+    edge = "end" if label == "right" else "start"
+    return (
+        out.withColumn("bin", F.col(f"__w__.{edge}"))
+        .drop("__w__")
+        .select("bin", *keys, *aggs.keys())
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Keep-first-per-key within the watermark (taq.py:377-378 analogue)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str] | str,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session-window event counts (``F.session_window``), the streaming
+    analogue of operators/windows.py::sessionize (alfred.py:244-259 A13)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("__s__"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__s__.start").alias("session_start"),
+            F.col("__s__.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    result: DataFrame,
+    name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a streaming query to completion over a static source
+    (Trigger.AvailableNow semantics via processAllAvailable) and return the
+    materialized result — the harness for batch-parity tests."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """readStream over the driver's events parquet (one file => one batch).
+
+    Schema must be supplied for streaming reads; defaults to the events
+    table shape with ns-as-long ts converted to TimestampType.
+    """
+    import os
+
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events.parquet"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
