@@ -32,24 +32,25 @@ class TradingCalendar:
 
     @classmethod
     def from_dates(cls, dates: DataFrame, date_col: str = "date") -> "TradingCalendar":
-        """Build the dimension from a one-column frame of trading dates
-        (int YYYYMMDD).  Week boundaries follow ISO weeks; *_end flags mark
-        the last trading date within each week/month/quarter/year, exactly
-        the reference's 'last business day of period' semantics
-        (busday.py:128-157)."""
-        d = dates.select(F.col(date_col).cast("int").alias("date")).distinct()
-        dt = int_to_date("date")
+        """Build the dimension from a one-column frame of trading dates —
+        int YYYYMMDD (the reference's convention) or native date/timestamp.
+        *_end flags mark the last trading date within each
+        week/month/quarter/year, exactly the reference's 'last business day
+        of period' semantics (busday.py:128-157)."""
+        d = dates.select(F.col(date_col).alias("date")).distinct()
+        dtype = dict(d.dtypes)["date"]
+        dt = int_to_date("date") if dtype in ("int", "bigint", "smallint") else F.col("date")
         base = d.select(
             "date",
-            (F.year(dt) * 100 + F.month(dt)).alias("month_num"),
-            (F.year(dt) * 10 + F.quarter(dt)).alias("quarter_num"),
-            F.year(dt).alias("year_num"),
-            (F.year(F.date_trunc("week", dt)) * 1000 + F.weekofyear(dt)).alias(
-                "week_num"
-            ),
+            (F.year(dt) * 100 + F.month(dt)).cast("long").alias("month_num"),
+            (F.year(dt) * 10 + F.quarter(dt)).cast("long").alias("quarter_num"),
+            F.year(dt).cast("long").alias("year_num"),
+            F.date_trunc("week", dt).alias("__week_start__"),
         )
         w = Window.orderBy("date")
-        flags = base.withColumn("day_num", F.row_number().over(w) - 1)
+        flags = base.withColumn(
+            "week_num", F.dense_rank().over(Window.orderBy("__week_start__")).cast("long")
+        ).drop("__week_start__").withColumn("day_num", F.row_number().over(w) - 1)
         for unit in ("week", "month", "quarter", "year"):
             uw = Window.partitionBy(f"{unit}_num")
             flags = flags.withColumn(

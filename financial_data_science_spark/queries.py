@@ -1,0 +1,913 @@
+"""Query catalog: one entry per implemented operator (SURVEY.md §2), each
+with a Spark implementation (built on the operator library) and a DuckDB
+oracle SQL string over the same parquet tables.
+
+Conventions for oracle comparability (the driver hash-compares values):
+  - every computed column is aliased identically on both sides;
+  - float aggregates are rounded scale-aware: big price sums to 2dp
+    (accumulation-order noise ~1e-4 abs), unit-scale ratios to 6dp;
+  - counts cast to BIGINT in DuckDB (its SUM(int) is HUGEINT otherwise);
+  - deterministic tiebreaks (ids) on every ranking window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.operators import (
+    asof_join,
+    bin_aggregate,
+    compound_returns,
+    event_range_agg,
+    event_window,
+    fractile_split,
+    keep_extremum,
+    prevailing,
+    sessionize,
+    winsorize,
+)
+from financial_data_science_spark.functions import text as TXT
+from financial_data_science_spark.functions import similarity as SIM
+from financial_data_science_spark.functions.stats import ols_aggs, weighted_mean
+from financial_data_science_spark.plans.calendar import TradingCalendar
+from financial_data_science_spark.sources.testdata import load_table
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _r(c, n=6):
+    return F.round(c, n)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# TPC-H-shaped scan/join/agg (A1, J9, §2.6)
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pushed-down scan filter + hash agg (SURVEY A1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    """
+    WITH rev AS (
+      SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_orderkey)
+    SELECT l_orderkey, revenue
+    FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-k (broadcast dims)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star joins with broadcast dims, local-supplier filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# =====================================================================
+# As-of / prevailing / dedup (J1/J2/J7, W1/W2)
+# =====================================================================
+
+@query(
+    "asof_join_backward",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         errors AS (
+           SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+             FROM events WHERE event_type = 'error') WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts, round(c.value, 6) AS value,
+           round(e.value, 6) AS err_value, e.ts AS err_ts
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: each click joined to the prevailing (latest <= ts) error per user."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value"), F.col("ts").alias("err_ts")
+    )
+    out = asof_join(
+        clicks, errors, by="user_id", left_on="ts", right_on="ts",
+        right_tiebreak="err_value",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", _r("value").alias("value"),
+        _r("err_value").alias("err_value"), "err_ts",
+    )
+
+
+@query(
+    "prevailing_latest_event",
+    """
+    SELECT user_id, event_id, event_type, round(value, 6) AS value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def prevailing_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/W2: groupwise-latest row per key via one window (no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prevailing(ev, "user_id", "ts", tiebreak=["event_id"])
+    return out.select("user_id", "event_id", "event_type", _r("value").alias("value"))
+
+
+@query(
+    "dedup_keep_last",
+    """
+    SELECT user_id, event_type, event_id, round(value, 6) AS value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: sorted drop_duplicates(keep='last') (sql.py:49-52)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = keep_extremum(ev, ["user_id", "event_type"], ["ts", "event_id"], keep="last")
+    return out.select("user_id", "event_type", "event_id", _r("value").alias("value"))
+
+
+# =====================================================================
+# Compounding (A2/A4)
+# =====================================================================
+
+@query(
+    "compound_returns_by_supplier",
+    """
+    WITH r AS (SELECT l_suppkey,
+                      CASE WHEN l_tax > 0 THEN l_discount / 10 END AS ret
+               FROM lineitem)
+    SELECT l_suppkey,
+           count(ret) AS n_ret,
+           CASE WHEN count(ret) > 0 THEN round(product(1 + ret) - 1, 6) END AS cum_ret
+    FROM r GROUP BY l_suppkey
+    """,
+)
+def compound_returns_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: product(1+ret)-1 with min_count=1 null semantics (stocks.py:102-145)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ret", F.when(F.col("l_tax") > 0, F.col("l_discount") / 10)
+    )
+    out = compound_returns(li, "l_suppkey", ret_col="ret", alias="cum_ret")
+    n = li.groupBy("l_suppkey").agg(F.count("ret").alias("n_ret"))
+    return n.join(out, "l_suppkey").select(
+        "l_suppkey", "n_ret", _r("cum_ret").alias("cum_ret")
+    )
+
+
+@query(
+    "compound_by_year",
+    """
+    SELECT l_suppkey, year(l_shipdate) AS yr,
+           round(product(1 + l_discount / 10) - 1, 6) AS cum_ret
+    FROM lineitem GROUP BY l_suppkey, year(l_shipdate)
+    """,
+)
+def compound_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A14: interval compounding on a derived period key."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "yr", F.year("l_shipdate")
+    )
+    return (
+        compound_returns(li.withColumn("ret", F.col("l_discount") / 10), ["l_suppkey", "yr"],
+                         alias="cum_ret")
+        .select("l_suppkey", F.col("yr").cast("long").alias("yr"), _r("cum_ret").alias("cum_ret"))
+    )
+
+
+# =====================================================================
+# Fractiles / winsorize / weighted stats / OLS (A5/A6/A7/A8)
+# =====================================================================
+
+@query(
+    "fractile_deciles",
+    """
+    WITH bp AS (
+      SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING')
+    SELECT len(list_filter(bp.b, x -> o.o_totalprice > x)) + 1 AS fractile,
+           count(*) AS n,
+           round(avg(o.o_totalprice), 4) AS avg_price
+    FROM orders o, bp
+    GROUP BY 1
+    """,
+)
+def fractile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: NYSE-style sub-population breakpoints applied to all rows
+    (filters.py:267-287) — NOT ntile."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    split = fractile_split(
+        base, "o_totalprice", key_filter=F.col("c_mktsegment") == "BUILDING"
+    )
+    split = split.withColumn("fractile", F.col("fractile").cast("long"))
+    return split.groupBy("fractile").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@query(
+    "winsorized_price_stats",
+    """
+    WITH q AS (SELECT quantile_cont(l_extendedprice, [0.025, 0.975]) AS b FROM lineitem)
+    SELECT l_returnflag,
+           round(avg(least(greatest(l_extendedprice, b[1]), b[2])), 4) AS wavg_price,
+           count(*) AS n
+    FROM lineitem, q GROUP BY l_returnflag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: clip at [2.5%, 97.5%] quantiles then aggregate (filters.py:145-157)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice")
+    return w.groupBy("l_returnflag").agg(
+        _r(F.avg("l_extendedprice"), 4).alias("wavg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END), 4) AS wavg,
+           round(avg(l_extendedprice), 4) AS avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: NaN-aware weighted mean (filters.py:208-228)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r(weighted_mean("l_extendedprice", "l_quantity"), 4).alias("wavg"),
+        _r(F.avg("l_extendedprice"), 4).alias("avg"),
+    )
+
+
+@query(
+    "group_ols",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_extendedprice * l_extendedprice) AS syy,
+             sum(l_quantity * l_extendedprice) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n::BIGINT AS n,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+           round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 2) AS intercept,
+           round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+)
+def group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-group OLS via pure-SQL normal equations (econs.py:238-265)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(*ols_aggs("l_extendedprice", "l_quantity"))
+    return out.select(
+        "l_returnflag", "n", _r("slope", 4).alias("slope"),
+        _r("intercept", 2).alias("intercept"), _r("r2", 6).alias("r2"),
+    )
+
+
+# =====================================================================
+# Event windows (J4/J5) + trading calendar (§2.8)
+# =====================================================================
+
+@query(
+    "event_range_agg_1h",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           count(*) AS n_nearby,
+           round(sum(e.value), 6) AS sum_value
+    FROM p JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+)
+def event_range_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: per-event range join + aggregate (stocks.py:227-259 AVG variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("beg"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+    )
+    out = event_range_agg(
+        p, ev.select("user_id", "ts", "value"), by="user_id",
+        beg_col="beg", end_col="end", fact_date="ts",
+        aggs=[F.count(F.lit(1)).alias("n_nearby"), _r(F.sum("value"), 6).alias("sum_value")],
+    )
+    return out.select("event_id", "n_nearby", "sum_value")
+
+
+@query(
+    "event_window_trading_days",
+    """
+    WITH panel AS (
+      SELECT l_suppkey, l_shipdate AS d, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY l_suppkey, l_shipdate),
+    cal AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS day_num
+      FROM (SELECT DISTINCT l_shipdate AS d FROM lineitem)),
+    anchors AS (SELECT l_suppkey, d AS anchor_d FROM panel WHERE qty > 90),
+    rel AS (SELECT a.l_suppkey, a.anchor_d, c.day_num + r.rel AS num2, r.rel
+            FROM anchors a JOIN cal c ON a.anchor_d = c.d
+            CROSS JOIN (SELECT unnest(range(-2, 3)) AS rel) r)
+    SELECT rel.l_suppkey, rel.anchor_d, rel.rel, p.qty
+    FROM rel JOIN cal c2 ON rel.num2 = c2.day_num
+    LEFT JOIN panel p ON p.l_suppkey = rel.l_suppkey AND p.d = c2.d
+    """,
+)
+def event_window_trading_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: event-window gather over a trading calendar — explode relative
+    days, ONE equi-join against the fact panel (stocks.py:202-294 without
+    the per-day SQL loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.groupBy("l_suppkey", F.col("l_shipdate").alias("d")).agg(
+        _r(F.sum("l_quantity"), 2).alias("qty")
+    )
+    cal = TradingCalendar.from_dates(li.select(F.col("l_shipdate").alias("date")))
+    anchors = panel.filter(F.col("qty") > 90).select(
+        "l_suppkey", F.col("d").alias("anchor_d")
+    )
+    out = event_window(
+        anchors,
+        panel.withColumnRenamed("d", "fact_d"),
+        by="l_suppkey",
+        event_date="anchor_d",
+        fact_date="fact_d",
+        values=["qty"],
+        left=-2,
+        right=2,
+        calendar=cal.dim,
+    )
+    return out.select("l_suppkey", "anchor_d", F.col("rel").cast("long").alias("rel"), "qty")
+
+
+@query(
+    "next_trading_day",
+    """
+    WITH cal AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+         nxt AS (SELECT d, lead(d) OVER (ORDER BY d) AS next_d FROM cal)
+    SELECT o.o_orderkey, n.next_d
+    FROM orders o JOIN nxt n ON o.o_orderdate = n.d
+    """,
+)
+def next_trading_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar offset(+1) as broadcast-dim joins (busday.py:202-228)."""
+    o = load_table(spark, sf_dir, "orders")
+    cal = TradingCalendar.from_dates(o.select(F.col("o_orderdate").alias("date")))
+    out = cal.offset(o.select("o_orderkey", "o_orderdate"), "o_orderdate", 1, out="next_d")
+    return out.select("o_orderkey", "next_d")
+
+
+@query(
+    "month_end_trading_days",
+    """
+    SELECT year(d)*100 + month(d) AS month_num, max(d) AS month_end, count(*) AS n_days
+    FROM (SELECT DISTINCT o_orderdate AS d FROM orders)
+    GROUP BY 1
+    """,
+)
+def month_end_trading_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar period-ends: last trading day per month (busday.py:288-400)."""
+    o = load_table(spark, sf_dir, "orders")
+    cal = TradingCalendar.from_dates(o.select(F.col("o_orderdate").alias("date")))
+    return cal.dim.groupBy("month_num").agg(
+        F.max("date").alias("month_end"), F.count(F.lit(1)).alias("n_days")
+    )
+
+
+# =====================================================================
+# Tick binning / sessionization / windows (A11/A13, W4/W7)
+# =====================================================================
+
+@query(
+    "tick_bins_5min",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS bin,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tick_bins_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: tumbling 5-minute bins, label='right' (taq.py:494-602)."""
+    ev = load_table(spark, sf_dir, "events")
+    return bin_aggregate(
+        ev, "ts", "5 minutes", keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": _r(F.sum("value"), 6),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+            "first_value": F.min_by("value", "ts"),
+            "last_value": F.max_by("value", "ts"),
+        },
+    )
+
+
+@query(
+    "sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events,
+           max(cnt) AS max_session_events
+    FROM (SELECT user_id, session_id, count(*) OVER (PARTITION BY user_id, session_id) AS cnt FROM s)
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 gaps-and-islands: 30-min-gap sessions per user (alfred.py:244-259)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", 1800, keys="user_id")
+    per_sess = s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("cnt").alias("n_events"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+@query(
+    "ffill_last_error",
+    """
+    SELECT event_id,
+           round(last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6)
+           AS last_error_value
+    FROM events
+    """,
+)
+def ffill_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: forward-fill a sparse series along event time (taq.py:461)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "last_error_value",
+        F.when(F.col("event_type") == "error", F.col("value")),
+    )
+    from financial_data_science_spark.operators import ffill
+
+    out = ffill(ev, "last_error_value", order=["ts", "event_id"], keys="user_id")
+    return out.select("event_id", _r("last_error_value").alias("last_error_value"))
+
+
+@query(
+    "running_peak_drawdown",
+    """
+    WITH r AS (
+      SELECT user_id, ts,
+             sum(value) OVER w AS cum,
+             max(sum(value) OVER w) OVER w2 AS peak
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, round(max(cum), 6) AS max_cum,
+           round(max(peak - cum), 6) AS max_drawdown
+    FROM r GROUP BY user_id
+    """,
+)
+def running_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: running cumsum, running max, max drawdown (finance.py:286-307)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("value").over(w)
+    r = ev.withColumn("cum", cum).withColumn("peak", F.max("cum").over(w))
+    return r.groupBy("user_id").agg(
+        _r(F.max("cum")).alias("max_cum"),
+        _r(F.max(F.col("peak") - F.col("cum"))).alias("max_drawdown"),
+    )
+
+
+# =====================================================================
+# Set ops / pivot (§2.7, W11)
+# =====================================================================
+
+@query(
+    "users_click_no_purchase",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set difference as anti-join (real_time.py:118-120)."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.join(buyers, "user_id", "left_anti")
+
+
+@query(
+    "pivot_event_type_totals",
+    """
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 6) AS click,
+           round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 6) AS error,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase,
+           round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 6) AS signup,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 6) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: long->wide pivot with explicit value list (sql.py:285-342)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum("value"))
+        .fillna(0.0, subset=types)
+    )
+    return out.select("user_id", *[_r(t).alias(t) for t in types])
+
+
+@query(
+    "range_bucket_lookup",
+    """
+    WITH ranges(start, label) AS (VALUES (0, 'tiny'), (10, 'small'), (20, 'medium'), (30, 'large'), (40, 'huge')),
+    r2 AS (SELECT start, lead(start) OVER (ORDER BY start) AS next_start, label FROM ranges)
+    SELECT p.p_partkey, r2.label AS size_class
+    FROM part p JOIN r2 ON p.p_size >= r2.start AND (p.p_size < r2.next_start OR r2.next_start IS NULL)
+    """,
+)
+def range_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 sector-range lookup: greatest range-start <= code
+    (sectoring.py:128-133) as a broadcast interval join."""
+    p = load_table(spark, sf_dir, "part")
+    ranges = p.sparkSession.createDataFrame(
+        [(0, "tiny"), (10, "small"), (20, "medium"), (30, "large"), (40, "huge")],
+        "start int, label string",
+    )
+    w = Window.orderBy("start")
+    r2 = ranges.withColumn("next_start", F.lead("start").over(w))
+    out = p.join(
+        F.broadcast(r2),
+        (p.p_size >= r2.start)
+        & ((p.p_size < r2.next_start) | r2.next_start.isNull()),
+    )
+    return out.select("p_partkey", F.col("label").alias("size_class"))
+
+
+# =====================================================================
+# LLM-pipeline: dedup / similarity / text (north-star extensions)
+# =====================================================================
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY lower(trim(text))
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SIM.exact_dedup(docs)
+
+
+@query(
+    "jaccard_near_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    e AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS shingle FROM sh),
+    c AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             a.n AS nl, b.n AS nr, count(*) AS common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT left_id, right_id,
+           round(common / (nl + nr - common), 6) AS jaccard
+    FROM c WHERE common / (nl + nr - common) >= 0.5
+    """,
+)
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact word-3-gram Jaccard via shingle inverted
+    index (no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SIM.jaccard_pairs(docs, threshold=0.5)
+    return out.select("left_id", "right_id", _r("jaccard").alias("jaccard"))
+
+
+@query("minhash_lsh_candidates")  # no SQL oracle: hash-family specific
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (banded signature bucket join).
+
+    Verified in tests against the exact-Jaccard oracle (recall on planted
+    near-dups); engine-specific hash family => rows-only driver check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return SIM.minhash_candidates(docs).filter(F.col("est_jaccard") >= 0.4)
+
+
+@query("simhash_near_dups")  # no SQL oracle: hash-family specific
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band blocking then Hamming <= 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = SIM.simhash_signatures(docs).select("doc_id", "simhash")
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l = bands.select(F.col("doc_id").alias("left_id"), F.col("simhash").alias("sl"), "band", "key")
+    r = bands.select(F.col("doc_id").alias("right_id"), F.col("simhash").alias("sr"), "band", "key")
+    pairs = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", SIM.hamming64(F.col("sl"), F.col("sr")).alias("hamming"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return pairs.filter(F.col("hamming") <= 6)
+
+
+@query(
+    "cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS s
+      FROM q JOIN e ON e.vec_id != q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, round(s, 4) AS score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-k (broadcast query side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+    return out.select("query_id", "neighbor_id", _r("score", 4).alias("score"))
+
+
+@query(
+    "label_cosine_stats",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.label, count(*) AS n_pairs,
+           round(avg(list_cosine_similarity(a.v, b.v)), 6) AS avg_cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def label_cosine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-label pairwise cosine aggregate (embedding-column analytics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, ["label"]).filter(F.col("ida") < F.col("idb"))
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r(F.avg(SIM.cosine(F.col("va"), F.col("vb"))), 6).alias("avg_cos"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w != '') AS w
+      FROM documents)
+    SELECT doc_id, n_chars, len(w) AS n_tokens,
+           round(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6) AS avg_token_len,
+           round(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], lower(x))))::DOUBLE / len(w), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats + stopword ratio, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    nt = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in TXT.LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id", "n_chars", nt.cast("long").alias("n_tokens"),
+        _r(tok_chars.cast("double") / nt).alias("avg_token_len"),
+        _r(n_stop.cast("double") / nt).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','that','for','it'], x))) AS en,
+             len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','den'], x))) AS de,
+             len(list_filter(w, x -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], x))) AS fr,
+             len(list_filter(w, x -> list_contains(['el','la','los','de','que','y','un','una','es','para'], x))) AS es
+      FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+                WHEN en = greatest(en, de, fr, es) THEN 'en'
+                WHEN de = greatest(en, de, fr, es) THEN 'de'
+                WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM h
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-hit argmax, first-in-list tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TXT.lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpe,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w != '')) AS n_ws
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.n_bpe_tokens("text").cast("long").alias("n_bpe"),
+        TXT.n_tokens("text").cast("long").alias("n_ws"),
+    )
+
+
+@query("doc_fingerprints")  # no SQL oracle: xxhash64-based
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (dedup key); hash-specific =>
+    rows-only driver check, determinism asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "binary_payload_metadata",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CASE WHEN n_chars > 300 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def binary_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    (decode itself is stubbed — see functions/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.when(F.col("n_chars") > 300, "large").otherwise("small").alias("size_class"),
+    )

@@ -120,4 +120,4 @@ def read_events_stream(
         .format("parquet")
         .load(os.path.join(sf_dir, "events.parquet"))
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
