@@ -137,13 +137,23 @@ def minhash_signatures(
     which blows up the Catalyst plan and codegen when the signature is
     re-referenced per band.
     """
+    import random
+
+    rng = random.Random(seed)
+    p = (1 << 31) - 1
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__")
+    ).select(
+        id_col,
+        # one string hash per shingle; the k-family is affine mixes of it
+        # (a_i*h+b_i mod p) — 64 multiply-adds instead of 64 string hashes
+        F.pmod(F.xxhash64("__shingle__"), F.lit(p)).alias("__h0__"),
     )
     sig = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(seed + i), F.col("__shingle__"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.col("__h0__") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
     return sig.withColumn("__sig__", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]))
@@ -263,36 +273,134 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    strategy: str = "lsh",
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    """n-gram Jaccard near-dup pairs: candidate generation + exact verify.
 
-    explode(distinct shingles) -> self-equi-join on shingle -> common counts
-    -> jaccard = common / (nA + nB - common).  One shuffle on the shingle
-    key; hot shingles can be frequency-capped upstream (stopword shingles
-    dominate candidate generation otherwise).
+    ``strategy='lsh'`` (default, scale path): MinHash-LSH candidates tuned
+    for high recall at the threshold (r=2 rows/band, b=32 bands: collision
+    probability 1-(1-j^2)^32 = 0.9999 at j=0.5), then a cheap signature
+    estimate pre-filter, then EXACT Jaccard verification on the full
+    shingle arrays — only surviving pairs pay the array_intersect.  The
+    reported jaccard is exact; completeness is bounded by LSH recall
+    (>=99.99% at the threshold).
+
+    ``strategy='prefix'``: fully exact prefix filtering (below).  Right
+    choice when text is natural (frequency-skewed shingles); on adversarial
+    flat-frequency corpora its candidate set degenerates.
     """
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col, k).alias("__sh__")
-    ).withColumn("__n__", F.size("__sh__"))
-    exploded = sh.select(id_col, "__n__", F.explode("__sh__").alias("shingle"))
-    l = exploded.select(
+    if strategy == "lsh":
+        cand = minhash_candidates(
+            docs, id_col, text_col, shingle_k=k, num_hashes=64, bands=32
+        ).filter(F.col("est_jaccard") >= F.lit(threshold * 0.6))
+        sh = (
+            docs.select(F.col(id_col), word_shingles(text_col, k).alias("__sh__"))
+            .withColumn("__n__", F.size("__sh__"))
+            .filter(F.col("__n__") > 0)
+        )
+        la = sh.select(F.col(id_col).alias("left_id"), F.col("__sh__").alias("__la__"),
+                       F.col("__n__").alias("__nl__"))
+        ra = sh.select(F.col(id_col).alias("right_id"), F.col("__sh__").alias("__ra__"),
+                       F.col("__n__").alias("__nr__"))
+        verified = (
+            cand.select("left_id", "right_id")
+            .join(la, "left_id")
+            .join(ra, "right_id")
+            .withColumn("__common__", F.size(F.array_intersect("__la__", "__ra__")))
+            .withColumn(
+                "jaccard",
+                F.col("__common__")
+                / (F.col("__nl__") + F.col("__nr__") - F.col("__common__")),
+            )
+        )
+        return verified.filter(F.col("jaccard") >= threshold).select(
+            "left_id", "right_id", "jaccard"
+        )
+    return _jaccard_pairs_prefix(docs, id_col, text_col, k, threshold)
+
+
+def _jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (PPJoin-lite).
+
+    A naive shingle inverted-index self-join degenerates toward all-pairs
+    when shingles repeat across documents (measured 227s on 5k synthetic
+    docs).  Prefix filtering keeps it exact while pruning: under a global
+    shingle order (ascending document frequency — rarest first), a pair
+    with J >= t MUST share a shingle inside each side's prefix of the
+    first ``n - ceil(t*n) + 1`` shingles.  Candidates come from joining
+    prefixes only (rare shingles => tiny buckets); exact Jaccard is then
+    verified on the full shingle arrays via ``array_intersect``.
+
+    Shuffles: explode+count (df), explode+join (candidates), two id joins
+    (verify) — all equi-joins on keys that stay balanced at scale.
+    """
+    sh = (
+        docs.select(F.col(id_col), word_shingles(text_col, k).alias("__sh__"))
+        .withColumn("__n__", F.size("__sh__"))
+        .filter(F.col("__n__") > 0)
+    )
+    ex = sh.select(id_col, F.explode("__sh__").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df__"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df__"), F.col("shingle")))
+            ).alias("__ord__")
+        )
+        .withColumn("__n__", F.size("__ord__"))
+    )
+    prefix_len = (
+        F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")).cast("int") + 1
+    )
+    prefixes = ordered.select(
+        F.col(id_col),
+        F.col("__n__"),
+        F.explode(
+            F.transform(
+                F.slice("__ord__", F.lit(1), prefix_len), lambda s: s["shingle"]
+            )
+        ).alias("shingle"),
+    )
+    l = prefixes.select(
         F.col(id_col).alias("left_id"), F.col("__n__").alias("__nl__"), "shingle"
     )
-    r = exploded.select(
+    r = prefixes.select(
         F.col(id_col).alias("right_id"), F.col("__n__").alias("__nr__"), "shingle"
     )
-    common = (
+    cand = (
         l.join(r, "shingle")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .groupBy("left_id", "right_id", "__nl__", "__nr__")
-        .agg(F.count(F.lit(1)).alias("__common__"))
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            # length filter: J >= t impossible if sizes differ too much
+            & (F.col("__nl__") >= F.lit(threshold) * F.col("__nr__"))
+            & (F.col("__nr__") >= F.lit(threshold) * F.col("__nl__"))
+        )
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
     )
-    jac = common.withColumn(
-        "jaccard",
-        F.col("__common__")
-        / (F.col("__nl__") + F.col("__nr__") - F.col("__common__")),
+    la = sh.select(F.col(id_col).alias("left_id"), F.col("__sh__").alias("__la__"),
+                   F.col("__n__").alias("__nl__"))
+    ra = sh.select(F.col(id_col).alias("right_id"), F.col("__sh__").alias("__ra__"),
+                   F.col("__n__").alias("__nr__"))
+    verified = (
+        cand.join(la, "left_id")
+        .join(ra, "right_id")
+        .withColumn("__common__", F.size(F.array_intersect("__la__", "__ra__")))
+        .withColumn(
+            "jaccard",
+            F.col("__common__")
+            / (F.col("__nl__") + F.col("__nr__") - F.col("__common__")),
+        )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
+    return verified.filter(F.col("jaccard") >= threshold).select(
         "left_id", "right_id", "jaccard"
     )
 
