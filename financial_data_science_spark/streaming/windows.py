@@ -54,13 +54,20 @@ def stream_session_counts(
     ts_col: str,
     gap: str,
     keys: list[str] | str,
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
 ) -> DataFrame:
     """Session-window event counts (``F.session_window``), the streaming
-    analogue of operators/windows.py::sessionize (alfred.py:244-259 A13)."""
+    analogue of operators/windows.py::sessionize (alfred.py:244-259 A13).
+
+    With a watermark, run in append mode (sessions emit once closed); with
+    ``watermark=None``, run in complete/update mode (state kept forever —
+    test/backfill only).
+    """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream
         .groupBy(F.session_window(F.col(ts_col), gap).alias("__s__"), *keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -115,9 +122,11 @@ def read_events_stream(
                 T.StructField("props", T.StringType()),
             ]
         )
+    # streaming file source requires a directory; glob-filter to the one table
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .load(os.path.join(sf_dir, "events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,101 @@
+"""Dedup/similarity operators: planted near-dups, numpy cosine oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions import similarity as S
+
+
+def _docs(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 60)) for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted near-dups: copy with small edits
+    for j, i in enumerate([0, 5, 10]):
+        words = base[i].split()
+        words[3] = "edited"
+        rows.append((100 + j, " ".join(words)))
+    # exact duplicate
+    rows.append((200, base[1]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    out = S.exact_dedup(docs).toPandas()
+    assert out["n_copies"].sum() == 34
+    assert (out[out.n_copies == 2]["doc_id"] == 1).all()
+
+
+def test_jaccard_finds_planted_dups(spark):
+    docs = _docs(spark)
+    pairs = S.jaccard_pairs(docs, threshold=0.5).toPandas()
+    found = {tuple(sorted(p)) for p in pairs[["left_id", "right_id"]].to_numpy()}
+    assert {(0, 100), (5, 101), (10, 102), (1, 200)} <= found
+
+
+def test_prefix_strategy_matches_lsh_on_planted(spark):
+    docs = _docs(spark)
+    lsh = S.jaccard_pairs(docs, threshold=0.5, strategy="lsh").toPandas()
+    exact = S.jaccard_pairs(docs, threshold=0.5, strategy="prefix").toPandas()
+    key = lambda df: sorted(map(tuple, df[["left_id", "right_id"]].to_numpy()))
+    assert key(lsh) == key(exact)
+    l = lsh.sort_values(["left_id", "right_id"])["jaccard"].to_numpy()
+    e = exact.sort_values(["left_id", "right_id"])["jaccard"].to_numpy()
+    np.testing.assert_allclose(l, e, rtol=1e-12)
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = _docs(spark)
+    cand = S.minhash_candidates(docs, num_hashes=64, bands=32).toPandas()
+    exact = S.jaccard_pairs(docs, threshold=0.3, strategy="prefix").toPandas()
+    m = cand.merge(exact, on=["left_id", "right_id"])
+    assert len(m) >= 4
+    np.testing.assert_allclose(m["est_jaccard"], m["jaccard"], atol=0.25)
+
+
+def test_simhash_near_dups_low_hamming(spark):
+    docs = _docs(spark)
+    sig = S.simhash_signatures(docs).toPandas().set_index("doc_id")["simhash"]
+    h = lambda a, b: bin(int(sig[a]) ^ int(sig[b])).count("1")
+    assert h(1, 200) == 0
+    assert h(0, 100) <= 12
+    rand = [h(i, j) for i in range(5) for j in range(10, 15)]
+    assert np.mean(rand) > 20
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    got = S.cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).toPandas()
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = v @ v.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        want = set(np.argsort(-s)[:3])
+        have = set(got[got.query_id == q]["neighbor_id"])
+        assert have == want
+
+
+def test_hyperplane_bucket_locality(spark):
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=16).astype(np.float32)
+    near = base + rng.normal(scale=0.01, size=16).astype(np.float32)
+    far = rng.normal(size=16).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [list(base), list(near), list(far)]}
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select("vec_id", S.hyperplane_bucket(F.col("embedding")).alias("b"))
+        .toPandas()
+        .set_index("vec_id")["b"]
+    )
+    assert out[0] == out[1]

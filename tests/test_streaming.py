@@ -1,0 +1,88 @@
+"""Batch-vs-stream parity (SURVEY §2.9): the same aggregate expressions run
+under batch and Structured Streaming must agree row-for-row."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.operators import bin_aggregate
+from financial_data_science_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_bin_aggregate,
+    stream_session_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _aggs():
+    return {
+        "n": F.count(F.lit(1)),
+        "sum_value": F.round(F.sum("value"), 6),
+        "max_value": F.max("value"),
+    }
+
+
+def test_tumbling_window_parity(spark):
+    from financial_data_science_spark.sources.testdata import load_table
+
+    batch = load_table(spark, SF, "events")
+    want = (
+        bin_aggregate(batch, "ts", "5 minutes", keys=["event_type"], aggs=_aggs())
+        .toPandas()
+        .sort_values(["bin", "event_type"])
+        .reset_index(drop=True)
+    )
+    stream = read_events_stream(spark, SF)
+    res = stream_bin_aggregate(
+        stream, "ts", "5 minutes", keys=["event_type"], aggs=_aggs()
+    )
+    got = (
+        run_stream_to_memory(spark, res, "parity_bins", output_mode="complete")
+        .toPandas()
+        .sort_values(["bin", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_stream_dedup_within_watermark(spark):
+    from financial_data_science_spark.streaming.windows import stream_dedup
+
+    stream = read_events_stream(spark, SF)
+    out = run_stream_to_memory(
+        spark, stream_dedup(stream, ["user_id", "event_type"], "ts"), "parity_dedup"
+    )
+    batch_n = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_n
+
+
+def test_session_window_counts(spark):
+    from financial_data_science_spark.sources.testdata import load_table
+    from financial_data_science_spark.operators import sessionize
+
+    stream = read_events_stream(spark, SF)
+    res = stream_session_counts(stream, "ts", "30 minutes", keys="user_id",
+                                watermark=None)
+    got = run_stream_to_memory(
+        spark, res, "parity_sessions", output_mode="complete"
+    ).toPandas()
+    batch = load_table(spark, SF, "events")
+    want = (
+        sessionize(batch, "ts", 1800, keys="user_id")
+        .groupBy("user_id", "session_id")
+        .count()
+        .toPandas()
+    )
+    # same number of sessions per user under both definitions
+    g = got.groupby("user_id").size().sort_index()
+    w = want.groupby("user_id").size().sort_index()
+    pd.testing.assert_series_equal(g, w, check_names=False)

@@ -1,0 +1,100 @@
+"""Text functions determinism + schema coercion rules (S1/S2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from financial_data_science_spark.functions import text as TXT
+from financial_data_science_spark.sources.coercion import as_dtypes, upsert_append
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["a b  c d", " x y ", "q"]}))
+    out = df.select(
+        TXT.n_tokens("t").alias("n"), TXT.word_shingles("t", 2).alias("sh")
+    ).collect()
+    assert [r["n"] for r in out] == [4, 2, 1]
+    assert out[0]["sh"] == ["a b", "b c", "c d"]
+    assert out[1]["sh"] == ["x y"]
+    assert out[2]["sh"] == []
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "t": [
+                    "the cat and the dog is in a house for it",
+                    "der hund und die katze ist nicht ein tier",
+                    "le chat et la maison est un lieu pour les",
+                    "xyz qqq zzz",
+                ]
+            }
+        )
+    )
+    got = [r[0] for r in df.select(TXT.lang_id("t")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_deterministic_and_normalized(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["Hello   World", "hello world", "hello world!"]})
+    )
+    fps = [r[0] for r in df.select(TXT.fingerprint("t")).collect()]
+    assert fps[0] == fps[1]  # case/whitespace-normalized
+    assert fps[1] != fps[2]
+
+
+def test_as_dtypes_rules(spark):
+    schema = T.StructType(
+        [
+            T.StructField("permno", T.IntegerType()),
+            T.StructField("date", T.IntegerType()),
+            T.StructField("ret", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "PERMNO ": ["10001", "", "10003"],
+                "Date": ["2023-01-31", "20230131", ""],
+                "ret": ["0.05", "bad", "0.1"],
+                "flag": ["", "true", ""],
+                "name": ["Café A", "plain", "B"],
+            }
+        )
+    )
+    out = as_dtypes(raw, schema).toPandas().sort_values("permno").reset_index(drop=True)
+    assert out["permno"].tolist() == [0, 10001, 10003]
+    assert out["date"].tolist() == [20230131, 20230131, 0]  # '-' stripped, blank->0
+    assert out.loc[out.permno == 0, "ret"].isna().all()  # 'bad' -> null
+    assert out["flag"].tolist() == [True, False, False]
+    assert "Caf" in out.loc[out.permno == 10001, "name"].iloc[0]
+    assert "é" not in out.loc[out.permno == 10001, "name"].iloc[0]
+
+
+def test_as_dtypes_pk_dedup_and_filters(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    raw = spark.createDataFrame(
+        pd.DataFrame({"k": ["1", "1", "2", "3"], "v": ["5", "9", "7", "8"]})
+    )
+    out = as_dtypes(raw, schema, primary_keys=["k"], drop={"k": [3]}).toPandas()
+    assert sorted(out["k"]) == [1, 2]
+    assert out.set_index("k")["v"][1] == 9  # keep last after sort
+
+
+def test_upsert_append_insert_ignore(spark):
+    old = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    new = spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": [99, 30]}))
+    out = upsert_append(old, new, ["k"]).toPandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out.set_index("k")["v"][2] == 20  # existing wins (INSERT IGNORE)

@@ -1,0 +1,114 @@
+"""Window operators vs pandas oracles (W4-W9, A13)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.operators import (
+    cumcount,
+    drop_unchanged,
+    ffill,
+    islands,
+    reverse_cumprod,
+    running,
+    sessionize,
+)
+
+
+def test_ffill_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 2],
+            "t": [1, 2, 3, 4, 1, 2, 3],
+            "v": [None, 1.0, None, 2.0, None, None, 3.0],
+        }
+    )
+    got = (
+        ffill(spark.createDataFrame(pdf), "v", order="t", keys="k")
+        .toPandas()
+        .sort_values(["k", "t"])["v"]
+        .to_numpy()
+    )
+    want = pdf.sort_values(["k", "t"]).groupby("k")["v"].ffill().to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+
+
+def test_islands_run_length(spark):
+    pdf = pd.DataFrame(
+        {"t": range(10), "flag": [0, 0, 1, 1, 1, 0, 1, 0, 0, 1]}
+    )
+    out = islands(spark.createDataFrame(pdf), "flag", order="t").toPandas().sort_values("t")
+    spans = (
+        out[out.flag == 1]
+        .groupby("island")["t"]
+        .agg(["min", "max"])
+        .sort_values("min")
+        .to_numpy()
+        .tolist()
+    )
+    assert spans == [[2, 4], [6, 6], [9, 9]]
+
+
+def test_running_cumsum(spark, daily, daily_pdf):
+    out = running(
+        daily.select("permno", "date", "ret").fillna(0.0, subset=["ret"]),
+        {"cum": F.sum("ret")},
+        order="date",
+        keys="permno",
+    ).toPandas()
+    want = (
+        daily_pdf.fillna({"ret": 0.0})
+        .sort_values(["permno", "date"])
+        .groupby("permno")["ret"]
+        .cumsum()
+    )
+    got = out.sort_values(["permno", "date"])["cum"].to_numpy()
+    np.testing.assert_allclose(got, want.to_numpy(), rtol=1e-9)
+
+
+def test_cumcount(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2], "t": [3, 1, 2, 5, 4]})
+    out = cumcount(spark.createDataFrame(pdf), "k", "t").toPandas()
+    want = pdf.sort_values(["k", "t"]).groupby("k").cumcount()
+    got = out.sort_values(["k", "t"])["seq"].to_numpy()
+    assert (got == want.to_numpy()).all()
+
+
+def test_drop_unchanged(spark):
+    pdf = pd.DataFrame(
+        {"t": range(6), "a": [1, 1, 2, 2, 2, 1], "b": [5, 5, 5, 6, 6, 6]}
+    )
+    out = drop_unchanged(spark.createDataFrame(pdf), ["a", "b"], order="t").toPandas()
+    assert sorted(out["t"].tolist()) == [0, 2, 3, 5]
+
+
+def test_reverse_cumprod_split_adjustment(spark):
+    """Back-adjustment: factor at t = product of split factors AFTER t
+    (real_time.py:71-80)."""
+    pdf = pd.DataFrame({"t": [1, 2, 3, 4], "facpr": [1.0, 2.0, 1.0, 3.0]})
+    out = (
+        reverse_cumprod(spark.createDataFrame(pdf), "facpr", order="t")
+        .toPandas()
+        .sort_values("t")
+    )
+    assert out["cumfactor"].tolist() == [6.0, 3.0, 3.0, 1.0]
+
+
+def test_sessionize_gap(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 5,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:00",
+                 "2024-01-01 11:20", "2024-01-01 13:00"]
+            ),
+        }
+    )
+    out = (
+        sessionize(spark.createDataFrame(pdf), "ts", 1800, keys="k")
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert out["session_id"].tolist() == [1, 1, 2, 2, 3]
