@@ -1,0 +1,118 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north star): image/audio/video travel as
+``binary`` columns with a metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` operators so a
+100 TB corpus streams through Python in columnar batches, never row at a
+time.  The actual codec calls are STUBBED (Pillow/librosa/av are not in
+this container): ``decode_stub=True`` produces deterministic fake features
+from the payload bytes so the Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — is real and tested; a deployment swaps
+``_decode_image_real`` in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "image codecs not available in this environment; deploy with Pillow "
+        "and replace decode_stub=False path"
+    )
+
+
+def _decode_image_fake(payload: bytes) -> dict:
+    """Deterministic fake decode: dimensions/luma/phash derived from a
+    sha256 of the payload — stable across runs and partitionings."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0],
+        "height": 64 + h[1],
+        "mean_luma": h[2] / 255.0,
+        "phash": int.from_bytes(h[3:11], "big", signed=True),
+    }
+
+
+def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata that needs no decode: byte length + magic-number
+    format sniff (first bytes of the payload)."""
+    p = F.col(payload_col)
+    magic = F.hex(F.substring(p, 1, 4))
+    fmt = (
+        F.when(magic.startswith("FFD8"), "jpeg")
+        .when(magic == "89504E47", "png")
+        .when(magic.startswith("52494646"), "riff")
+        .otherwise("unknown")
+    )
+    return df.withColumn("n_bytes", F.octet_length(p).cast("long")).withColumn(
+        "format", fmt
+    )
+
+
+def extract_image_features(
+    media: DataFrame,
+    decode_stub: bool = True,
+    batch_repartition: int | None = None,
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
+
+    ``batch_repartition`` spreads large payload rows before the Python
+    stage (payload skew — a few huge videos — otherwise serializes one
+    task); at scale pass ~2-3x cores.
+    """
+    decode = _decode_image_fake if decode_stub else _decode_image_real
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "format", pdf["format"].values)
+            out.insert(2, "n_bytes", pdf["n_bytes"].values)
+            yield out
+
+    src = media
+    if batch_repartition:
+        src = src.repartition(batch_repartition)
+    return src.mapInPandas(op, IMAGE_FEATURE_SCHEMA)
+
+
+def make_media_table(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Test harness: synthesize a binary media table from text payloads so
+    the pipeline runs on the driver-provided documents fixture."""
+    return attach_payload_metadata(
+        docs.select(
+            F.col(id_col).alias("media_id"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        )
+    )

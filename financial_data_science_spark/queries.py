@@ -911,3 +911,69 @@ def binary_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
         F.when(F.col("n_chars") > 300, "large").otherwise("small").alias("size_class"),
     )
+
+
+# =====================================================================
+# Risk measures (A17), grouping sets, multimodal
+# =====================================================================
+
+@query(
+    "risk_summary",
+    """
+    WITH q AS (
+      SELECT event_type, quantile_cont(value, 0.05) AS qv
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(e.value) AS n,
+           round(avg(e.value), 6) AS mean,
+           round(stddev_samp(e.value), 6) AS std,
+           round(-max(q.qv), 6) AS var,
+           round(-avg(CASE WHEN e.value <= q.qv THEN e.value END), 6) AS es
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: historical VaR/ES + moments per group (finance.py:309-389)."""
+    from financial_data_science_spark.functions.stats import risk_summary as rs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rs(ev, "event_type", ret="value", alpha=0.05)
+    return out.select(
+        "event_type", "n", _r("mean").alias("mean"), _r("std").alias("std"),
+        _r("var").alias("var"), _r("es").alias("es"),
+    )
+
+
+@query(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: Spark cube() (reference lacks it; §2.4 note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("multimodal_features")  # no SQL oracle: mapInPandas stub decode
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: binary payload -> metadata -> Arrow-batched
+    mapInPandas feature extraction (decode stubbed deterministically)."""
+    from financial_data_science_spark.functions.multimodal import (
+        extract_image_features,
+        make_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_features(make_media_table(docs))

@@ -1,0 +1,122 @@
+"""Backtest + event-study pipelines on hand-computable fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.backtesting import (
+    event_study,
+    portfolio_returns,
+    turnover,
+    univariate_sorts,
+)
+from financial_data_science_spark.plans.calendar import TradingCalendar
+
+
+def test_univariate_sorts_weights(spark):
+    """20 names, signal = permno rank, cap-weighted decile long-short."""
+    rows = []
+    for d in (20230131, 20230228):
+        for p in range(1, 21):
+            rows.append((d, p, float(p), 100.0 * p))
+    uni = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["rebaldate", "permno", "value", "cap"])
+    )
+    h = univariate_sorts(
+        uni.select("rebaldate", "permno", "cap"),
+        uni.select("rebaldate", "permno", "value"),
+    ).toPandas()
+    for d, g in h.groupby("rebaldate"):
+        longs = g[g.side == 1]
+        shorts = g[g.side == -1]
+        np.testing.assert_allclose(longs["weight"].sum(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(shorts["weight"].sum(), -1.0, rtol=1e-12)
+        # top decile = permnos 19,20 (deciles on value = permno)
+        assert set(longs["permno"]) == {19, 20}
+        assert set(shorts["permno"]) == {1, 2}
+        # cap-weighting inside the side
+        w19 = longs.set_index("permno")["weight"][19]
+        np.testing.assert_allclose(w19, 1900 / (1900 + 2000), rtol=1e-12)
+
+
+def test_portfolio_returns_hand_case(spark):
+    holdings = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rebaldate": [20230131, 20230131],
+                "permno": [1, 2],
+                "weight": [0.6, 0.4],
+            }
+        )
+    )
+    daily = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "permno": [1, 1, 2, 2],
+                "date": [20230210, 20230220, 20230210, 20230220],
+                "ret": [0.10, 0.10, -0.05, 0.0],
+            }
+        )
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame({"beg": [20230131], "end": [20230228]})
+    )
+    out = portfolio_returns(holdings, daily, intervals).toPandas()
+    want = 0.6 * (1.1 * 1.1 - 1) + 0.4 * (0.95 - 1)
+    np.testing.assert_allclose(out["ret"].iloc[0], want, rtol=1e-12)
+
+
+def test_turnover_deltas(spark):
+    holdings = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rebaldate": [1, 1, 2, 2],
+                "permno": [10, 11, 10, 12],
+                "weight": [0.5, 0.5, 0.8, 0.2],
+            }
+        )
+    )
+    out = turnover(holdings).toPandas().set_index("rebaldate")
+    np.testing.assert_allclose(out.loc[1, "buys"], 1.0)
+    # rebal 2: 10 +0.3, 12 +0.2 -> buys 0.5; 11 dropped... (no sell row since
+    # weight row absent) -> sells counts only explicit negative deltas
+    np.testing.assert_allclose(out.loc[2, "buys"], 0.5)
+
+
+def test_event_study_analytic_car(spark, calendar_dates):
+    """Constant 1% daily abnormal return -> CAR(rel) = 0.01*(rel-left+1)."""
+    cal = TradingCalendar.from_dates(
+        spark.createDataFrame(pd.DataFrame({"date": calendar_dates}))
+    )
+    dates = calendar_dates
+    daily = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "permno": [1] * len(dates) + [2] * len(dates),
+                "date": dates * 2,
+                "ret": [0.01] * len(dates) + [0.02] * len(dates),
+            }
+        )
+    )
+    market = spark.createDataFrame(
+        pd.DataFrame({"date": dates, "mktret": [0.0] * len(dates)})
+    )
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {"permno": [1, 2], "announcedate": [dates[100], dates[200]]}
+        )
+    )
+    cb, stats = event_study(events, daily, market, cal, left=-1, right=3)
+    s = stats.toPandas().set_index("rel")
+    for rel in range(-1, 4):
+        k = rel + 2  # days since left edge
+        want_mean = (0.01 * k + 0.02 * k) / 2
+        np.testing.assert_allclose(s.loc[rel, "car_mean"], want_mean, rtol=1e-9)
+    cbp = cb.toPandas()
+    one = cbp[(cbp.permno == 1)].sort_values("rel")
+    np.testing.assert_allclose(
+        one["bhar"].to_numpy(), (1.01 ** np.arange(1, 6)) - 1, rtol=1e-9
+    )
