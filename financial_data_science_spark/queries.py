@@ -977,3 +977,98 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_features(make_media_table(docs))
+
+
+# =====================================================================
+# Graph analytics over the supply network (graph.py re-expression)
+# =====================================================================
+
+def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> customer edges through order lineitems (pstat.py:347-363
+    supply-chain analogue on the synthetic star schema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "supply_graph_degrees",
+    """
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    outs AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src),
+    ins AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst)
+    SELECT coalesce(outs.id, ins.id) AS id,
+           coalesce(out_degree, 0) AS out_degree,
+           coalesce(in_degree, 0) AS in_degree,
+           coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+    FROM outs FULL OUTER JOIN ins ON outs.id = ins.id
+    """,
+)
+def supply_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degrees of the supplier->customer network (graph.py:36-120)."""
+    from financial_data_science_spark.functions.graph import degrees
+
+    return degrees(_supply_edges(spark, sf_dir))
+
+
+@query("supply_graph_pagerank")  # no SQL oracle: iterative algorithm
+def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supply network — join+agg sweeps with lineage
+    checkpointing (graph.py:185-317 centrality analogue)."""
+    from financial_data_science_spark.functions.graph import pagerank
+
+    return pagerank(_supply_edges(spark, sf_dir), max_iter=8)
+
+
+@query("near_dup_clusters")  # no SQL oracle: iterative connected components
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline dedup composition: jaccard pairs -> connected
+    components -> cluster id per implicated doc."""
+    from financial_data_science_spark.functions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SIM.jaccard_pairs(docs, threshold=0.5).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    return connected_components(pairs)
+
+
+@query(
+    "tw_value_5min",
+    """
+    WITH d AS (
+      SELECT event_type, ts, value,
+             epoch(lead(ts) OVER w) - epoch(ts) AS dur
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS bin,
+           event_type,
+           count(*) AS n,
+           round(sum(value * dur) / sum(CASE WHEN value IS NOT NULL THEN dur END), 6) AS tw_value
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def tw_value_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: forward-duration time-weighted bin aggregate (taq.py:417-491
+    quote machinery on the events stream)."""
+    from financial_data_science_spark.functions.stats import weighted_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.withColumn(
+        "dur",
+        F.lead("ts").over(w).cast("double") - F.col("ts").cast("double"),
+    ).filter(F.col("dur").isNotNull())
+    return bin_aggregate(
+        d, "ts", "5 minutes", keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "tw_value": _r(weighted_mean("value", "dur", alias="tw_value"), 6),
+        },
+    )
