@@ -582,15 +582,18 @@ def ffill_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_peak_drawdown",
     """
     WITH r AS (
-      SELECT user_id, ts,
-             sum(value) OVER w AS cum,
-             max(sum(value) OVER w) OVER w2 AS peak
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
-             w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, ts, event_id,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events),
+    p AS (
+      SELECT user_id, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM r)
     SELECT user_id, round(max(cum), 6) AS max_cum,
            round(max(peak - cum), 6) AS max_drawdown
-    FROM r GROUP BY user_id
+    FROM p GROUP BY user_id
     """,
 )
 def running_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
