@@ -28,6 +28,10 @@ BENCH_QUERIES = [
     "compound_returns_by_supplier",
     "fractile_deciles",
     "tick_bins_5min",
+    "tw_value_5min",
+    "prevailing_click_at_purchase",
+    "monthly_rollup",
+    "holdings_turnover",
     "sessionization",
     "jaccard_near_dups",
     "minhash_lsh_candidates",

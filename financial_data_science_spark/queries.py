@@ -1075,3 +1075,556 @@ def tw_value_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tw_value": _r(weighted_mean("value", "dur", alias="tw_value"), 6),
         },
     )
+
+
+# =====================================================================
+# Equi-join + date-key aggregation, group-window shares (J8, J10)
+# =====================================================================
+
+@query(
+    "purchase_day_click_value",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d, round(sum(value), 6) AS click_val
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, date_trunc('day', ts) AS d, value
+      FROM events WHERE event_type = 'purchase' AND value > 1)
+    SELECT p.user_id, round(sum(p.value * daily.click_val), 4) AS cross_value,
+           count(*)::BIGINT AS n
+    FROM p JOIN daily ON p.user_id = daily.user_id AND p.d = daily.d
+    GROUP BY p.user_id
+    """,
+)
+def purchase_day_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: equi-join on (entity, exact date) + filtered product-sum — the
+    dividend-amount pattern (crsp.py:259-281 get_divamt) on the events
+    stream: purchases x same-day click value per user."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(_r(F.sum("value"), 6).alias("click_val"))
+    )
+    p = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 1)).select(
+        "user_id", F.date_trunc("day", "ts").alias("d"), "value"
+    )
+    return (
+        p.join(daily, ["user_id", "d"])
+        .groupBy("user_id")
+        .agg(
+            _r(F.sum(F.col("value") * F.col("click_val")), 4).alias("cross_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "window_group_share",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / sum(l_extendedprice)
+                 OVER (PARTITION BY l_suppkey), 6) AS supp_share
+    FROM lineitem
+    """,
+)
+def window_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: attach a group total per row with a window sum instead of
+    aggregate-then-rejoin (crsp.py:181-188 cap-by-permco)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6).alias(
+            "supp_share"
+        ),
+    )
+
+
+# =====================================================================
+# Delisting-return merge, monthly rollup, turnover (J11+A3, A14, A16)
+# =====================================================================
+
+@query(
+    "delist_adjusted_compound",
+    """
+    WITH base AS (
+      SELECT l_suppkey, product(1 + l_discount) - 1 AS ret
+      FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_suppkey),
+    dl AS (
+      SELECT l_suppkey, product(1 + l_discount) - 1 AS dlret
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity > 49
+      GROUP BY l_suppkey)
+    SELECT coalesce(base.l_suppkey, dl.l_suppkey) AS l_suppkey,
+           round((1 + coalesce(base.ret, 0)) *
+                 (1 + CASE WHEN dl.dlret IS NULL
+                            AND coalesce(base.l_suppkey, dl.l_suppkey) % 7 IN (0, 1)
+                           THEN -0.3 ELSE coalesce(dl.dlret, 0) END) - 1,
+                 6) AS adj_ret
+    FROM base FULL OUTER JOIN dl ON base.l_suppkey = dl.l_suppkey
+    """,
+)
+def delist_adjusted_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11+A3: outer-join two compounded series and combine
+    (1+r)(1+dl)-1 with the code-conditional -0.3 default for missing
+    delist returns (crsp.py:283-323, 350-357)."""
+    from financial_data_science_spark.operators.compounding import compounded
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_suppkey")
+        .agg(compounded("l_discount", alias="ret"))
+    )
+    dl = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") > 49)
+        )
+        .groupBy("l_suppkey")
+        .agg(compounded("l_discount", alias="dlret"))
+    )
+    j = base.join(dl, "l_suppkey", "outer")
+    dl_eff = F.when(
+        F.col("dlret").isNull() & (F.col("l_suppkey") % 7).isin(0, 1),
+        F.lit(-0.3),
+    ).otherwise(F.coalesce("dlret", F.lit(0.0)))
+    return j.select(
+        "l_suppkey",
+        _r(
+            (1 + F.coalesce("ret", F.lit(0.0))) * (1 + dl_eff) - 1, 6
+        ).alias("adj_ret"),
+    )
+
+
+@query(
+    "monthly_rollup",
+    """
+    SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+           round(product(1 + l_discount) - 1, 6) AS mret,
+           round(arg_max(l_extendedprice,
+                         epoch(l_shipdate)::BIGINT * 100000000
+                         + l_orderkey * 10 + l_linenumber), 2) AS last_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: monthly-from-daily rollup — compounded return + last price per
+    entity-month in one hash aggregate (real_time.py:200-208), last-row
+    selection via max_by on a composite order key."""
+    from financial_data_science_spark.operators.compounding import compounded
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sortkey = (
+        F.unix_timestamp("l_shipdate") * F.lit(100000000)
+        + F.col("l_orderkey") * 10
+        + F.col("l_linenumber")
+    )
+    return li.groupBy(
+        "l_suppkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        _r(compounded("l_discount", alias="mret"), 6).alias("mret"),
+        _r(F.max_by("l_extendedprice", sortkey), 2).alias("last_price"),
+    )
+
+
+@query(
+    "holdings_turnover",
+    """
+    WITH h AS (
+      SELECT date_trunc('month', l_shipdate) AS month, l_suppkey,
+             sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT month, l_suppkey,
+             qty / sum(qty) OVER (PARTITION BY month) AS wgt
+      FROM h),
+    d AS (
+      SELECT month, l_suppkey,
+             abs(wgt - coalesce(lag(wgt) OVER (PARTITION BY l_suppkey
+                                               ORDER BY month), 0)) AS delta
+      FROM w)
+    SELECT month, round(sum(delta), 6) AS turnover,
+           count(*)::BIGINT AS n_names
+    FROM d GROUP BY month
+    """,
+)
+def holdings_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: per-rebalance turnover from holding-weight deltas
+    (backtest.py:156-169) — weights via a month-partition window, deltas
+    via lag over each name's rebalance sequence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month"), "l_suppkey"
+    ).agg(F.sum("l_quantity").alias("qty"))
+    wm = Window.partitionBy("month")
+    ws = Window.partitionBy("l_suppkey").orderBy("month")
+    w = h.withColumn("wgt", F.col("qty") / F.sum("qty").over(wm))
+    d = w.withColumn(
+        "delta", F.abs(F.col("wgt") - F.coalesce(F.lag("wgt").over(ws), F.lit(0.0)))
+    )
+    return d.groupBy("month").agg(
+        _r(F.sum("delta"), 6).alias("turnover"),
+        F.count(F.lit(1)).alias("n_names"),
+    )
+
+
+# =====================================================================
+# Fama-MacBeth, transform chains, windows (A9, W3, W5, W6, W9)
+# =====================================================================
+
+@query(
+    "fama_macbeth_premium",
+    """
+    WITH cs AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             regr_slope(l_extendedprice, l_quantity) AS slope
+      FROM lineitem GROUP BY 1)
+    SELECT round(avg(slope), 6) AS premium_mean,
+           round(stddev_samp(slope), 6) AS premium_std,
+           count(*)::BIGINT AS n_periods,
+           round(stddev_samp(slope) / sqrt(count(*)), 6) AS premium_sem
+    FROM cs
+    """,
+)
+def fama_macbeth_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: Fama-MacBeth — per-period cross-sectional OLS slope via one
+    normal-equation hash aggregate, then time-series moments of the
+    premia (riskpremium.py:42-82); no per-date loop, two shuffles total."""
+    from financial_data_science_spark.functions.stats import group_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = group_ols(
+        li.withColumn("month", F.date_trunc("month", "l_shipdate")),
+        keys="month",
+        y="l_extendedprice",
+        x="l_quantity",
+    )
+    return cs.agg(
+        _r(F.avg("slope"), 6).alias("premium_mean"),
+        _r(F.stddev_samp("slope"), 6).alias("premium_std"),
+        F.count(F.lit(1)).alias("n_periods"),
+        _r(F.stddev_samp("slope") / F.sqrt(F.count(F.lit(1))), 6).alias(
+            "premium_sem"
+        ),
+    )
+
+
+@query(
+    "tcode_transforms",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER w, 6) AS d1,
+           round(ln(value) - ln(lag(value) OVER w), 6) AS dlog,
+           round((value / lag(value) OVER w - 1)
+                 - (lag(value) OVER w / lag(value, 2) OVER w - 1), 6) AS d2pct
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def tcode_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: FRED-style tcode transform chains — first difference (tcode 2),
+    log difference (5), second difference of percent change (7) — as lag
+    windows over each entity's series (alfred.py:205-242)."""
+    from financial_data_science_spark.sources.vintages import apply_tcode
+
+    ev = load_table(spark, sf_dir, "events")
+    out = apply_tcode(ev, 2, value_col="value", order=["ts", "event_id"],
+                      keys="user_id", out="d1")
+    out = apply_tcode(out, 5, value_col="value", order=["ts", "event_id"],
+                      keys="user_id", out="dlog")
+    out = apply_tcode(out, 7, value_col="value", order=["ts", "event_id"],
+                      keys="user_id", out="d2pct")
+    return out.select(
+        "event_id", _r("d1").alias("d1"), _r("dlog").alias("dlog"),
+        _r("d2pct").alias("d2pct")
+    )
+
+
+@query(
+    "split_back_adjust",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(coalesce(sum(ln(1 + l_tax)) OVER (
+                    PARTITION BY l_suppkey
+                    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+                 6) AS log_factor
+    FROM lineitem
+    """,
+)
+def split_back_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: reversed exclusive cumulative product — the split back-adjustment
+    factor over all LATER rows per entity (real_time.py:71-80); compared in
+    log space because the raw product spans ~1e10 and 6dp rounding is only
+    meaningful at unit scale."""
+    from financial_data_science_spark.operators.windows import reverse_cumprod
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "factor", 1 + F.col("l_tax")
+    )
+    out = reverse_cumprod(
+        li, "factor", order=["l_shipdate", "l_orderkey", "l_linenumber"],
+        keys="l_suppkey", out="cumfactor",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", _r(F.log("cumfactor"), 6).alias("log_factor")
+    )
+
+
+@query(
+    "seq_in_group",
+    """
+    SELECT event_id,
+           (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - 1)::BIGINT AS seq
+    FROM events
+    """,
+)
+def seq_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: 0-based per-entity sequence number (real_time.py:337-338
+    groupby.cumcount)."""
+    from financial_data_science_spark.operators.windows import cumcount
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumcount(ev, keys="user_id", order=["ts", "event_id"]).select(
+        "event_id", F.col("seq").cast("long").alias("seq")
+    )
+
+
+@query(
+    "drop_unchanged_rows",
+    """
+    WITH t AS (
+      SELECT event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT event_id FROM t
+    WHERE prev_type IS NULL OR prev_type != event_type
+    """,
+)
+def drop_unchanged_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: change-only compression — keep rows whose watched columns differ
+    from the previous row per entity (taq.py:379 quote no-change drop)."""
+    from financial_data_science_spark.operators.windows import drop_unchanged
+
+    ev = load_table(spark, sf_dir, "events")
+    return drop_unchanged(
+        ev, watch=["event_type"], order=["ts", "event_id"], keys="user_id"
+    ).select("event_id")
+
+
+# =====================================================================
+# Pivot round-trip, trade cleaning, quote alignment (W11+W12, P7, P8+W8)
+# =====================================================================
+
+@query(
+    "unpivot_flag_revenue",
+    """
+    SELECT l_suppkey, l_returnflag, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def unpivot_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11+W12 round trip: long -> pivot wide (one distinct-pivot shuffle)
+    -> melt back long (sql.py:285-342 pivot; eventstudy.py:138-144 melt).
+    The unpivot of the pivot must reproduce the plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_r(F.sum("l_extendedprice"), 2))
+    )
+    long = wide.unpivot(
+        ids=["l_suppkey"], values=["A", "N", "R"],
+        variableColumnName="l_returnflag", valueColumnName="revenue",
+    )
+    return long.filter(F.col("revenue").isNotNull())
+
+
+@query(
+    "clean_trades_stats",
+    """
+    SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS total,
+           round(avg(value), 6) AS mean_value
+    FROM events
+    WHERE value > 0.05
+      AND NOT regexp_matches(event_type, '^[es]')
+      AND (extract(hour FROM ts) * 60 + extract(minute FROM ts)) > 570
+      AND (extract(hour FROM ts) * 60 + extract(minute FROM ts)) <= 960
+    GROUP BY user_id
+    """,
+)
+def clean_trades_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: conjunctive trade-cleaning predicate — positive value, excluded
+    condition-character class, time-of-day within (open, close]
+    (taq.py:293-340) — then per-entity summary stats."""
+    ev = load_table(spark, sf_dir, "events")
+    tod = F.hour("ts") * 60 + F.minute("ts")
+    cleaned = ev.filter(
+        (F.col("value") > 0.05)
+        & ~F.col("event_type").rlike("^[es]")
+        & (tod > 570)
+        & (tod <= 960)
+    )
+    return cleaned.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("value"), 2).alias("total"),
+        _r(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+@query(
+    "prevailing_click_at_purchase",
+    """
+    WITH q AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT t.event_id,
+           round(q.value, 6) AS prev_mid,
+           round(f.value, 6) AS fwd_mid
+    FROM t
+    ASOF LEFT JOIN q ON t.user_id = q.user_id AND q.ts < t.ts
+    ASOF LEFT JOIN (SELECT * FROM q) f
+      ON t.user_id = f.user_id AND f.ts <= t.ts + INTERVAL 300 SECOND
+    """,
+)
+def prevailing_click_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+W8: trade-quote alignment — prevailing quote strictly before each
+    trade and prevailing quote at trade time + 5 minutes (taq.py:383-414
+    align_trades), via the event-time as-of union-ffill operator."""
+    from financial_data_science_spark.operators.alignment import align_trades
+
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("time")
+    )
+    quotes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("time"), F.col("value").alias("bid"),
+        F.col("value").alias("ask"),
+    )
+    out = align_trades(
+        trades, quotes, symbol_col="user_id", trade_ts="time",
+        quote_ts="time", bid="bid", ask="ask", horizon_seconds=300.0,
+    )
+    return out.select(
+        "event_id", _r("prev_mid").alias("prev_mid"), _r("fwd_mid").alias("fwd_mid")
+    )
+
+
+# =====================================================================
+# Set ops, ANN bucketing, event-study CAR (§2.7, similarity, A10+W4)
+# =====================================================================
+
+@query(
+    "lapsed_supplier_parts",
+    """
+    SELECT l_suppkey, l_partkey
+    FROM lineitem WHERE year(l_shipdate) = 1995
+    EXCEPT
+    SELECT l_suppkey, l_partkey
+    FROM lineitem WHERE year(l_shipdate) = 1996
+    """,
+)
+def lapsed_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set difference: supplier-part relationships active in 1995 that
+    lapsed in 1996 (busday.py:109-119 set-minus idiom) — EXCEPT DISTINCT,
+    one shuffle on the pair key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y95 = li.filter(F.year("l_shipdate") == 1995).select("l_suppkey", "l_partkey")
+    y96 = li.filter(F.year("l_shipdate") == 1996).select("l_suppkey", "l_partkey")
+    return y95.subtract(y96)
+
+
+@query("cosine_ann_bucketed")  # no SQL oracle: hash-family specific buckets
+def cosine_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing, then exact cosine
+    only within buckets — candidates shrink by ~2^planes vs brute force.
+    Recall vs the exact top-k is property-tested; bucket ids are
+    hash-family specific so the driver check is rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.withColumn(
+        "bucket", SIM.hyperplane_bucket(F.col("embedding"), n_planes=6)
+    )
+    qs = b.filter(F.col("vec_id") < 20)
+    cand = (
+        qs.alias("q")
+        .join(b.alias("c"), "bucket")
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            SIM.cosine(F.col("q.embedding"), F.col("c.embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", _r("score").alias("score"))
+    )
+
+
+@query(
+    "car_by_relative_day",
+    """
+    WITH panel AS (
+      SELECT l_suppkey, l_shipdate AS d, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY l_suppkey, l_shipdate),
+    cal AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS day_num
+      FROM (SELECT DISTINCT l_shipdate AS d FROM lineitem)),
+    anchors AS (SELECT l_suppkey, d AS anchor_d FROM panel WHERE qty > 90),
+    rel AS (SELECT a.l_suppkey, a.anchor_d, c.day_num + r.rel AS num2, r.rel
+            FROM anchors a JOIN cal c ON a.anchor_d = c.d
+            CROSS JOIN (SELECT unnest(range(-2, 3)) AS rel) r),
+    gathered AS (
+      SELECT rel.l_suppkey, rel.anchor_d, rel.rel, coalesce(p.qty, 0) AS qty
+      FROM rel JOIN cal c2 ON rel.num2 = c2.day_num
+      LEFT JOIN panel p ON p.l_suppkey = rel.l_suppkey AND p.d = c2.d),
+    car AS (
+      SELECT rel, sum(qty) OVER (PARTITION BY l_suppkey, anchor_d
+                                 ORDER BY rel ROWS UNBOUNDED PRECEDING) AS cum
+      FROM gathered)
+    SELECT rel, round(avg(cum), 6) AS mean_car, count(*)::BIGINT AS n_events
+    FROM car GROUP BY rel
+    """,
+)
+def car_by_relative_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+W4: event-study CAR — gather the event window (J4), running-sum
+    per event over relative days, then the cross-event portfolio mean per
+    relative day (eventstudy.py:119-124, 228-262)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.groupBy("l_suppkey", F.col("l_shipdate").alias("d")).agg(
+        _r(F.sum("l_quantity"), 2).alias("qty")
+    )
+    cal = TradingCalendar.from_dates(li.select(F.col("l_shipdate").alias("date")))
+    anchors = panel.filter(F.col("qty") > 90).select(
+        "l_suppkey", F.col("d").alias("anchor_d")
+    )
+    gathered = event_window(
+        anchors,
+        panel.withColumnRenamed("d", "fact_d"),
+        by="l_suppkey",
+        event_date="anchor_d",
+        fact_date="fact_d",
+        values=["qty"],
+        left=-2,
+        right=2,
+        calendar=cal.dim,
+    ).withColumn("qty", F.coalesce("qty", F.lit(0.0)))
+    wcar = (
+        Window.partitionBy("l_suppkey", "anchor_d")
+        .orderBy("rel")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    car = gathered.withColumn("cum", F.sum("qty").over(wcar))
+    return car.groupBy(F.col("rel").cast("long").alias("rel")).agg(
+        _r(F.avg("cum"), 6).alias("mean_car"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
