@@ -4,7 +4,9 @@ Extends the reference's unstructured/text layer (unstructured/vocab.py:29-114
 tokenization; unstructured/edgar.py:246-319 text cleaning) with the
 operations a training-data pipeline needs: token counting, quality scoring,
 language ID, shingling, fingerprinting.  All are JVM-side column expressions
-(no Python UDFs) so they stay inside whole-stage codegen on a 100 TB scan.
+(no Python UDFs) so a 100 TB scan never pays the Python-row-eval tax; the
+higher-order lambda expressions run JVM-side (outside whole-stage codegen,
+which excludes HOFs, but still vectorized columnar eval).
 """
 
 from __future__ import annotations

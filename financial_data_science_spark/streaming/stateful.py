@@ -1,0 +1,104 @@
+"""Custom stateful streaming operators (SURVEY §2.9).
+
+The reference carries quote state between ticks inside a per-symbol pandas
+loop (readers/taq.py:460-474: forward-duration weights need the *next*
+tick's timestamp before a row can contribute to a time-weighted bin).  In
+Structured Streaming that per-key carried state is exactly
+``applyInPandasWithState``: state lives in the state store keyed by
+symbol, survives across micro-batches, and scales horizontally because
+keys are hash-partitioned across executors.
+
+``close_ticks`` is the streaming form: each arriving tick CLOSES the
+previous tick of its key, emitting (key, ts, value, dur) where ``dur`` is
+the forward duration — after which a plain windowed aggregation computes
+time-weighted bins.  Batch parity: ``lead(ts) over (partition key order
+ts) - ts`` (the tw_value_5min catalog query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CLOSED_TICK_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("dur_us", LongType()),
+    ]
+)
+
+# state: the still-open last tick of the key
+_STATE_SCHEMA = StructType(
+    [StructField("ts_us", LongType()), StructField("value", DoubleType())]
+)
+
+
+def _close_ticks_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+    if state.exists:
+        last_ts, last_val = state.get
+    else:
+        last_ts, last_val = None, None
+    out_ts, out_val, out_dur = [], [], []
+    for ts, val in zip(rows["ts_us"], rows["value"]):
+        if last_ts is not None:
+            out_ts.append(last_ts)
+            out_val.append(last_val)
+            out_dur.append(int(ts) - int(last_ts))
+        last_ts, last_val = int(ts), float(val)
+    state.update((last_ts, last_val))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]] * len(out_ts),
+            "ts_us": out_ts,
+            "value": out_val,
+            "dur_us": out_dur,
+        }
+    )
+
+
+def close_ticks(
+    ticks: DataFrame, key_col: str = "key", ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming forward-duration closure: emit each tick once its
+    successor arrives, with the forward duration attached.
+
+    ``ticks`` is a streaming DataFrame with (key string, ts_us long,
+    value double).  State per key = the still-open last tick; memory is
+    O(keys), not O(ticks).  Late rows *within* a micro-batch are handled
+    by the per-batch sort; cross-batch late rows are the watermark's job
+    upstream (taq.py sorts on (Time, Sequence_Number) for the same
+    reason).
+    """
+    from pyspark.sql import functions as F
+
+    src = ticks.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _close_ticks_fn,
+        outputStructType=CLOSED_TICK_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,132 @@
+"""Physical-plan assertions: the properties that make the operators viable
+at 100 TB — predicate pushdown to the parquet scan, column pruning,
+broadcast of dimension sides, and whole-stage codegen — checked on real
+explain output so a regression that silently de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.operators import (
+    asof_join,
+    compound_returns,
+    event_window,
+    fractile_split,
+)
+from financial_data_science_spark.plans.calendar import TradingCalendar
+from financial_data_science_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_suppkey") == 7).select("l_suppkey", "l_extendedprice")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_suppkey), EqualTo(l_suppkey,7)" in plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    plan = _formatted(q)
+    # ReadSchema must contain only the two referenced columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_suppkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_compound_returns_pushes_date_range(spark):
+    # date_col is a raw parquet column here, so compound_returns' internal
+    # [beg, end] filter must reach the scan as PushedFilters
+    li = load_table(spark, SF, "lineitem")
+    q = compound_returns(
+        li, keys="l_suppkey", ret_col="l_discount", date_col="l_orderkey",
+        beg=100, end=5000,
+    )
+    plan = _formatted(q)
+    assert "GreaterThanOrEqual(l_orderkey,100)" in plan
+    assert "LessThanOrEqual(l_orderkey,5000)" in plan
+    # and the scan must not read unreferenced columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read
+
+
+def test_fractile_breakpoints_are_broadcast(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = fractile_split(li.select("l_orderkey", "l_extendedprice"), "l_extendedprice")
+    plan = _plan(q)
+    assert "Broadcast" in plan  # one-row breakpoints frame never shuffles the fact side
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_window_broadcasts_calendar(spark):
+    li = load_table(spark, SF, "lineitem")
+    panel = li.groupBy("l_suppkey", F.col("l_shipdate").alias("fact_d")).agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    cal = TradingCalendar.from_dates(li.select(F.col("l_shipdate").alias("date")))
+    anchors = panel.filter(F.col("qty") > 90).select(
+        "l_suppkey", F.col("fact_d").alias("anchor_d")
+    )
+    q = event_window(
+        anchors, panel, by="l_suppkey", event_date="anchor_d",
+        fact_date="fact_d", values=["qty"], left=-1, right=1, calendar=cal.dim,
+    )
+    assert "Broadcast" in _plan(q)
+
+
+def test_asof_union_strategy_has_no_join(spark):
+    ev = load_table(spark, SF, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("qts"), F.col("value").alias("qval")
+    )
+    q = asof_join(left, right, by="user_id", left_on="ts", right_on="qts",
+                  strategy="union")
+    plan = _plan(q)
+    # union-ffill as-of: one shuffle on the by-key, zero joins
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_text_pipeline_is_jvm_side(spark):
+    """Text functions must never fall back to Python row evaluation — on a
+    100 TB scan, a BatchEvalPython node is a 10-100x tax.  (Higher-order
+    lambda expressions run JVM-side but outside whole-stage codegen;
+    that's expected and fine.)"""
+    docs = load_table(spark, SF, "documents")
+    from financial_data_science_spark.functions.text import n_tokens, quality_features
+
+    feats = quality_features("text")
+    q = docs.select(
+        "doc_id", n_tokens("text").alias("nt"), *[v.alias(k) for k, v in feats.items()]
+    )
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wholestage_codegen_covers_agg_pipeline(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = (
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    q.collect()  # AQE finalizes the physical plan only on execution
+    # '*(n)' prefixes mark whole-stage-codegen'd spans in the plan string;
+    # scan->filter->partial-agg and final-agg must both be inside one
+    assert "*(1)" in _plan(q) and "*(2)" in _plan(q)

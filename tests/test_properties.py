@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY §5): algebraic laws the operators must obey
+on arbitrary inputs, via hypothesis-generated panels."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.operators import asof_join, winsorize
+from financial_data_science_spark.operators.compounding import compounded
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rets = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-0.5, max_value=0.5, width=32)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(r=rets, split=st.integers(0, 23))
+@SLOW
+def test_compounding_associativity(spark, r, split):
+    """compound(a..b) then compound over the two halves' results equals
+    compound(a..c) — the law that lets interval compounding distribute."""
+    split = min(split, len(r) - 1)
+    pdf = pd.DataFrame({"seg": [0] * split + [1] * (len(r) - split), "ret": r})
+    pdf["ret"] = pdf["ret"].astype("float64")
+    df = spark.createDataFrame(pdf.assign(k=1), "seg int, ret double, k int")
+    whole = df.groupBy("k").agg(compounded("ret", "ret")).collect()[0]["ret"]
+    parts = (
+        df.groupBy("k", "seg").agg(compounded("ret", "ret"))
+        .groupBy("k").agg(compounded("ret", "ret"))
+        .collect()[0]["ret"]
+    )
+    if whole is None:
+        assert parts is None
+    else:
+        assert parts == pytest.approx(whole, rel=1e-9, abs=1e-12)
+
+
+events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+)
+
+
+@given(left=events, right=events)
+@SLOW
+def test_asof_join_is_left_total_and_matches_pandas(spark, left, right):
+    """as-of join returns exactly the left rows, and the matched value
+    equals pandas.merge_asof on the same data."""
+    lp = pd.DataFrame(left, columns=["k", "t"]).drop_duplicates(["k", "t"])
+    rp = pd.DataFrame(right, columns=["k", "rt"]).drop_duplicates(["k", "rt"])
+    rp["v"] = rp["rt"] * 10 + rp["k"]
+    ldf = spark.createDataFrame(lp, "k long, t long")
+    rdf = spark.createDataFrame(rp, "k long, rt long, v long")
+    out = asof_join(ldf, rdf, by="k", left_on="t", right_on="rt").toPandas()
+    assert len(out) == len(lp)
+    oracle = pd.merge_asof(
+        lp.sort_values("t", kind="stable"),
+        rp.sort_values("rt", kind="stable"),
+        left_on="t", right_on="rt", by="k",
+    )
+    got = out.sort_values(["k", "t"]).reset_index(drop=True)
+    want = oracle.sort_values(["k", "t"]).reset_index(drop=True)
+    gv = got["v"].fillna(-1).to_numpy()
+    wv = want["v"].fillna(-1).to_numpy()
+    assert (gv == wv).all()
+
+
+vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, width=32), min_size=5, max_size=60
+)
+
+
+@given(v=vals)
+@SLOW
+def test_winsorize_contract(spark, v):
+    """Winsorize clips to the numpy interpolated [2.5%, 97.5%] quantiles:
+    every output lies within the bounds, interior values pass through
+    untouched, and rank order is preserved (filters.py:145-157).  (NOT
+    idempotence — re-clipping moves interpolated quantiles inward.)"""
+    arr = np.asarray(v, dtype="float64")
+    pdf = pd.DataFrame({"i": range(len(v)), "x": arr})
+    df = spark.createDataFrame(pdf, "i long, x double")
+    out = winsorize(df, "x").toPandas().sort_values("i").reset_index(drop=True)
+    lo, hi = np.percentile(arr, [2.5, 97.5], method="linear")
+    got = out["x"].to_numpy()
+    eps = 1e-9 * max(1.0, float(np.abs(arr).max()))
+    assert (got >= lo - eps).all() and (got <= hi + eps).all()
+    interior = (arr > lo) & (arr < hi)
+    assert np.allclose(got[interior], arr[interior], rtol=0, atol=eps)
+    # order preservation: ranks of clipped data never invert
+    order = np.argsort(arr, kind="stable")
+    assert (np.diff(got[order]) >= -eps).all()

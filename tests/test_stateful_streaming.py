@@ -1,0 +1,93 @@
+"""applyInPandasWithState parity (SURVEY §2.9 row 2): quote state carried
+between ticks across micro-batches must reproduce the batch lead() oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from financial_data_science_spark.sources.testdata import load_table
+from financial_data_science_spark.streaming.stateful import close_ticks
+
+SF = "/root/testdata/sf0.001"
+
+TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_close_ticks_parity_across_batches(spark, tmp_path):
+    ticks = (
+        load_table(spark, SF, "events")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    pdf = ticks.toPandas().sort_values("ts_us").reset_index(drop=True)
+    # two time-ordered files => two micro-batches; state must bridge them
+    cut = len(pdf) // 2
+    d = str(tmp_path / "ticks")
+    os.makedirs(d)
+    f0, f1 = f"{d}/b0.parquet", f"{d}/b1.parquet"
+    spark.createDataFrame(pdf.iloc[:cut], TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f0)
+    spark.createDataFrame(pdf.iloc[cut:], TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f1)
+    now = 1_700_000_000
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{d}/*.parquet")
+    )
+    closed = close_ticks(stream)
+    q = (
+        closed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("closed_ticks")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM closed_ticks")
+        .toPandas()
+        .sort_values(["key", "ts_us"])
+        .reset_index(drop=True)
+    )
+
+    want = (
+        ticks.withColumn(
+            "dur_us",
+            F.lead("ts_us").over(Window.partitionBy("key").orderBy("ts_us"))
+            - F.col("ts_us"),
+        )
+        .filter(F.col("dur_us").isNotNull())
+        .toPandas()
+        .sort_values(["key", "ts_us"])
+        .reset_index(drop=True)
+    )
+    # every closed tick except each key's last-in-stream must appear
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got[["key", "ts_us", "value", "dur_us"]],
+        want[["key", "ts_us", "value", "dur_us"]],
+        check_dtype=False,
+    )
