@@ -1628,3 +1628,100 @@ def car_by_relative_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.avg("cum"), 6).alias("mean_car"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# =====================================================================
+# Vintage selection, IO-table regroup (S9/S10 + W1, A15/S11)
+# =====================================================================
+
+@query(
+    "vintage_latest_asof",
+    """
+    WITH obs AS (
+      SELECT event_type AS series_id, date_trunc('day', ts) AS date,
+             ts AS realtime, value
+      FROM events)
+    SELECT series_id, date,
+           round(arg_max(value, realtime), 6) AS latest,
+           round(arg_max(value, realtime)
+                 FILTER (WHERE realtime <= TIMESTAMP '2024-03-01'), 6) AS asof_mar
+    FROM obs GROUP BY 1, 2
+    """,
+)
+def vintage_latest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10+W1: ALFRED vintage selection — latest release per (series,
+    observation date) and the release prevailing as of a vintage cutoff
+    (alfred.py:334-406 construct_series), as max_by aggregates in one
+    pass instead of per-vintage dedup loops."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("day", "ts").alias("date"),
+        F.col("ts").alias("realtime"),
+        "value",
+    )
+    cutoff = F.lit("2024-03-01").cast("timestamp")
+    return obs.groupBy("series_id", "date").agg(
+        _r(F.max_by("value", "realtime"), 6).alias("latest"),
+        _r(
+            F.max_by(
+                F.when(F.col("realtime") <= cutoff, F.col("value")),
+                F.when(F.col("realtime") <= cutoff, F.col("realtime")),
+            ),
+            6,
+        ).alias("asof_mar"),
+    )
+
+
+@query(
+    "io_regroup",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS rowcode, c.c_nationkey AS colcode,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS datavalue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    m AS (SELECT n_nationkey AS code, n_regionkey AS sector FROM nation)
+    SELECT mr.sector AS rowcode_group, mc.sector AS colcode_group,
+           round(sum(datavalue), 2) AS datavalue
+    FROM rev JOIN m mr ON rev.rowcode = mr.code
+             JOIN m mc ON rev.colcode = mc.code
+    GROUP BY 1, 2
+    """,
+)
+def io_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/S11: BEA IO-Use regroup — collapse both code dimensions of a
+    (rowcode, colcode, value) table onto a coarser sector scheme via
+    broadcast maps and re-aggregate (bea.py:430-453); here supplier x
+    customer nation revenue collapsed to region x region."""
+    from financial_data_science_spark.sources.readers import regroup_codes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("rowcode"),
+            F.col("c_nationkey").alias("colcode"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "datavalue"
+            )
+        )
+    )
+    mapping = n.select(
+        F.col("n_nationkey").alias("code"), F.col("n_regionkey").alias("sector")
+    )
+    out = regroup_codes(rev, mapping, ["rowcode", "colcode"])
+    return out.select(
+        "rowcode_group", "colcode_group", _r("datavalue", 2).alias("datavalue")
+    )

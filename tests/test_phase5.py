@@ -193,3 +193,17 @@ def test_connected_components_dedup_clusters(spark):
     assert comp[1] == comp[2] == comp[3]
     assert comp[10] == comp[11] == comp[20]
     assert comp[1] != comp[10]
+
+
+def test_ff_scale_sentinels(spark):
+    from financial_data_science_spark.sources.readers import ff_scale
+
+    df = spark.createDataFrame(
+        [(1, -99.99), (2, -999.0), (3, 12.5), (4, 0.0)], "id int, v double"
+    )
+    got = {
+        r.id: r.s
+        for r in df.select("id", ff_scale("v").alias("s")).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[3] == 0.125 and got[4] == 0.0
