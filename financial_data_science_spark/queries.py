@@ -1725,3 +1725,139 @@ def io_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rowcode_group", "colcode_group", _r("datavalue", 2).alias("datavalue")
     )
+
+
+# =====================================================================
+# SQL front end, portfolio join, holdings smoothing (S5, J13, W10)
+# =====================================================================
+
+_SQL_FRONT_END = """
+    WITH rev AS (
+      SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, round(revenue, 2) AS revenue,
+           rank() OVER (ORDER BY revenue DESC, n_name) AS rnk
+    FROM rev
+"""
+
+
+@query("sql_front_end", _SQL_FRONT_END)
+def sql_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the generic-SQL entry point — the reference pipes raw SQL
+    strings to MySQL (sql.py:138-174 SQL.run); Spark's full ANSI front end
+    runs the IDENTICAL string the DuckDB oracle runs (CTE + 3-way join +
+    window rank), Catalyst planning included."""
+    from financial_data_science_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FRONT_END)
+
+
+@query(
+    "portfolio_monthly_returns",
+    """
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem),
+    intervals AS (
+      SELECT m - INTERVAL 1 DAY AS beg, m + INTERVAL 1 MONTH - INTERVAL 1 DAY AS "end"
+      FROM months),
+    daily AS (
+      SELECT l_suppkey AS permno, l_shipdate AS date, l_discount AS ret
+      FROM lineitem),
+    pret AS (
+      SELECT i.beg, i."end", d.permno, product(1 + d.ret) - 1 AS pret
+      FROM daily d JOIN intervals i ON d.date > i.beg AND d.date <= i."end"
+      GROUP BY 1, 2, 3),
+    hq AS (
+      SELECT date_trunc('month', l_shipdate) - INTERVAL 1 DAY AS rebaldate,
+             l_suppkey AS permno, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    holdings AS (
+      SELECT rebaldate, permno,
+             qty / sum(qty) OVER (PARTITION BY rebaldate) AS weight
+      FROM hq)
+    SELECT pret.beg, pret."end",
+           round(sum(h.weight * coalesce(pret.pret, 0)), 6) AS ret,
+           count(*)::BIGINT AS n_holdings
+    FROM holdings h JOIN pret ON h.rebaldate = pret.beg AND h.permno = pret.permno
+    GROUP BY 1, 2
+    """,
+)
+def portfolio_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13+A4: the loop-free backtest kernel — holdings (rebaldate, permno,
+    weight) x interval-compounded constituent returns -> weighted period
+    returns, one range join + two hash aggs (backtest.py:101-181,
+    backtesting.py:83-89) instead of a python loop over periods."""
+    from financial_data_science_spark.backtesting.backtest import portfolio_returns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.date_trunc("month", "l_shipdate")
+    months = li.select(m.alias("m")).distinct()
+    intervals = months.select(
+        (F.col("m") - F.expr("INTERVAL 1 DAY")).alias("beg"),
+        (F.col("m") + F.expr("INTERVAL 1 MONTH") - F.expr("INTERVAL 1 DAY")).alias(
+            "end"
+        ),
+    )
+    daily = li.select(
+        F.col("l_suppkey").alias("permno"),
+        F.col("l_shipdate").alias("date"),
+        F.col("l_discount").alias("ret"),
+    )
+    wmon = Window.partitionBy(m)
+    holdings = (
+        li.groupBy(
+            (m - F.expr("INTERVAL 1 DAY")).alias("rebaldate"),
+            F.col("l_suppkey").alias("permno"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumn(
+            "weight",
+            F.col("qty") / F.sum("qty").over(Window.partitionBy("rebaldate")),
+        )
+        .drop("qty")
+    )
+    out = portfolio_returns(holdings, daily, intervals)
+    return out.select(
+        "beg", "end", _r("ret").alias("ret"), F.col("n_holdings").cast("long").alias("n_holdings")
+    )
+
+
+@query(
+    "smoothed_holdings",
+    """
+    WITH h AS (
+      SELECT date_trunc('month', l_shipdate) AS rebaldate, l_suppkey AS permno,
+             sum(l_quantity) / sum(sum(l_quantity))
+               OVER (PARTITION BY date_trunc('month', l_shipdate)) AS weight
+      FROM lineitem GROUP BY 1, 2)
+    SELECT rebaldate, permno,
+           round(avg(weight) OVER (PARTITION BY permno ORDER BY rebaldate
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS weight
+    FROM h
+    """,
+)
+def smoothed_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: overlap smoothing — each name's weight averaged over its last
+    k=3 rebalances via a bounded rows window (backtest.py:140-149 queue
+    of holdings)."""
+    from financial_data_science_spark.backtesting.backtest import smooth_holdings
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.date_trunc("month", "l_shipdate")
+    holdings = (
+        li.groupBy(m.alias("rebaldate"), F.col("l_suppkey").alias("permno"))
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumn(
+            "weight",
+            F.col("qty") / F.sum("qty").over(Window.partitionBy("rebaldate")),
+        )
+        .drop("qty")
+    )
+    out = smooth_holdings(holdings, k=3)
+    return out.select("rebaldate", "permno", _r("weight").alias("weight"))
