@@ -1861,3 +1861,66 @@ def smoothed_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = smooth_holdings(holdings, k=3)
     return out.select("rebaldate", "permno", _r("weight").alias("weight"))
+
+
+@query(
+    "hac_mean_discount",
+    """
+    WITH d AS (
+      SELECT l_returnflag AS k, l_shipdate AS t, avg(l_discount) AS v
+      FROM lineitem GROUP BY 1, 2),
+    e AS (SELECT k, t, v, v - avg(v) OVER (PARTITION BY k) AS e FROM d),
+    l AS (
+      SELECT k, v, e,
+             lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+             lag(e, 3) OVER w AS e3
+      FROM e WINDOW w AS (PARTITION BY k ORDER BY t)),
+    a AS (
+      SELECT k, avg(v) AS mean, count(v) AS n,
+             sum(e * e) AS s0, sum(e * e1) AS s1,
+             sum(e * e2) AS s2, sum(e * e3) AS s3
+      FROM l GROUP BY k)
+    SELECT k AS l_returnflag, round(mean, 6) AS mean,
+           round(sqrt((s0 + 2 * (0.75 * coalesce(s1, 0) + 0.5 * coalesce(s2, 0)
+                                 + 0.25 * coalesce(s3, 0))) / n / n), 6) AS nw_se,
+           n::BIGINT AS n
+    FROM a
+    """,
+)
+def hac_mean_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Newey-West: HAC standard error of each flag's mean daily
+    discount, autocovariances from lag windows, all in Spark aggregates
+    (filters.py:99-135; backtest.py:223-282 t-stats)."""
+    from financial_data_science_spark.functions.econs import hac_mean_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("k"), F.col("l_shipdate").alias("t")
+    ).agg(F.avg("l_discount").alias("v"))
+    out = hac_mean_stats(d, "v", order="t", keys="k", lags=3)
+    return out.select(
+        F.col("k").alias("l_returnflag"),
+        _r("mean").alias("mean"),
+        _r("nw_se").alias("nw_se"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@query("adf_by_user")  # no SQL oracle: iterative numpy regression per group
+def adf_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 distributed unit-root testing: per-entity ADF tau via
+    grouped-map pandas UDF (econs.py:198-236); numpy parity is unit-tested
+    (tests/test_econs.py), driver check is rows-only."""
+    from financial_data_science_spark.functions.econs import adf_by_series
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        adf_by_series(
+            ev.select(
+                F.col("user_id").alias("series_id"),
+                F.col("ts").alias("date"),
+                "value",
+            )
+        )
+        .withColumn("tau", _r("tau", 4))
+    )

@@ -1,0 +1,169 @@
+"""Econometrics kernels vs numpy oracles (recipes/econs.py, filters.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions.econs import (
+    adf_by_series,
+    adf_tau,
+    approximate_factors,
+    covariance_matrix,
+    cross_correlations,
+    fillna_em,
+    hac_mean_stats,
+    integration_order,
+    least_squares_by_group,
+    min_variance_weights,
+    train_test_split,
+)
+
+
+def test_covariance_and_min_variance(spark):
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 3)) @ np.array(
+        [[1.0, 0.3, 0.0], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]
+    )
+    pdf = pd.DataFrame(X, columns=["a", "b", "c"])
+    df = spark.createDataFrame(pdf)
+    got = covariance_matrix(df, ["a", "b", "c"])
+    want = np.cov(X, rowvar=False, ddof=1)
+    assert np.allclose(got, want, atol=1e-10)
+    w = min_variance_weights(got)
+    assert w.sum() == pytest.approx(1.0)
+    # any perturbation increases variance
+    base = w @ got @ w
+    for i in range(3):
+        p = w.copy()
+        p[i] += 0.01
+        p /= p.sum()
+        assert p @ got @ p >= base - 1e-12
+
+
+def test_approximate_factors_recovers_rank(spark):
+    rng = np.random.default_rng(3)
+    t, n, k = 120, 20, 2
+    f = rng.normal(size=(t, k))
+    lam = rng.normal(size=(k, n))
+    X = f @ lam
+    long = pd.DataFrame(
+        {
+            "date": np.repeat(np.arange(t), n),
+            "series_id": np.tile([f"s{i}" for i in range(n)], t),
+            "value": X.ravel(),
+        }
+    )
+    df = spark.createDataFrame(long)
+    fac = approximate_factors(df, k=k, standardize=False)
+    # factor space must span the true factors: R2 of regression ~ 1
+    F_hat = fac[["f1", "f2"]].to_numpy()
+    for j in range(k):
+        b, *_ = np.linalg.lstsq(F_hat, f[:, j], rcond=None)
+        resid = f[:, j] - F_hat @ b
+        assert resid.var() / f[:, j].var() < 1e-10
+
+
+def test_fillna_em_rank1(spark):
+    rng = np.random.default_rng(5)
+    t, n = 60, 8
+    X = np.outer(rng.normal(size=t), rng.normal(size=n))
+    mask = rng.random((t, n)) < 0.1
+    Xm = X.copy()
+    Xm[mask] = np.nan
+    long = pd.DataFrame(
+        {
+            "date": np.repeat(np.arange(t), n),
+            "series_id": np.tile([f"s{i}" for i in range(n)], t),
+            "value": Xm.ravel(),
+        }
+    )
+    df = spark.createDataFrame(long)
+    done = fillna_em(df, k=1, max_iter=200, tol=1e-12)
+    got = done[[f"s{i}" for i in range(n)]].to_numpy()
+    assert np.allclose(got[mask], X[mask], atol=1e-4)
+
+
+def test_adf_distinguishes_unit_root(spark):
+    rng = np.random.default_rng(11)
+    noise = rng.normal(size=500)
+    walk = np.cumsum(rng.normal(size=500))
+    assert adf_tau(noise) < -3.43  # stationary: strongly rejects
+    assert adf_tau(walk) > -2.86  # unit root: fails to reject at 5%
+    assert integration_order(noise) == 0
+    assert integration_order(walk) == 1
+    long = pd.DataFrame(
+        {
+            "series_id": ["n"] * 500 + ["w"] * 500,
+            "date": list(range(500)) * 2,
+            "value": np.concatenate([noise, walk]),
+        }
+    )
+    out = {
+        r.series_id: r.tau
+        for r in adf_by_series(spark.createDataFrame(long)).collect()
+    }
+    assert out["n"] == pytest.approx(adf_tau(noise), abs=1e-9)
+    assert out["w"] == pytest.approx(adf_tau(walk), abs=1e-9)
+
+
+def test_hac_mean_matches_numpy(spark):
+    rng = np.random.default_rng(13)
+    # AR(1) series: HAC variance must exceed naive iid variance
+    e = rng.normal(size=800)
+    x = np.zeros(800)
+    for i in range(1, 800):
+        x[i] = 0.6 * x[i - 1] + e[i]
+    x = x + 0.3
+    pdf = pd.DataFrame({"t": range(800), "v": x, "k": 1})
+    got = hac_mean_stats(
+        spark.createDataFrame(pdf), "v", order="t", keys="k", lags=4
+    ).collect()[0]
+    d = x - x.mean()
+    gam = [float((d[: 800 - l] * d[l:]).sum() / 800) for l in range(5)]
+    lrv = gam[0] + 2 * sum((1 - l / 5) * gam[l] for l in range(1, 5))
+    want_se = math.sqrt(lrv / 800)
+    assert got.mean == pytest.approx(x.mean(), abs=1e-12)
+    assert got.nw_se == pytest.approx(want_se, rel=1e-6)
+    naive_se = x.std(ddof=1) / math.sqrt(800)
+    assert got.nw_se > naive_se  # positive autocorr inflates the HAC se
+
+
+def test_least_squares_by_group(spark):
+    rng = np.random.default_rng(17)
+    rows = []
+    truth = {}
+    for g in ["a", "b"]:
+        X = rng.normal(size=(200, 2))
+        b = rng.normal(size=3)
+        y = b[0] + X @ b[1:] + rng.normal(scale=0.01, size=200)
+        truth[g] = b
+        for i in range(200):
+            rows.append((g, float(y[i]), float(X[i, 0]), float(X[i, 1])))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {
+        r.g: (r["b_const"], r["b_x1"], r["b_x2"])
+        for r in least_squares_by_group(df, "g", "y", ["x1", "x2"]).collect()
+    }
+    for g, b in truth.items():
+        assert np.allclose(out[g], b, atol=0.01)
+
+
+def test_cross_correlation_finds_lag(spark):
+    rng = np.random.default_rng(19)
+    a = rng.normal(size=300)
+    b = np.roll(a, 3)  # b lags a by 3
+    cc = cross_correlations(a, b, max_lag=10)
+    assert int(np.argmax(cc)) - 10 in (-3, 3)
+    assert cc.max() > 0.9
+
+
+def test_train_test_split_disjoint(spark):
+    df = spark.range(1000)
+    tr, te = train_test_split(df, 0.25, seed=1)
+    assert tr.count() + te.count() == 1000
+    assert tr.join(te, "id", "inner").count() == 0
