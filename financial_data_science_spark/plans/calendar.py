@@ -105,3 +105,67 @@ class TradingCalendar:
             .filter(F.col("beg").isNotNull())
             .select("beg", F.col("date").alias("end"))
         )
+
+    def _year_month_ends(self) -> DataFrame:
+        """Per (year, month): the last trading date — broadcast-sized."""
+        return self.dim.groupBy(
+            F.year("date").alias("__y__"), F.month("date").alias("__m__")
+        ).agg(F.max("date").alias("__end__"))
+
+    def attach_june_universe(
+        self, df: DataFrame, date_col: str, out: str = "june_universe"
+    ) -> DataFrame:
+        """Fama-French June universe-selection date for each row: the most
+        recent June-end trading day on or before the date
+        (busday.py:461-466 june_universe).  Two broadcast joins against the
+        per-year June-ends — the fact side never shuffles."""
+        junes = self._year_month_ends().filter(F.col("__m__") == 6)
+        this = F.broadcast(
+            junes.select(F.col("__y__"), F.col("__end__").alias("__june__"))
+        )
+        prev = F.broadcast(
+            junes.select((F.col("__y__") + 1).alias("__y__"),
+                         F.col("__end__").alias("__june_prev__"))
+        )
+        out_df = (
+            df.withColumn("__y__", F.year(date_col))
+            .join(this, "__y__", "left")
+            .join(prev, "__y__", "left")
+            .withColumn(
+                out,
+                F.when(
+                    F.col(date_col) >= F.col("__june__"), F.col("__june__")
+                ).otherwise(F.col("__june_prev__")),
+            )
+        )
+        return out_df.drop("__y__", "__june__", "__june_prev__")
+
+    def attach_december_fiscal(
+        self, df: DataFrame, date_col: str, out: str = "december_fiscal"
+    ) -> DataFrame:
+        """Fama-French December fiscal year-end for each row: last trading
+        day of year-1 when month >= 6, else of year-2 — the accounting-data
+        availability lag (busday.py:455-459 december_fiscal)."""
+        yr_ends = self.dim.groupBy(F.year("date").alias("__ey__")).agg(
+            F.max("date").alias("__yend__")
+        )
+        m1 = F.broadcast(
+            yr_ends.select((F.col("__ey__") + 1).alias("__y__"),
+                           F.col("__yend__").alias("__e1__"))
+        )
+        m2 = F.broadcast(
+            yr_ends.select((F.col("__ey__") + 2).alias("__y__"),
+                           F.col("__yend__").alias("__e2__"))
+        )
+        out_df = (
+            df.withColumn("__y__", F.year(date_col))
+            .join(m1, "__y__", "left")
+            .join(m2, "__y__", "left")
+            .withColumn(
+                out,
+                F.when(F.month(date_col) >= 6, F.col("__e1__")).otherwise(
+                    F.col("__e2__")
+                ),
+            )
+        )
+        return out_df.drop("__y__", "__e1__", "__e2__")

@@ -58,3 +58,33 @@ def test_week_and_quarter_flags(spark, calendar_dates):
     assert (per_week == 1).all()
     q_ends = dim[dim.is_quarter_end]["date"].tolist()
     assert 20220331 in q_ends and 20220930 in q_ends
+
+
+def test_june_universe_and_december_fiscal(spark):
+    from financial_data_science_spark.sources.testdata import load_table
+    from financial_data_science_spark.plans.calendar import TradingCalendar
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cal = TradingCalendar.from_dates(li.select(F.col("l_shipdate").alias("date")))
+    dim = cal.dim.toPandas()
+    dim["y"] = dim["date"].dt.year
+    dim["m"] = dim["date"].dt.month
+    june_end = dim[dim.m == 6].groupby("y")["date"].max().to_dict()
+    year_end = dim.groupby("y")["date"].max().to_dict()
+
+    probe = li.select(F.col("l_shipdate").alias("d")).distinct()
+    got = (
+        cal.attach_december_fiscal(
+            cal.attach_june_universe(probe, "d"), "d"
+        )
+        .toPandas()
+        .sort_values("d")
+    )
+    for _, r in got.iterrows():
+        y, m = r.d.year, r.d.month
+        want_june = june_end[y] if (y in june_end and r.d >= june_end[y]) else june_end.get(y - 1)
+        want_dec = year_end.get(y - 1) if m >= 6 else year_end.get(y - 2)
+        if want_june is not None:
+            assert r.june_universe == want_june, (r.d, r.june_universe, want_june)
+        if want_dec is not None:
+            assert r.december_fiscal == want_dec, (r.d, r.december_fiscal, want_dec)
