@@ -738,7 +738,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups); engine-specific hash family => rows-only driver check.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return SIM.minhash_candidates(docs).filter(F.col("est_jaccard") >= 0.4)
+    return SIM.minhash_candidates(docs, num_hashes=64, bands=32).filter(
+        F.col("est_jaccard") >= 0.4
+    )
 
 
 @query("simhash_near_dups")  # no SQL oracle: hash-family specific
