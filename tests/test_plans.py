@@ -130,3 +130,61 @@ def test_wholestage_codegen_covers_agg_pipeline(spark):
     # '*(n)' prefixes mark whole-stage-codegen'd spans in the plan string;
     # scan->filter->partial-agg and final-agg must both be inside one
     assert "*(1)" in _plan(q) and "*(2)" in _plan(q)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from financial_data_science_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, SF, "lineitem")
+    plain = {
+        r.l_suppkey: (r.s, r.n)
+        for r in li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.l_suppkey: (r.s, r.n)
+        for r in salted_aggregate(
+            li,
+            "l_suppkey",
+            partial_aggs={"s": F.sum("l_quantity"), "n": F.count(F.lit(1))},
+            merge_aggs={"s": F.sum("s"), "n": F.sum("n")},
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k][0] - salted[k][0]) < 1e-6 and plain[k][1] == salted[k][1]
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    from financial_data_science_spark.operators.skew import salted_broadcast_join
+
+    li = load_table(spark, SF, "lineitem")
+    supp = load_table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    fact = li.select(F.col("l_suppkey").alias("s_suppkey"), "l_quantity")
+    plain = fact.join(supp, "s_suppkey").count()
+    salted = salted_broadcast_join(fact, supp, "s_suppkey")
+    assert salted.count() == plain
+    assert "SortMergeJoin" not in _plan(salted)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO shuffles —
+    the at-rest layout for repeated permno-keyed joins at 100 TB."""
+    from financial_data_science_spark.operators.skew import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    supp_panel = load_table(spark, SF, "lineitem").groupBy("l_suppkey").agg(
+        F.avg("l_discount").alias("avg_disc")
+    )
+    write_bucketed(li, "bkt.li_b", "l_suppkey", n_buckets=8)
+    write_bucketed(supp_panel, "bkt.supp_b", "l_suppkey", n_buckets=8)
+    a = spark.table("bkt.li_b")
+    b = spark.table("bkt.supp_b")
+    j = a.join(b.hint("merge"), "l_suppkey")
+    j.collect()
+    plan = _plan(j)
+    assert "Exchange" not in plan, plan
