@@ -1926,3 +1926,65 @@ def adf_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("tau", _r("tau", 4))
     )
+
+
+@query(
+    "daily_portfolio_performance",
+    """
+    WITH daily AS (
+      SELECT l_suppkey AS permno, l_shipdate AS date,
+             avg(l_discount) AS ret, avg(l_tax) AS retx
+      FROM lineitem GROUP BY 1, 2),
+    hq AS (
+      SELECT date_trunc('month', l_shipdate) - INTERVAL 1 DAY AS rebaldate,
+             l_suppkey AS permno, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    holdings AS (
+      SELECT rebaldate, permno,
+             qty / sum(qty) OVER (PARTITION BY rebaldate) AS weight
+      FROM hq),
+    tag AS (
+      SELECT d.permno, d.date, d.ret, d.retx, max(r.rebaldate) AS rebaldate
+      FROM daily d
+      JOIN (SELECT DISTINCT rebaldate FROM holdings) r ON r.rebaldate < d.date
+      GROUP BY 1, 2, 3, 4),
+    drift AS (
+      SELECT *,
+             exp(coalesce(sum(ln(1 + coalesce(retx, 0))) OVER (
+                    PARTITION BY permno, rebaldate ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS dr
+      FROM tag)
+    SELECT date, round(sum(h.weight * dr * coalesce(ret, 0)), 6) AS ret
+    FROM drift JOIN holdings h ON drift.rebaldate = h.rebaldate
+                              AND drift.permno = h.permno
+    GROUP BY date
+    """,
+)
+def daily_portfolio_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DailyPerformance loop-free (dailyperformance.py:24-48): daily
+    portfolio returns with intra-period weight drift — as-of prevailing
+    rebalance + exclusive running retx product + one aggregation, no day
+    loop."""
+    from financial_data_science_spark.backtesting.dailyperformance import (
+        daily_performance,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.date_trunc("month", "l_shipdate")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("permno"), F.col("l_shipdate").alias("date")
+    ).agg(F.avg("l_discount").alias("ret"), F.avg("l_tax").alias("retx"))
+    holdings = (
+        li.groupBy(
+            (m - F.expr("INTERVAL 1 DAY")).alias("rebaldate"),
+            F.col("l_suppkey").alias("permno"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumn(
+            "weight",
+            F.col("qty") / F.sum("qty").over(Window.partitionBy("rebaldate")),
+        )
+        .drop("qty")
+    )
+    out = daily_performance(holdings, daily)
+    return out.select("date", _r("ret").alias("ret"))

@@ -102,3 +102,46 @@ def close_ticks(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_align_candidates(
+    trades: "DataFrame",
+    quotes: "DataFrame",
+    key: str = "key",
+    horizon: str = "10 minutes",
+    watermark: str = "2 minutes",
+) -> "DataFrame":
+    """Stream-stream trade x quote range join (SURVEY §2.9 row 3): each
+    trade pairs with every quote of its key in [t - horizon, t].
+
+    Both sides are watermarked so the join state is bounded: a quote can be
+    dropped once the watermark passes its ts + horizon; Spark derives that
+    retention from the range condition (taq.py:406-411's interleaved
+    prevailing-quote scan, minus the argmax — downstream aggregation picks
+    the prevailing one, or close_ticks supplies exact as-of semantics).
+    Emits (key, trade_ts, trade_value, quote_ts, quote_value).
+    """
+    from pyspark.sql import functions as F
+
+    t = (
+        trades.select(
+            F.col(key).alias("key"),
+            F.col("ts").alias("trade_ts"),
+            F.col("value").alias("trade_value"),
+        ).withWatermark("trade_ts", watermark)
+    )
+    q = (
+        quotes.select(
+            F.col(key).alias("qkey"),
+            F.col("ts").alias("quote_ts"),
+            F.col("value").alias("quote_value"),
+        ).withWatermark("quote_ts", watermark)
+    )
+    return t.join(
+        q,
+        F.expr(
+            f"key = qkey AND quote_ts >= trade_ts - INTERVAL {horizon}"
+            " AND quote_ts <= trade_ts"
+        ),
+        "inner",
+    ).drop("qkey")

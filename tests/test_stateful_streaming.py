@@ -91,3 +91,54 @@ def test_close_ticks_parity_across_batches(spark, tmp_path):
         want[["key", "ts_us", "value", "dur_us"]],
         check_dtype=False,
     )
+
+
+def test_stream_stream_range_join_parity(spark):
+    from financial_data_science_spark.streaming.stateful import (
+        stream_align_candidates,
+    )
+    from financial_data_science_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, SF)
+    trades_s = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    quotes_s = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    out = stream_align_candidates(trades_s, quotes_s, horizon="10 minutes")
+    got = (
+        run_stream_to_memory(spark, out, "ss_join")
+        .toPandas()
+        .sort_values(["key", "trade_ts", "quote_ts"])
+        .reset_index(drop=True)
+    )
+
+    ev = load_table(spark, SF, "events")
+    t = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("trade_ts"),
+        F.col("value").alias("trade_value"),
+    )
+    q = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("qkey"),
+        F.col("ts").alias("quote_ts"),
+        F.col("value").alias("quote_value"),
+    )
+    want = (
+        t.join(
+            q,
+            (F.col("key") == F.col("qkey"))
+            & (F.col("quote_ts") >= F.col("trade_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("quote_ts") <= F.col("trade_ts")),
+        )
+        .drop("qkey")
+        .toPandas()
+        .sort_values(["key", "trade_ts", "quote_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
