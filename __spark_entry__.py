@@ -19,11 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: as-of join (J1) + prevailing + event-time semantics on
-    sf0.001; the engine's most distinctive custom operator."""
+    """Flagship: the §3.1 universe-assembly pipeline — prevailing section +
+    names join + permco window-sum + screens + NYSE-breakpoint deciles
+    fused into one Catalyst DAG (the reference's 5-round-trip entry
+    point)."""
     from financial_data_science_spark.queries import Q
 
-    return Q["asof_join_backward"](spark, "/root/testdata/sf0.001")
+    return Q["universe_assembly"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1988,3 +1988,75 @@ def daily_portfolio_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = daily_performance(holdings, daily)
     return out.select("date", _r("ret").alias("ret"))
+
+
+@query(
+    "universe_assembly",
+    """
+    WITH daily AS (
+      SELECT l_suppkey AS permno,
+             year(l_shipdate) * 10000 + month(l_shipdate) * 100 + 1 AS date,
+             avg(l_extendedprice / l_quantity) AS prc,
+             sum(l_quantity) AS shrout
+      FROM lineitem GROUP BY 1, 2),
+    sec AS (
+      SELECT permno, arg_max(prc, date) AS prc, arg_max(shrout, date) AS shrout
+      FROM daily WHERE date <= 19970101 GROUP BY permno),
+    names AS (
+      SELECT DISTINCT l_suppkey AS permno, 10 + l_suppkey % 3 AS shrcd,
+             1 + l_suppkey % 4 AS exchcd, l_suppkey % 30 AS permco
+      FROM lineitem),
+    cap AS (
+      SELECT s.permno, abs(prc) * shrout AS cap, n.shrcd, n.exchcd, n.permco
+      FROM sec s JOIN names n ON s.permno = n.permno),
+    capco AS (SELECT *, sum(cap) OVER (PARTITION BY permco) AS capco FROM cap),
+    uni AS (
+      SELECT * FROM capco
+      WHERE shrcd IN (10, 11) AND exchcd IN (1, 2, 3)
+        AND cap > 0 AND capco > 0),
+    bp AS (
+      SELECT quantile_cont(capco,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+      FROM uni WHERE exchcd = 1)
+    SELECT u.permno, round(cap, 2) AS cap, round(capco, 2) AS capco,
+           10 - len(list_filter(bp.b, x -> u.capco > x)) AS decile
+    FROM uni u, bp
+    """,
+)
+def universe_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 flagship pipeline under the gate: get_universe on
+    CRSP-shaped frames derived from the star schema — prevailing section
+    (J7) + names join (J9) + permco window-sum cap (J10) + screens (P9) +
+    NYSE-breakpoint descending deciles (A6) as ONE fused Catalyst DAG
+    (crsp.py:203-252), no per-step SQL round trips."""
+    from financial_data_science_spark.datasets.structured import CRSP
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("permno"),
+        (F.year("l_shipdate") * 10000 + F.month("l_shipdate") * 100 + 1).alias(
+            "date"
+        ),
+    ).agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("prc"),
+        F.sum("l_quantity").alias("shrout"),
+    )
+    names = (
+        li.select(F.col("l_suppkey").alias("permno"))
+        .distinct()
+        .select(
+            "permno",
+            F.lit(19000101).alias("date"),
+            (10 + F.col("permno") % 3).alias("shrcd"),
+            (1 + F.col("permno") % 4).alias("exchcd"),
+            (F.col("permno") % 30).alias("permco"),
+        )
+    )
+    crsp = CRSP(daily=daily, names=names)
+    uni = crsp.get_universe(19970101)
+    return uni.select(
+        "permno",
+        _r("cap", 2).alias("cap"),
+        _r("capco", 2).alias("capco"),
+        F.col("decile").cast("long").alias("decile"),
+    )
