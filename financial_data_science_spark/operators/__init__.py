@@ -28,6 +28,12 @@ from financial_data_science_spark.operators.binning import (
     clean_quotes,
     clean_trades,
 )
+from financial_data_science_spark.operators.alignment import align_trades, tick_sign
+from financial_data_science_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_join,
+    write_bucketed,
+)
 
 __all__ = [
     "asof_join", "keep_extremum", "prevailing",
@@ -37,4 +43,6 @@ __all__ = [
     "running", "sessionize",
     "event_range_agg", "event_window",
     "bin_aggregate", "bin_trades", "clean_quotes", "clean_trades",
+    "align_trades", "tick_sign",
+    "salted_aggregate", "salted_broadcast_join", "write_bucketed",
 ]
