@@ -971,7 +971,34 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # no SQL oracle: mapInPandas stub decode
+@query(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             upper(hex(substr(text, 1, 4))) AS magic,
+             strlen(text)::BIGINT AS n_bytes,
+             sha256(text) AS hx
+      FROM documents),
+    p AS (
+      SELECT *, ('0x' || substr(hx, 7, 8))::BIGINT AS hi,
+             ('0x' || substr(hx, 15, 8))::BIGINT AS lo
+      FROM m)
+    SELECT media_id,
+           CASE WHEN magic LIKE 'FFD8%' THEN 'jpeg'
+                WHEN magic = '89504E47' THEN 'png'
+                WHEN magic LIKE '52494646%' THEN 'riff'
+                ELSE 'unknown' END AS format,
+           n_bytes,
+           (64 + ('0x' || substr(hx, 1, 2))::BIGINT)::INTEGER AS width,
+           (64 + ('0x' || substr(hx, 3, 2))::BIGINT)::INTEGER AS height,
+           ('0x' || substr(hx, 5, 2))::BIGINT / 255.0 AS mean_luma,
+           CASE WHEN hi >= 2147483648
+                THEN (hi - 4294967296) * 4294967296 + lo
+                ELSE hi * 4294967296 + lo END AS phash
+    FROM p
+    """,
+)  # oracle: sha256-derived stub features recomputed in SQL
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary payload -> metadata -> Arrow-batched
     mapInPandas feature extraction (decode stubbed deterministically)."""
