@@ -34,6 +34,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
+        # default (PARQUET_TYPE_ILLEGAL).  The conf is runtime-settable, so
+        # set it here rather than relying on the session factory — the
+        # harness may hand us an externally-built plain SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns epoch (~1.7e18) exceeds double's 53-bit

@@ -78,11 +78,21 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    from financial_data_science_spark import get_spark
+    # Deliberately a PLAIN session (not the repo's get_spark factory): the
+    # driver's harness builds its own SparkSession without our conf, so any
+    # query that only works under factory conf would pass here but fail there.
+    from pyspark.sql import SparkSession
+
     from financial_data_science_spark.queries import ORACLE, Q
 
     only = set(sys.argv[1:])
-    spark = get_spark("check_correctness")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("check_correctness")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
     con = duck_connection()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in Q.items():
