@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from financial_data_science_spark.operators import compound_intervals
-from financial_data_science_spark.operators.fractiles import bucket_expr
+from financial_data_science_spark.operators.fractiles import bucket_expr, quantiles_expr
 
 
 def univariate_sorts(
@@ -27,6 +27,7 @@ def univariate_sorts(
     key_filter=None,
     weight_col: str = "cap",
     sub: tuple[int, int] = (1, 10),
+    exact: bool = False,
 ) -> DataFrame:
     """Signal-sorted portfolio holdings for every rebalance date at once.
 
@@ -38,14 +39,17 @@ def univariate_sorts(
     backtesting.py:71-76), bucket all names, long top fractile / short
     bottom (``sub``), weights proportional to ``weight_col`` normalized
     within (rebaldate, side).  Entirely window-based: one shuffle on
-    rebaldate.
+    rebaldate.  Breakpoints default to the bounded-memory sketch
+    (``exact=False``, see fractiles.quantiles_expr); null signals get a
+    null fractile and drop out of the long/short sides, matching the
+    reference's dropna() before searchsorted.
     """
     pcts = pcts or [10.0 * i for i in range(1, 10)]
     probs = F.array(*[F.lit(p / 100.0) for p in pcts])
     j = universe.join(signal, ["rebaldate", "permno"], "inner")
     wd = Window.partitionBy("rebaldate")
     key_src = F.when(key_filter, F.col("value")) if key_filter is not None else F.col("value")
-    breaks = F.percentile(key_src, probs).over(wd)
+    breaks = quantiles_expr(key_src, probs, exact).over(wd)
     j = j.withColumn("fractile", bucket_expr(F.col("value"), breaks))
     lo, hi = sub
     sided = j.filter(F.col("fractile").isin(lo, hi)).withColumn(
@@ -85,41 +89,80 @@ def portfolio_returns(
 
 def turnover(holdings: DataFrame) -> DataFrame:
     """A16: per-rebalance buys/sells from holding deltas
-    (backtest.py:156-169) via a full-outer self-join of consecutive
-    rebalances expressed as a lag window over (permno, rebal_seq)."""
+    (backtest.py:156-169): the reference outer-joins the previous holdings
+    against the current ones, so a name that LEAVES the portfolio counts
+    as a full sell (delta = -prev_weight), and a name that enters counts
+    as a full buy.  A lag window cannot express the exit rows (there is no
+    current row to lag from), so we materialize the outer set as a union:
+    current rows carry (weight, 0), previous rows shifted one rebalance
+    forward carry (0, prev_weight), and one hash aggregate per
+    (rebalance, permno) reconstitutes the full-outer pair.  Two shuffles,
+    both on the holdings keys; no driver iteration.
+    """
     seq = holdings.select("rebaldate").distinct().withColumn(
         "__seq__", F.row_number().over(Window.orderBy("rebaldate"))
     )
     h = holdings.join(F.broadcast(seq), "rebaldate")
-    w = Window.partitionBy("permno").orderBy("__seq__")
-    d = h.withColumn("prev_w", F.lag("weight").over(w)).withColumn(
-        "prev_seq", F.lag("__seq__").over(w)
+    curr = h.select("__seq__", "permno", F.col("weight").alias("w"),
+                    F.lit(0.0).alias("pw"))
+    prev = h.select((F.col("__seq__") + 1).alias("__seq__"), "permno",
+                    F.lit(0.0).alias("w"), F.col("weight").alias("pw"))
+    # inner join back to `seq` drops the phantom (max_seq + 1) rebalance.
+    oj = (
+        curr.unionByName(prev)
+        .groupBy("__seq__", "permno")
+        .agg(F.sum("w").alias("w"), F.sum("pw").alias("pw"))
+        .join(F.broadcast(seq), "__seq__")
     )
-    delta = F.col("weight") - F.when(
-        F.col("prev_seq") == F.col("__seq__") - 1, F.coalesce("prev_w", F.lit(0.0))
-    ).otherwise(F.lit(0.0))
+    delta = F.col("w") - F.col("pw")
     return (
-        d.groupBy("rebaldate")
+        oj.groupBy("rebaldate")
         .agg(
             F.sum(F.when(delta > 0, delta)).alias("buys"),
             (-F.sum(F.when(delta < 0, delta))).alias("sells"),
-            F.sum(F.when(F.col("weight") > 0, 1).otherwise(0)).alias("n_long"),
-            F.sum(F.when(F.col("weight") < 0, 1).otherwise(0)).alias("n_short"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias("n_long"),
+            F.sum(F.when(F.col("w") < 0, 1).otherwise(0)).alias("n_short"),
         )
         .orderBy("rebaldate")
     )
 
 
 def smooth_holdings(holdings: DataFrame, k: int) -> DataFrame:
-    """W10 overlap smoothing (backtest.py:140-149): average of the last k
-    rebalances' weights per permno via a bounded rows window."""
+    """W10 overlap smoothing (backtest.py:140-149): the reference keeps the
+    last k holdings frames, zero-fills each name over their union, and
+    divides by the number of frames — so a name held only in an older
+    rebalance still carries weight/k today, and a name held in all k
+    frames is averaged over k even if its own row count is smaller.
+
+    Set-at-a-time: each holding row is exploded forward to the next k-1
+    rebalance sequence numbers (bounded by the last rebalance), then one
+    hash aggregate per (target rebalance, permno) sums the contributions
+    and divides by the number of frames in the window, min(seq, k).  The
+    explode fan-out is exactly k, so data volume is k x holdings — no
+    window-over-sparse-rows pitfall and no driver loop.
+    """
     seq = holdings.select("rebaldate").distinct().withColumn(
         "__seq__", F.row_number().over(Window.orderBy("rebaldate"))
     )
-    h = holdings.join(F.broadcast(seq), "rebaldate")
-    w = (
-        Window.partitionBy("permno")
-        .orderBy("__seq__")
-        .rowsBetween(-(k - 1), 0)
+    max_seq = seq.agg(F.max("__seq__").alias("__max_seq__"))
+    h = holdings.join(F.broadcast(seq), "rebaldate").join(F.broadcast(max_seq))
+    exploded = h.select(
+        F.explode(
+            F.sequence(
+                F.col("__seq__"),
+                F.least(F.col("__seq__") + (k - 1), F.col("__max_seq__")),
+            )
+        ).alias("__seq__"),
+        "permno",
+        F.col("weight").alias("__w__"),
     )
-    return h.withColumn("weight", F.avg("weight").over(w)).drop("__seq__")
+    return (
+        exploded.groupBy("__seq__", "permno")
+        .agg(F.sum("__w__").alias("__sum_w__"))
+        .join(F.broadcast(seq), "__seq__")
+        .withColumn(
+            "weight",
+            F.col("__sum_w__") / F.least(F.col("__seq__"), F.lit(k)),
+        )
+        .select("rebaldate", "permno", "weight")
+    )

@@ -9,11 +9,19 @@ Reference semantics:
     backtesting/backtesting.py:71-76).
   - winsorize / clip at [2.5%, 97.5%] recipes/filters.py:145-157.
 
-Spark realization: exact ``percentile`` (interpolated, matches
-numpy.percentile 'linear') on the filtered subset -> tiny breakpoints frame
--> broadcast cross join (1 row) -> bucket = number of breakpoints strictly
-below the value.  Two jobs, both shuffle-light; the breakpoint frame is a
-scalar row regardless of fact-table size.
+Spark realization: quantiles on the filtered subset -> tiny breakpoints
+frame -> broadcast cross join (1 row) -> bucket = number of breakpoints
+strictly below the value.  Two jobs, both shuffle-light; the breakpoint
+frame is a scalar row regardless of fact-table size.
+
+Scale note (A6/A7): the default estimator is ``percentile_approx``
+(Greenwald-Khanna sketch, mergeable map-side, O(accuracy) memory per
+aggregation buffer regardless of population size — accuracy=10000 bounds
+rank error at N/10000).  Exact interpolated ``percentile`` buffers every
+value of the (sub)population in ONE aggregation buffer, which is a
+single-task memory bomb at 100 TB; it remains available behind
+``exact=True`` for small populations and for oracle parity against
+DuckDB's interpolated ``quantile_cont``.
 """
 
 from __future__ import annotations
@@ -21,29 +29,55 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: rank-error bound for the sketch: eps = 1/ACCURACY of the population.
+APPROX_ACCURACY = 10000
+
+
+def quantiles_expr(
+    c: Column, probs: Column, exact: bool = False, accuracy: int = APPROX_ACCURACY
+) -> Column:
+    """Aggregate expression for an array of quantiles of ``c``.
+
+    ``exact=False`` (default): Greenwald-Khanna sketch, bounded memory,
+    returns actual data values.  ``exact=True``: interpolated percentile
+    (numpy 'linear'), unbounded buffer — test/oracle scale only.
+    """
+    if exact:
+        return F.percentile(c, probs)
+    return F.percentile_approx(c, probs, F.lit(accuracy))
+
 
 def breakpoints(
-    df: DataFrame, col: str, pcts: list[float], where: Column | None = None
+    df: DataFrame,
+    col: str,
+    pcts: list[float],
+    where: Column | None = None,
+    exact: bool = False,
+    accuracy: int = APPROX_ACCURACY,
 ) -> DataFrame:
-    """One-row frame with an array<double> of interpolated percentiles."""
+    """One-row frame with an array<double> of quantile breakpoints."""
     src = df.filter(where) if where is not None else df
     probs = F.array(*[F.lit(p) for p in pcts])
     return src.select(
-        F.percentile(F.col(col).cast("double"), probs).alias("__breaks__")
+        quantiles_expr(F.col(col).cast("double"), probs, exact, accuracy).alias(
+            "__breaks__"
+        )
     )
 
 
 def bucket_expr(col: str | Column, breaks: Column, ascending: bool = True) -> Column:
-    """Bucket number 1..len(breaks)+1 by strict searchsorted (filters.py:281-287)."""
+    """Bucket number 1..len(breaks)+1 by strict searchsorted
+    (filters.py:281-287).  Null values get a null bucket — the reference
+    dropna()s signals before sorting, so a null must never land in an
+    investable fractile."""
     c = F.col(col) if isinstance(col, str) else col
     n_below = F.aggregate(
         breaks,
         F.lit(0),
         lambda acc, b: acc + F.when(c > b, 1).otherwise(0),
     )
-    if ascending:
-        return n_below + 1
-    return F.size(breaks) + 1 - n_below
+    bucket = n_below + 1 if ascending else F.size(breaks) + 1 - n_below
+    return F.when(c.isNotNull(), bucket)
 
 
 def fractile_split(
@@ -53,6 +87,7 @@ def fractile_split(
     key_filter: Column | None = None,
     out: str = "fractile",
     ascending: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Assign fractile 1..N+1 to every row using subset breakpoints (A6).
 
@@ -60,10 +95,11 @@ def fractile_split(
     deciles); ``key_filter`` restricts the population the breakpoints are
     estimated on (reference: NYSE names only).  Broadcast of the one-row
     breakpoints frame keeps this a map-side operation over the fact table.
+    Null values of ``col`` get a null fractile.
     """
     pcts = pcts or [10 * i for i in range(1, 10)]
     probs = [p / 100.0 for p in pcts]
-    bp = breakpoints(df, col, probs, key_filter)
+    bp = breakpoints(df, col, probs, key_filter, exact=exact)
     return df.join(F.broadcast(bp)).withColumn(
         out, bucket_expr(col, F.col("__breaks__"), ascending)
     ).drop("__breaks__")
@@ -74,14 +110,15 @@ def winsorize(
     cols: list[str] | str,
     lo: float = 0.025,
     hi: float = 0.975,
+    exact: bool = False,
 ) -> DataFrame:
-    """Clip columns to their [lo, hi] interpolated quantiles (filters.py:145-157)."""
+    """Clip columns to their [lo, hi] quantiles (filters.py:145-157)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     qs = df.select(
         *[
-            F.percentile(F.col(c).cast("double"), F.array(F.lit(lo), F.lit(hi))).alias(
-                f"__q_{c}__"
-            )
+            quantiles_expr(
+                F.col(c).cast("double"), F.array(F.lit(lo), F.lit(hi)), exact
+            ).alias(f"__q_{c}__")
             for c in cols
         ]
     )

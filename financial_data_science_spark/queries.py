@@ -1264,40 +1264,59 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "holdings_turnover",
     """
     WITH h AS (
-      SELECT date_trunc('month', l_shipdate) AS month, l_suppkey,
-             sum(l_quantity) AS qty
+      SELECT date_trunc('month', l_shipdate) AS rebaldate, l_suppkey AS permno,
+             sum(l_quantity) / sum(sum(l_quantity))
+               OVER (PARTITION BY date_trunc('month', l_shipdate)) AS weight
       FROM lineitem GROUP BY 1, 2),
-    w AS (
-      SELECT month, l_suppkey,
-             qty / sum(qty) OVER (PARTITION BY month) AS wgt
-      FROM h),
+    s AS (
+      SELECT rebaldate, row_number() OVER (ORDER BY rebaldate) AS seq
+      FROM (SELECT DISTINCT rebaldate FROM h)),
+    hs AS (SELECT permno, weight, seq FROM h JOIN s USING (rebaldate)),
+    oj AS (
+      SELECT coalesce(c.seq, p.seq + 1) AS seq,
+             coalesce(c.permno, p.permno) AS permno,
+             coalesce(c.weight, 0) AS w,
+             coalesce(p.weight, 0) AS pw
+      FROM hs c FULL OUTER JOIN hs p
+        ON c.permno = p.permno AND c.seq = p.seq + 1),
     d AS (
-      SELECT month, l_suppkey,
-             abs(wgt - coalesce(lag(wgt) OVER (PARTITION BY l_suppkey
-                                               ORDER BY month), 0)) AS delta
-      FROM w)
-    SELECT month, round(sum(delta), 6) AS turnover,
-           count(*)::BIGINT AS n_names
-    FROM d GROUP BY month
+      SELECT seq, w, w - pw AS delta FROM oj
+      WHERE seq <= (SELECT max(seq) FROM s))
+    SELECT s.rebaldate,
+           round(sum(CASE WHEN delta > 0 THEN delta END), 6) AS buys,
+           round(-sum(CASE WHEN delta < 0 THEN delta END), 6) AS sells,
+           sum(CASE WHEN w > 0 THEN 1 ELSE 0 END)::BIGINT AS n_long,
+           sum(CASE WHEN w < 0 THEN 1 ELSE 0 END)::BIGINT AS n_short
+    FROM d JOIN s USING (seq)
+    GROUP BY 1
     """,
 )
 def holdings_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A16: per-rebalance turnover from holding-weight deltas
-    (backtest.py:156-169) — weights via a month-partition window, deltas
-    via lag over each name's rebalance sequence."""
+    """A16: per-rebalance buys/sells from holding deltas with full-outer
+    prev-vs-curr semantics (backtest.py:156-169): a name leaving the
+    portfolio counts as a full sell, one entering as a full buy."""
+    from financial_data_science_spark.backtesting.backtest import turnover
+
     li = load_table(spark, sf_dir, "lineitem")
-    h = li.groupBy(
-        F.date_trunc("month", "l_shipdate").alias("month"), "l_suppkey"
-    ).agg(F.sum("l_quantity").alias("qty"))
-    wm = Window.partitionBy("month")
-    ws = Window.partitionBy("l_suppkey").orderBy("month")
-    w = h.withColumn("wgt", F.col("qty") / F.sum("qty").over(wm))
-    d = w.withColumn(
-        "delta", F.abs(F.col("wgt") - F.coalesce(F.lag("wgt").over(ws), F.lit(0.0)))
+    holdings = (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("rebaldate"),
+            F.col("l_suppkey").alias("permno"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+        .withColumn(
+            "weight",
+            F.col("qty") / F.sum("qty").over(Window.partitionBy("rebaldate")),
+        )
+        .drop("qty")
     )
-    return d.groupBy("month").agg(
-        _r(F.sum("delta"), 6).alias("turnover"),
-        F.count(F.lit(1)).alias("n_names"),
+    out = turnover(holdings)
+    return out.select(
+        "rebaldate",
+        _r("buys", 6).alias("buys"),
+        _r("sells", 6).alias("sells"),
+        F.col("n_long").cast("long").alias("n_long"),
+        F.col("n_short").cast("long").alias("n_short"),
     )
 
 
@@ -1863,18 +1882,27 @@ def portfolio_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('month', l_shipdate) AS rebaldate, l_suppkey AS permno,
              sum(l_quantity) / sum(sum(l_quantity))
                OVER (PARTITION BY date_trunc('month', l_shipdate)) AS weight
-      FROM lineitem GROUP BY 1, 2)
-    SELECT rebaldate, permno,
-           round(avg(weight) OVER (PARTITION BY permno ORDER BY rebaldate
-                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-                 6) AS weight
-    FROM h
+      FROM lineitem GROUP BY 1, 2),
+    s AS (
+      SELECT rebaldate, row_number() OVER (ORDER BY rebaldate) AS seq
+      FROM (SELECT DISTINCT rebaldate FROM h)),
+    hs AS (SELECT permno, weight, seq FROM h JOIN s USING (rebaldate)),
+    x AS (
+      SELECT t.seq AS seq, hs.permno, sum(hs.weight) AS sw
+      FROM hs JOIN (SELECT DISTINCT seq FROM s) t
+        ON t.seq BETWEEN hs.seq AND hs.seq + 2
+      GROUP BY 1, 2)
+    SELECT s.rebaldate, x.permno,
+           round(x.sw / least(x.seq, 3), 6) AS weight
+    FROM x JOIN s USING (seq)
     """,
 )
 def smoothed_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10: overlap smoothing — each name's weight averaged over its last
-    k=3 rebalances via a bounded rows window (backtest.py:140-149 queue
-    of holdings)."""
+    """W10: overlap smoothing with reference zero-fill semantics
+    (backtest.py:140-149): each name's weight is summed over the union of
+    the last k=3 holdings frames and divided by the number of frames, so
+    a name absent from the current rebalance still carries trailing
+    weight."""
     from financial_data_science_spark.backtesting.backtest import smooth_holdings
 
     li = load_table(spark, sf_dir, "lineitem")
