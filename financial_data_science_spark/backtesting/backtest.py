@@ -27,7 +27,7 @@ def univariate_sorts(
     key_filter=None,
     weight_col: str = "cap",
     sub: tuple[int, int] = (1, 10),
-    exact: bool = False,
+    exact: bool = True,
 ) -> DataFrame:
     """Signal-sorted portfolio holdings for every rebalance date at once.
 
@@ -39,10 +39,14 @@ def univariate_sorts(
     backtesting.py:71-76), bucket all names, long top fractile / short
     bottom (``sub``), weights proportional to ``weight_col`` normalized
     within (rebaldate, side).  Entirely window-based: one shuffle on
-    rebaldate.  Breakpoints default to the bounded-memory sketch
-    (``exact=False``, see fractiles.quantiles_expr); null signals get a
-    null fractile and drop out of the long/short sides, matching the
-    reference's dropna() before searchsorted.
+    rebaldate.  Breakpoints default to exact interpolated percentiles
+    (``exact=True``): the per-rebaldate population is one cross-section
+    (thousands of names), bounded regardless of total data size, so the
+    exact buffer poses no memory risk and keeps numpy/DuckDB parity; pass
+    ``exact=False`` for the Greenwald-Khanna sketch if cross-sections are
+    ever huge.  Null signals get a null fractile and drop out of the
+    long/short sides, matching the reference's dropna() before
+    searchsorted.
     """
     pcts = pcts or [10.0 * i for i in range(1, 10)]
     probs = F.array(*[F.lit(p / 100.0) for p in pcts])

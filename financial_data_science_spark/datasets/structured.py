@@ -165,7 +165,7 @@ class CRSP(Stocks):
         )
         return fractile_split(
             uni, "capco", key_filter=F.col("exchcd") == 1, out="decile",
-            ascending=False,
+            ascending=False, exact=True,
         )
 
     def get_divamt(self, beg: int, end: int) -> DataFrame:

@@ -307,7 +307,8 @@ def fractile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     split = fractile_split(
-        base, "o_totalprice", key_filter=F.col("c_mktsegment") == "BUILDING"
+        base, "o_totalprice", key_filter=F.col("c_mktsegment") == "BUILDING",
+        exact=True,  # oracle parity: DuckDB quantile_cont is interpolated
     )
     split = split.withColumn("fractile", F.col("fractile").cast("long"))
     return split.groupBy("fractile").agg(
@@ -328,7 +329,7 @@ def fractile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: clip at [2.5%, 97.5%] quantiles then aggregate (filters.py:145-157)."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = winsorize(li, "l_extendedprice")
+    w = winsorize(li, "l_extendedprice", exact=True)
     return w.groupBy("l_returnflag").agg(
         _r(F.avg("l_extendedprice"), 4).alias("wavg_price"),
         F.count(F.lit(1)).alias("n"),

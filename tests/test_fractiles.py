@@ -12,7 +12,7 @@ def test_fractile_vs_numpy(spark, daily, daily_pdf):
     sec = daily.filter(F.col("date") == 20230131).withColumn("cap", F.abs("prc") * F.col("shrout"))
     keyed = sec.withColumn("is_key", F.col("permno") % 2 == 0)
     got = (
-        fractile_split(keyed, "cap", key_filter=F.col("is_key"))
+        fractile_split(keyed, "cap", key_filter=F.col("is_key"), exact=True)
         .toPandas()
         .sort_values("permno")
     )
@@ -32,7 +32,7 @@ def test_descending(spark, daily):
 
 
 def test_winsorize_bounds_match_numpy(spark, daily):
-    w1 = winsorize(daily.select("permno", "date", "ret"), "ret")
+    w1 = winsorize(daily.select("permno", "date", "ret"), "ret", exact=True)
     p1 = w1.toPandas().sort_values(["permno", "date"]).reset_index(drop=True)
     raw = daily.select("ret").toPandas()["ret"].dropna()
     lo, hi = np.percentile(raw, [2.5, 97.5], method="linear")

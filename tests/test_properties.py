@@ -93,7 +93,7 @@ def test_winsorize_contract(spark, v):
     arr = np.asarray(v, dtype="float64")
     pdf = pd.DataFrame({"i": range(len(v)), "x": arr})
     df = spark.createDataFrame(pdf, "i long, x double")
-    out = winsorize(df, "x").toPandas().sort_values("i").reset_index(drop=True)
+    out = winsorize(df, "x", exact=True).toPandas().sort_values("i").reset_index(drop=True)
     lo, hi = np.percentile(arr, [2.5, 97.5], method="linear")
     got = out["x"].to_numpy()
     eps = 1e-9 * max(1.0, float(np.abs(arr).max()))
