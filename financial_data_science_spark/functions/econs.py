@@ -167,17 +167,20 @@ def integration_order(y: np.ndarray, pvalue: float = 0.05, max_d: int = 2) -> in
 def adf_by_series(
     df: DataFrame,
     series_col: str = "series_id",
-    date_col: str = "date",
+    date_col: str | list[str] = "date",
     value_col: str = "value",
     lags: int = 1,
 ) -> DataFrame:
     """Distributed per-series ADF: each series is one group -> grouped-map
     pandas UDF running the numpy regression; thousands of series test in
-    parallel, none ever leaves its executor."""
+    parallel, none ever leaves its executor.  Pass a list as ``date_col``
+    to add tiebreak columns — with duplicate timestamps the row order (and
+    thus tau) is otherwise partition-order dependent."""
+    sort_cols = [date_col] if isinstance(date_col, str) else list(date_col)
     out_schema = f"{series_col} string, tau double, n long"
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(date_col)
+        pdf = pdf.sort_values(sort_cols)
         y = pdf[value_col].to_numpy(dtype="float64")
         tau = adf_tau(y, lags) if len(y) > lags + 5 else float("nan")
         return pd.DataFrame(

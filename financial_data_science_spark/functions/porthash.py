@@ -1,0 +1,113 @@
+"""Portable (engine-agnostic) hash primitives, recomputable in ANSI SQL.
+
+The production dedup/similarity path hashes with ``xxhash64`` — one fast
+JVM hash, the right choice at 100 TB.  But xxhash64 exists in no other
+engine, so any query built on it can only get a rows-only correctness
+check.  This module provides a *portable* hash family built purely from
+integer arithmetic (`* + % >> & xor`) that Spark and DuckDB evaluate to
+identical values, so the driver's value-hash oracle can recompute an
+entire MinHash/SimHash/hyperplane-LSH pipeline in SQL
+(CORRECTNESS gate, VERDICT r2 "oracle the rows-only queries").
+
+Every function here has a Spark ``Column`` builder and a twin ``sql_*``
+DuckDB-text builder; keep them in lockstep — the tests assert equality
+through both engines.
+
+Design: 31-bit polynomial character hash + multiplicative finalizer.
+All intermediates stay below 2^63 (ANSI-mode overflow-safe in Spark,
+BIGINT-safe in DuckDB): h < 2^31, h*FIN < 2^31 * 2.7e9 < 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = (1 << 31) - 1          # Mersenne prime 2^31-1
+FIN1 = 2654435761            # Knuth multiplicative constants
+FIN2 = 2246822519
+LCG_A = 1013904223
+LCG_B = 1664525
+
+
+# ------------------------------------------------------------ Spark side
+
+def charhash(token: Column, base: int = 131) -> Column:
+    """Polynomial hash of a string's code points, mod 2^31-1.
+
+    ``h = (h*base + codepoint) % MOD`` folded left-to-right.  The token
+    should be a cheap reference (an exploded column or lambda variable) —
+    it is re-evaluated once per character.
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(token)),
+        lambda i: F.ascii(token.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(MOD),
+    )
+
+
+def tokhash31(token: Column, base: int = 131) -> Column:
+    """Finalized 31-bit token hash: multiplicative spread of the raw
+    polynomial (short tokens otherwise hash to tiny values, biasing
+    SimHash sign votes toward 0-bits)."""
+    return (charhash(token, base) * F.lit(FIN1)) % F.lit(MOD)
+
+
+def tokhash62(token: Column) -> Column:
+    """62-bit token hash: two independent 31-bit polynomials packed as
+    ``hi*2^31 + lo`` — the portable stand-in for xxhash64 where a wide
+    bit pattern is needed (SimHash votes)."""
+    hi = tokhash31(token, 131)
+    lo = tokhash31(token, 137)
+    return hi * F.lit(1 << 31) + lo
+
+
+def plane_sign(p: int, i: Column) -> Column:
+    """Deterministic ±1 sign of component ``i`` of pseudo-hyperplane ``p``
+    from an LCG + xor-shift mix — balanced per plane, no string hashing."""
+    h = (F.lit((p + 1) * LCG_A) + (i + 1) * F.lit(LCG_B)) % F.lit(1 << 31)
+    h = (h * F.lit(FIN1)) % F.lit(MOD)
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = (h * F.lit(FIN2)) % F.lit(MOD)
+    bit = F.shiftright(h, 13).bitwiseAND(F.lit(1))
+    return F.when(bit == 1, 1.0).otherwise(-1.0)
+
+
+# ----------------------------------------------------------- DuckDB side
+# Twin SQL-text builders; `tok` / `i` etc. are SQL expressions (strings).
+
+def sql_charhash(tok: str, base: int = 131) -> str:
+    # lambda vars suffixed with the base so nested uses never shadow
+    a, c, ch = f"a{base}", f"c{base}", f"ch{base}"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({tok}, ''), {ch} -> ascii({ch})::BIGINT)), "
+        f"({a}, {c}) -> ({a} * {base} + {c}) % {MOD})"
+    )
+
+
+def sql_tokhash31(tok: str, base: int = 131) -> str:
+    return f"(({sql_charhash(tok, base)}) * {FIN1}) % {MOD}"
+
+
+def sql_tokhash62(tok: str) -> str:
+    return f"({sql_tokhash31(tok, 131)}) * {1 << 31} + ({sql_tokhash31(tok, 137)})"
+
+
+def sql_plane_sign(p: str, i: str) -> str:
+    """±1.0 as SQL; ``p``/``i`` are 0-based integer SQL expressions."""
+    h0 = f"((({p}) + 1)::BIGINT * {LCG_A} + (({i}) + 1)::BIGINT * {LCG_B}) % {1 << 31}"
+    h1 = f"(({h0}) * {FIN1}) % {MOD}"
+    h2 = f"xor(({h1}), ({h1}) >> 15)"
+    h3 = f"(({h2}) * {FIN2}) % {MOD}"
+    return f"(CASE WHEN (({h3}) >> 13) & 1 = 1 THEN 1.0 ELSE -1.0 END)"
+
+
+#: DuckDB expression for Spark's tokens(): whitespace split, empties removed
+SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim({text}), '\\s+'), w -> w != '')"
+)

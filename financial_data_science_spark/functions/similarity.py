@@ -94,23 +94,24 @@ def cosine_pairs(
     return out.filter(F.col("score") >= threshold)
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 7) -> Column:
+def hyperplane_bucket(vec: Column, n_planes: int = 12) -> Column:
     """Random-hyperplane LSH bucket id for cosine ANN at scale.
 
-    Deterministic pseudo-hyperplanes: component i of plane p weighs
-    hash(seed, p, i) mapped to ±1; bucket = sign bits packed to an int.
-    Collisions preserve cosine locality; search only within a bucket (and
-    optionally neighboring buckets by flipping one bit).
+    Deterministic pseudo-hyperplanes: component i of plane p weighs ±1
+    from the arithmetic mix in porthash.plane_sign (no string hashing, and
+    recomputable in any SQL engine — the driver's DuckDB oracle re-derives
+    the buckets); bucket = sign bits packed to an int.  Collisions
+    preserve cosine locality; search only within a bucket (and optionally
+    neighboring buckets by flipping one bit).
     """
+    from financial_data_science_spark.functions.porthash import plane_sign
+
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
-                vec,
-                idx,
-                lambda v, i: v.cast("double")
-                * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), 2) == 0, 1.0).otherwise(-1.0),
+                vec, idx, lambda v, i: v.cast("double") * plane_sign(p, i)
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -128,6 +129,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``h0..h{k-1}`` columns + ``__sig__`` array.
 
@@ -136,19 +138,31 @@ def minhash_signatures(
     This deliberately avoids a k-wide nested array expression per row,
     which blows up the Catalyst plan and codegen when the signature is
     re-referenced per band.
+
+    ``portable=True`` swaps the base shingle hash from xxhash64 to the
+    arithmetic polynomial in porthash (recomputable in DuckDB — used by
+    the oracle-checked catalog query); xxhash64 remains the production
+    default (one fused JVM hash, faster at scale).
     """
     import random
+
+    from financial_data_science_spark.functions.porthash import tokhash31
 
     rng = random.Random(seed)
     p = (1 << 31) - 1
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    base_hash = (
+        tokhash31(F.col("__shingle__"))
+        if portable
+        else F.pmod(F.xxhash64("__shingle__"), F.lit(p))
+    )
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__")
     ).select(
         id_col,
         # one string hash per shingle; the k-family is affine mixes of it
         # (a_i*h+b_i mod p) — 64 multiply-adds instead of 64 string hashes
-        F.pmod(F.xxhash64("__shingle__"), F.lit(p)).alias("__h0__"),
+        base_hash.alias("__h0__"),
     )
     sig = exploded.groupBy(id_col).agg(
         *[
@@ -167,6 +181,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join on (band, hash).
 
@@ -175,24 +190,32 @@ def minhash_candidates(
     shuffle on the band hash, self-join within buckets — no cross join.
     Returns distinct (left_id, right_id) candidates with estimated
     signature similarity.
+
+    ``portable=True``: arithmetic shingle hash + arithmetic band key
+    (instead of xxhash64 + murmur3) so a SQL oracle can recompute the
+    exact candidate set; production default stays on the JVM hashes.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes, seed)
+
+    def band_key(b: int):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if not portable:
+            return F.hash(*cols)
+        acc = F.lit(0).cast("long")
+        for c in cols:  # (acc*65537 + h) % p — h < p so products stay < 2^48
+            acc = (acc * F.lit(65537) + c) % F.lit((1 << 31) - 1)
+        return acc
+
+    sig = minhash_signatures(
+        docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable
+    )
     banded = sig.select(
         id_col,
         "__sig__",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.col(f"h{i}")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bhash"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bhash"))
                     for b in range(bands)
                 ]
             )
@@ -281,6 +304,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc SimHash fingerprint (``simhash`` long column).
 
@@ -288,12 +312,20 @@ def simhash_signatures(
     fingerprint bit = sign of the vote.  Physical shape: explode tokens ->
     one hash aggregate with ``bits`` vote sums -> bit-pack — all JVM-side,
     map-side combinable, no wide nested expressions per row.
+
+    ``portable=True``: 62-bit arithmetic token hash (porthash.tokhash62)
+    instead of xxhash64, recomputable in the driver's DuckDB oracle; pass
+    ``bits=62`` with it so votes cover exactly the hash width.
     """
+    from financial_data_science_spark.functions.porthash import tokhash62
     from financial_data_science_spark.functions.text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
+    tok_hash = (
+        tokhash62(F.col("__tok__")) if portable else F.xxhash64("__tok__")
+    )
     exploded = docs.select(F.col(id_col), F.explode(toks).alias("__tok__")).select(
-        F.col(id_col), F.xxhash64("__tok__").alias("__h__")
+        F.col(id_col), tok_hash.alias("__h__")
     )
     votes = exploded.groupBy(id_col).agg(
         *[

@@ -112,15 +112,19 @@ def lang_id(text: str | Column, default: str = "und") -> Column:
 def fingerprint(text: str | Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """Deterministic polynomial rolling hash of the normalized token stream.
 
-    Engine-agnostic document fingerprint (same value in any system that
-    folds ``h = (h*base + tokhash) % mod`` over lowercase tokens); tokhash
-    is xxhash64 here so this one is Spark-specific but stable across runs.
-    mod < 2^31 keeps the fold in long arithmetic without overflow.
+    Engine-agnostic document fingerprint: folds ``h = (h*base + tokhash)
+    % mod`` over lowercase tokens, where tokhash is the portable 31-bit
+    polynomial hash (porthash.tokhash31) — any SQL engine reproduces the
+    exact value, which is what makes a fingerprint useful as a cross-system
+    dedup key (and lets the driver's DuckDB oracle verify it).  mod < 2^31
+    keeps the fold in long arithmetic without overflow.
     """
+    from financial_data_science_spark.functions.porthash import tokhash31
+
     toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
     m = F.lit(mod).cast("long")
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * F.lit(base) + F.pmod(F.xxhash64(t), m)) % m,
+        lambda acc, t: (acc * F.lit(base) + tokhash31(t) % m) % m,
     )

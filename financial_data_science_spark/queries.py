@@ -731,24 +731,108 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("left_id", "right_id", _r("jaccard").alias("jaccard"))
 
 
-@query("minhash_lsh_candidates")  # no SQL oracle: hash-family specific
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 32, seed: int = 42) -> str:
+    """DuckDB recompute of the ENTIRE portable MinHash+LSH pipeline:
+    shingles -> polynomial base hash -> affine min-family -> band keys ->
+    bucket join -> signature-match estimate.  Same affine coefficients as
+    minhash_signatures (random.Random(seed))."""
+    import random
+
+    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD)) for _ in range(num_hashes)]
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    assert rpb == 2, "band key fold below is written for rows_per_band=2"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
+    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM ex),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM h0 GROUP BY doc_id),
+    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+    banded AS (
+      SELECT doc_id, sig, band,
+             (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
+      FROM sa, range(0, {bands}) t(band))
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+           len(list_filter(range(1, {num_hashes + 1}), i -> l.sig[i] = r.sig[i])) / {num_hashes}.0 AS est_jaccard
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+    WHERE len(list_filter(range(1, {num_hashes + 1}), i -> l.sig[i] = r.sig[i])) / {num_hashes}.0 >= 0.4
+    """
+
+
+@query("minhash_lsh_candidates", None)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (banded signature bucket join).
 
-    Verified in tests against the exact-Jaccard oracle (recall on planted
-    near-dups); engine-specific hash family => rows-only driver check.
+    Runs the portable arithmetic hash family so the DuckDB oracle
+    recomputes the exact candidate set value-for-value (signatures, band
+    keys, bucket join, and match-fraction estimate); the xxhash64 family
+    stays the production default in similarity.minhash_candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return SIM.minhash_candidates(docs, num_hashes=64, bands=32).filter(
-        F.col("est_jaccard") >= 0.4
+    return SIM.minhash_candidates(
+        docs, num_hashes=64, bands=32, portable=True
+    ).filter(F.col("est_jaccard") >= 0.4)
+
+
+ORACLE["minhash_lsh_candidates"] = _minhash_oracle_sql()
+
+
+def _simhash_oracle_sql(bits: int = 62) -> str:
+    """DuckDB recompute of the portable 62-bit SimHash + band blocking +
+    Hamming filter — token hash, sign votes, bit-pack, and the 16-bit band
+    collision condition all re-derived in SQL."""
+    from financial_data_science_spark.functions.porthash import sql_tokhash62
+
+    band_cond = " OR ".join(
+        f"((l.simhash >> {16 * b}) & 65535) = ((r.simhash >> {16 * b}) & 65535)"
+        for b in range(4)
     )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    tk AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+    th AS (SELECT doc_id, {sql_tokhash62('tok')} AS h FROM tk),
+    votes AS (
+      SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, range(0, {bits}) t(b) GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+      FROM votes GROUP BY 1)
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 6 AND ({band_cond})
+    """
 
 
-@query("simhash_near_dups")  # no SQL oracle: hash-family specific
+@query("simhash_near_dups", None)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit band blocking then Hamming <= 6."""
+    """SimHash near-dup pairs: 16-bit band blocking then Hamming <= 6.
+
+    Portable 62-bit token hash (porthash.tokhash62) so the DuckDB oracle
+    recomputes signatures and the band-blocked pair set exactly.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sig = SIM.simhash_signatures(docs).select("doc_id", "simhash")
+    sig = SIM.simhash_signatures(docs, bits=62, portable=True).select(
+        "doc_id", "simhash"
+    )
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(
@@ -764,10 +848,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         l.join(r, ["band", "key"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", SIM.hamming64(F.col("sl"), F.col("sr")).alias("hamming"))
+        .select(
+            "left_id", "right_id",
+            SIM.hamming64(F.col("sl"), F.col("sr")).cast("long").alias("hamming"),
+        )
         .dropDuplicates(["left_id", "right_id"])
     )
     return pairs.filter(F.col("hamming") <= 6)
+
+
+ORACLE["simhash_near_dups"] = _simhash_oracle_sql()
 
 
 @query(
@@ -892,12 +982,30 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_fingerprints")  # no SQL oracle: xxhash64-based
+def _fingerprint_oracle_sql() -> str:
+    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, list_transform(w, t -> {sql_tokhash31('t')})),
+                       (fa, th) -> (fa * 31 + th) % {MOD}) AS fingerprint
+    FROM toks
+    """
+
+
+@query("doc_fingerprints", None)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (dedup key); hash-specific =>
-    rows-only driver check, determinism asserted in tests."""
+    """Rolling-hash document fingerprint (dedup key) over the portable
+    token hash — the DuckDB oracle folds the identical polynomial, which
+    is the point of an engine-agnostic fingerprint (cross-system dedup)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TXT.fingerprint("text").alias("fingerprint"))
+
+
+ORACLE["doc_fingerprints"] = _fingerprint_oracle_sql()
 
 
 @query(
@@ -1050,19 +1158,85 @@ def supply_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(_supply_edges(spark, sf_dir))
 
 
-@query("supply_graph_pagerank")  # no SQL oracle: iterative algorithm
+def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as a generated chain of CTEs — one CTE per
+    sweep, mirroring graph.pagerank's update exactly (no dangling-mass
+    redistribution; missing in-edges -> (1-d)/N)."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+    deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"""
+    step = """,
+    r{k} AS (
+      SELECT v.id, {base} / (SELECT n FROM nv) + {d} * coalesce(c.csum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank / d.outdeg) AS csum
+        FROM r{prev} p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY 1) c ON c.id = v.id)"""
+    body = "".join(
+        step.format(k=k, prev=k - 1, base=1.0 - damping, d=damping)
+        for k in range(1, iters + 1)
+    )
+    return head + body + f"\n    SELECT id, round(rank, 6) AS rank FROM r{iters}"
+
+
+@query("supply_graph_pagerank", None)
 def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supply network — join+agg sweeps with lineage
-    checkpointing (graph.py:185-317 centrality analogue)."""
+    checkpointing (graph.py:185-317 centrality analogue).  The oracle
+    replays the same 8 sweeps as a generated CTE chain."""
     from financial_data_science_spark.functions.graph import pagerank
 
-    return pagerank(_supply_edges(spark, sf_dir), max_iter=8)
+    out = pagerank(_supply_edges(spark, sf_dir), max_iter=8)
+    return out.select("id", _r("rank", 6).alias("rank"))
 
 
-@query("near_dup_clusters")  # no SQL oracle: iterative connected components
+ORACLE["supply_graph_pagerank"] = _pagerank_oracle_sql()
+
+
+# jaccard >= 0.5 pair generation shared with the jaccard_near_dups oracle
+_JACCARD_PAIRS_CTE = """
+    toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS shingle FROM sh),
+    cc AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             a.n AS nl, b.n AS nr, count(*) AS common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pr AS (
+      SELECT left_id, right_id FROM cc
+      WHERE common / (nl + nr - common) >= 0.5)"""
+
+
+@query(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    ue AS (SELECT left_id AS a, right_id AS b FROM pr
+           UNION SELECT right_id, left_id FROM pr),
+    nodes AS (SELECT DISTINCT a AS id FROM ue),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT re.id, ue.b AS r FROM reach re JOIN ue ON ue.a = re.r)
+    SELECT id, min(r) AS comp FROM reach GROUP BY id
+    """,
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline dedup composition: jaccard pairs -> connected
-    components -> cluster id per implicated doc."""
+    components -> cluster id per implicated doc.  Oracle: recursive-CTE
+    transitive closure, comp = min reachable vertex id."""
     from financial_data_science_spark.functions.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1588,12 +1762,45 @@ def lapsed_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)
 
 
-@query("cosine_ann_bucketed")  # no SQL oracle: hash-family specific buckets
+def _ann_oracle_sql(n_planes: int = 6) -> str:
+    """DuckDB recompute of hyperplane-LSH ANN: the ±1 plane signs come
+    from the same arithmetic mix (porthash.plane_sign), so bucket ids —
+    and therefore the candidate sets and per-bucket top-3 — are derived
+    independently end-to-end."""
+    from financial_data_science_spark.functions.porthash import sql_plane_sign
+
+    sign = sql_plane_sign("p", "i - 1")  # DuckDB list_transform index is 1-based
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    proj AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(v, (x, i) -> x * {sign})) AS proj
+      FROM e, range(0, {n_planes}) s(p)),
+    bk AS (
+      SELECT vec_id,
+             sum((CASE WHEN proj >= 0 THEN 1 ELSE 0 END)::BIGINT << ({n_planes - 1} - p)) AS bucket
+      FROM proj GROUP BY 1),
+    eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM cand)
+    SELECT query_id, neighbor_id, round(s, 4) AS score FROM ranked WHERE rn <= 3
+    """
+
+
+@query("cosine_ann_bucketed", None)
 def cosine_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing, then exact cosine
     only within buckets — candidates shrink by ~2^planes vs brute force.
-    Recall vs the exact top-k is property-tested; bucket ids are
-    hash-family specific so the driver check is rows-only."""
+    The arithmetic plane signs are engine-agnostic, so the DuckDB oracle
+    re-derives buckets and per-bucket top-3 value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
     b = emb.withColumn(
         "bucket", SIM.hyperplane_bucket(F.col("embedding"), n_planes=6)
@@ -1615,8 +1822,11 @@ def cosine_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", _r("score").alias("score"))
+        .select("query_id", "neighbor_id", _r("score", 4).alias("score"))
     )
+
+
+ORACLE["cosine_ann_bucketed"] = _ann_oracle_sql()
 
 
 @query(
@@ -1964,23 +2174,65 @@ def hac_mean_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("adf_by_user")  # no SQL oracle: iterative numpy regression per group
+@query(
+    "adf_by_user",
+    """
+    WITH d1 AS (
+      SELECT user_id, value,
+             row_number() OVER w AS rn,
+             lag(value) OVER w AS ylag,
+             value - lag(value) OVER w AS dy
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    d2 AS (
+      SELECT user_id, rn, ylag, dy,
+             lag(dy) OVER (PARTITION BY user_id ORDER BY rn) AS dylag
+      FROM d1),
+    s AS (
+      SELECT user_id, count(*)::DOUBLE AS t,
+             sum(ylag) AS s1, sum(dylag) AS s2,
+             sum(ylag*ylag) AS s11, sum(ylag*dylag) AS s12, sum(dylag*dylag) AS s22,
+             sum(dy) AS sz, sum(ylag*dy) AS s1z, sum(dylag*dy) AS s2z, sum(dy*dy) AS szz
+      FROM d2 WHERE rn >= 3 GROUP BY 1),
+    dets AS (
+      SELECT user_id, t, s1, s2, s11, s12, s22, sz, s1z, s2z, szz,
+             t*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS dd,
+             sz*(s11*s22 - s12*s12) - s1*(s1z*s22 - s12*s2z) + s2*(s1z*s12 - s11*s2z) AS d0,
+             t*(s1z*s22 - s12*s2z) - sz*(s1*s22 - s12*s2) + s2*(s1*s2z - s1z*s2) AS d1,
+             t*(s11*s2z - s1z*s12) - s1*(s1*s2z - s1z*s2) + sz*(s1*s12 - s11*s2) AS d2
+      FROM s),
+    tt AS (
+      SELECT user_id,
+             (d1/dd) / sqrt(
+               ((szz - (d0/dd)*sz - (d1/dd)*s1z - (d2/dd)*s2z) / (t - 3))
+               * (t*s22 - s2*s2) / dd) AS tau
+      FROM dets WHERE t > 3),
+    nn AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(nn.user_id AS VARCHAR) AS series_id,
+           CASE WHEN nn.n > 6 THEN round(tt.tau, 4) END AS tau,
+           nn.n
+    FROM nn LEFT JOIN tt USING (user_id)
+    """,
+)
 def adf_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 distributed unit-root testing: per-entity ADF tau via
-    grouped-map pandas UDF (econs.py:198-236); numpy parity is unit-tested
-    (tests/test_econs.py), driver check is rows-only."""
+    grouped-map pandas UDF (econs.py:198-236).  Oracle: the same
+    3-regressor OLS (const, y_lag, dy_lag) solved closed-form by Cramer's
+    rule on the normal equations — tau = b1/se(b1)."""
     from financial_data_science_spark.functions.econs import adf_by_series
 
     ev = load_table(spark, sf_dir, "events")
-    return (
-        adf_by_series(
-            ev.select(
-                F.col("user_id").alias("series_id"),
-                F.col("ts").alias("date"),
-                "value",
-            )
-        )
-        .withColumn("tau", _r("tau", 4))
+    out = adf_by_series(
+        ev.select(
+            F.col("user_id").alias("series_id"),
+            F.col("ts").alias("date"),
+            "event_id",
+            "value",
+        ),
+        date_col=["date", "event_id"],
+    )
+    # NaN (series too short) -> NULL so the oracle's CASE matches
+    return out.withColumn(
+        "tau", F.when(~F.isnan("tau"), _r("tau", 4))
     )
 
 
