@@ -99,6 +99,133 @@ def portfolio_stats(
     )
 
 
+def corrected_stats(
+    cb: DataFrame,
+    calendar: TradingCalendar,
+    left: int,
+    right: int,
+    post: int,
+    event_keys: list[str],
+    event_date: str = "announcedate",
+    value: str = "car",
+    rho: float | None = None,
+) -> DataFrame:
+    """Kolari-Pape-Pynnönen (2018) eqn 15 corrected event-study inference
+    (reference eventstudy.py:180-280 `fit`).
+
+    Event-day clustering and cross-event correlation overstate the
+    effective sample: the corrected stderr divides by
+    ``sqrt(M / (1 + rho*tau*(M-1)))`` where ``tau`` is the average
+    pairwise overlap of post-announcement windows (truncated at 0,
+    normalized by the post length D = post - right) and ``rho`` is the
+    average cross-event return correlation.
+
+    ``cb``: per-event long frame over rel in [left, post] with a running
+    ``value`` column (from car_bhar).  Announce dates are offset to the
+    prevailing trading day and same-date events portfolio-averaged first
+    (eventstudy.py:224-229).  ``rho=None`` estimates it as the mean
+    best-alignment FFT cross-correlation of the per-date post-window
+    log-return series (filters.py:67-97) — that step collects a
+    (D x n_dates) matrix, driver-scale by construction.
+
+    Returns ONE row: window/post means, corrected t-stats, rho, tau,
+    effective N, date and event counts.  All aggregation stays in Spark;
+    only the optional rho estimate leaves the cluster.
+    """
+    from financial_data_science_spark.operators import asof_join
+
+    window = right - left + 1  # noqa: F841 — documents the reference shape
+    D = post - right
+    # announce date -> prevailing trading day (reference bd.offset)
+    ad = cb.select(F.col(event_date).alias("__ad__")).distinct()
+    dim = calendar.dim.select(
+        F.col("date").alias("__cd__"), F.col("date").alias("__adate__"), "day_num"
+    )
+    adj = asof_join(ad, dim, by=[], left_on="__ad__", right_on="__cd__")
+    cbp = cb.join(
+        F.broadcast(adj.select("__ad__", "__adate__")),
+        cb[event_date] == F.col("__ad__"),
+    ).drop("__ad__")
+    port = cbp.groupBy("__adate__", "rel").agg(F.avg(value).alias("v"))
+
+    if rho is None:
+        # post-window log diffs per date portfolio: log(1+clip(v,-0.99)),
+        # diff along rel, rel in (right, post] (eventstudy.py:246-253)
+        import numpy as np
+
+        from financial_data_science_spark.functions.econs import fft_align_max
+
+        wrel = Window.partitionBy("__adate__").orderBy("rel")
+        lg = F.log(1 + F.greatest(F.col("v"), F.lit(-0.99)))
+        diffs = (
+            port.withColumn("__d__", lg - F.lag(lg).over(wrel))
+            .filter((F.col("rel") > right) & (F.col("rel") <= post))
+            .toPandas()
+            .pivot(index="rel", columns="__adate__", values="__d__")
+            .fillna(0.0)
+        )
+        rho = float(np.nanmean(fft_align_max(diffs.to_numpy())))
+
+    win = port.filter(F.col("rel") == right).agg(
+        F.avg("v").alias("__mw__"),
+        F.stddev_samp("v").alias("__sw__"),
+        F.count(F.lit(1)).alias("n_dates"),
+    )
+    seg = (
+        port.filter(F.col("rel").isin(right, post))
+        .groupBy("__adate__")
+        .agg(
+            F.max(F.when(F.col("rel") == right, F.col("v"))).alias("__vr__"),
+            F.max(F.when(F.col("rel") == post, F.col("v"))).alias("__vp__"),
+        )
+        .agg(
+            F.avg(F.col("__vp__") - F.col("__vr__")).alias("__mp__"),
+            F.stddev_samp(F.col("__vp__") - F.col("__vr__")).alias("__sp__"),
+        )
+    )
+    # average pairwise overlap of post windows, in trading days
+    didx = adj.join(
+        port.select(F.col("__adate__").alias("__a2__")).distinct(),
+        adj["__adate__"] == F.col("__a2__"),
+    ).select("day_num").distinct()
+    tau = (
+        didx.alias("a")
+        .join(didx.alias("b"), F.col("b.day_num") > F.col("a.day_num"))
+        .agg(
+            (
+                F.avg(
+                    F.greatest(
+                        F.lit(D) - (F.col("b.day_num") - F.col("a.day_num")),
+                        F.lit(0),
+                    )
+                )
+                / F.lit(float(D))
+            ).alias("tau")
+        )
+    )
+    nev = cb.select(*event_keys).distinct().agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    md = F.col("n_dates").cast("double")
+    eff = md / (1 + F.lit(rho) * F.col("tau") * (md - 1))
+    return (
+        win.crossJoin(seg)
+        .crossJoin(tau)
+        .crossJoin(nev)
+        .select(
+            F.col("__mw__").alias("window_mean"),
+            (F.col("__mw__") / (F.col("__sw__") / F.sqrt(eff))).alias("window_t"),
+            F.col("__mp__").alias("post_mean"),
+            (F.col("__mp__") / (F.col("__sp__") / F.sqrt(eff))).alias("post_t"),
+            F.lit(rho).alias("rho"),
+            F.col("tau"),
+            eff.alias("effective"),
+            F.col("n_dates"),
+            F.col("n_events"),
+        )
+    )
+
+
 def event_study(
     events: DataFrame,
     daily: DataFrame,

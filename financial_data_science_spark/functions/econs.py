@@ -301,6 +301,29 @@ def cross_correlations(a: np.ndarray, b: np.ndarray, max_lag: int) -> np.ndarray
     return np.concatenate([full[-max_lag:], full[: max_lag + 1]])
 
 
+def fft_align_max(X: np.ndarray) -> list[float]:
+    """Best-alignment cross-correlation of every column pair
+    (filters.py:67-97): demean + unit-norm each column, zero-pad to 2N,
+    multiply each column's FFT by the FFT of the flipped others, take the
+    max over all lags.  Driver-scale by construction — the caller hands a
+    (window x n_dates) matrix that is tiny regardless of fact-table size.
+    Constant columns normalize to NaN and are skipped by the caller's
+    nanmean (matching the reference's silent NaN propagation)."""
+    X = np.asarray(X, dtype="float64")
+    n, m = X.shape
+    Xn = X - X.mean(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Xn = Xn / np.linalg.norm(Xn, axis=0)
+    Xp = np.pad(Xn, [(0, n), (0, 0)])
+    Yf = np.fft.rfft(np.flipud(Xp), axis=0)
+    Xf = np.fft.rfft(Xp, axis=0)
+    corr: list[float] = []
+    for col in range(m - 1):
+        conv = np.fft.irfft(Xf[:, [col]] * Yf[:, col + 1 :], axis=0, n=2 * n)
+        corr.extend(np.max(conv, axis=0).tolist())
+    return corr
+
+
 # ------------------------------------------------------------ ML prep
 
 def train_test_split(

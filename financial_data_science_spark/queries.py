@@ -1889,6 +1889,106 @@ def car_by_relative_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_study_corrected",
+    """
+    WITH panel AS (
+      SELECT l_suppkey, l_shipdate AS d, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY l_suppkey, l_shipdate),
+    cal AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS day_num
+      FROM (SELECT DISTINCT l_shipdate AS d FROM lineitem)),
+    anchors AS (SELECT l_suppkey, d AS anchor_d FROM panel WHERE qty > 90),
+    rel AS (SELECT a.l_suppkey, a.anchor_d, c.day_num + r.rel AS num2, r.rel
+            FROM anchors a JOIN cal c ON a.anchor_d = c.d
+            CROSS JOIN (SELECT unnest(range(-2, 7)) AS rel) r),
+    gathered AS (
+      SELECT rel.l_suppkey, rel.anchor_d, rel.rel, coalesce(p.qty, 0) AS qty
+      FROM rel JOIN cal c2 ON rel.num2 = c2.day_num
+      LEFT JOIN panel p ON p.l_suppkey = rel.l_suppkey AND p.d = c2.d),
+    car AS (
+      SELECT l_suppkey, anchor_d, rel,
+             sum(qty) OVER (PARTITION BY l_suppkey, anchor_d
+                            ORDER BY rel ROWS UNBOUNDED PRECEDING) AS cum
+      FROM gathered),
+    port AS (SELECT anchor_d, rel, avg(cum) AS v FROM car GROUP BY 1, 2),
+    win AS (SELECT avg(v) AS mw, stddev_samp(v) AS sw,
+                   count(*)::BIGINT AS n_dates
+            FROM port WHERE rel = 2),
+    seg AS (SELECT anchor_d,
+                   max(CASE WHEN rel = 2 THEN v END) AS vr,
+                   max(CASE WHEN rel = 6 THEN v END) AS vp
+            FROM port WHERE rel IN (2, 6) GROUP BY 1),
+    ps AS (SELECT avg(vp - vr) AS mp, stddev_samp(vp - vr) AS sp FROM seg),
+    didx AS (SELECT DISTINCT c.day_num
+             FROM (SELECT DISTINCT anchor_d FROM port) p
+             JOIN cal c ON p.anchor_d = c.d),
+    tt AS (SELECT avg(greatest(4 - (b.day_num - a.day_num), 0)) / 4.0 AS tau
+           FROM didx a JOIN didx b ON b.day_num > a.day_num),
+    ee AS (SELECT n_dates::DOUBLE / (1 + 0.3 * tau * (n_dates - 1)) AS eff
+           FROM win, tt)
+    SELECT round(mw, 6) AS window_mean,
+           round(mw / (sw / sqrt(eff)), 6) AS window_t,
+           round(mp, 6) AS post_mean,
+           round(mp / (sp / sqrt(eff)), 6) AS post_t,
+           round(tau, 6) AS tau,
+           round(eff, 6) AS effective,
+           n_dates,
+           (SELECT count(*)::BIGINT FROM anchors) AS n_events
+    FROM win, ps, tt, ee
+    """,
+)
+def event_study_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolari-Pape-Pynnönen corrected event-study t-stats (reference
+    eventstudy.py:180-280 `fit` + filters.py:67-97): portfolio-averaged
+    CAR at the window end and over the post-drift segment, stderr shrunk
+    by the overlap(tau)/correlation(rho) effective-N.  rho fixed at 0.3
+    here so the oracle can recompute every number; the FFT rho estimate
+    (rho=None) is pytest-verified against a numpy replication."""
+    from financial_data_science_spark.backtesting.eventstudy import corrected_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.groupBy("l_suppkey", F.col("l_shipdate").alias("d")).agg(
+        _r(F.sum("l_quantity"), 2).alias("qty")
+    )
+    cal = TradingCalendar.from_dates(li.select(F.col("l_shipdate").alias("date")))
+    anchors = panel.filter(F.col("qty") > 90).select(
+        "l_suppkey", F.col("d").alias("anchor_d")
+    )
+    gathered = event_window(
+        anchors,
+        panel.withColumnRenamed("d", "fact_d"),
+        by="l_suppkey",
+        event_date="anchor_d",
+        fact_date="fact_d",
+        values=["qty"],
+        left=-2,
+        right=6,
+        calendar=cal.dim,
+    ).withColumn("qty", F.coalesce("qty", F.lit(0.0)))
+    wcar = (
+        Window.partitionBy("l_suppkey", "anchor_d")
+        .orderBy("rel")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cb = gathered.withColumn("cum", F.sum("qty").over(wcar))
+    out = corrected_stats(
+        cb, cal, left=-2, right=2, post=6,
+        event_keys=["l_suppkey", "anchor_d"], event_date="anchor_d",
+        value="cum", rho=0.3,
+    )
+    return out.select(
+        _r("window_mean").alias("window_mean"),
+        _r("window_t").alias("window_t"),
+        _r("post_mean").alias("post_mean"),
+        _r("post_t").alias("post_t"),
+        _r("tau").alias("tau"),
+        _r("effective").alias("effective"),
+        "n_dates",
+        "n_events",
+    )
+
+
 # =====================================================================
 # Vintage selection, IO-table regroup (S9/S10 + W1, A15/S11)
 # =====================================================================
