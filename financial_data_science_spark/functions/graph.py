@@ -130,3 +130,144 @@ def connected_components(
             break
         total = new_total
     return labels
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric deduped neighbor list (a, b), self-loops dropped."""
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def link_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    mode: str = "all",
+) -> DataFrame:
+    """Link-prediction scores for 2-hop pairs (reference
+    recipes/graph.py:286-317 link_prediction): common neighbors, Jaccard
+    coefficient, Adamic-Adar, resource allocation, preferential
+    attachment.
+
+    Scale shape: the candidate set is generated by the 2-hop self-join
+    (pairs sharing >=1 neighbor) — exactly the pairs where the
+    common-neighbor scores are nonzero — never the all-pairs non-edge set
+    networkx enumerates (O(V^2) is unrunnable at scale; preferential
+    attachment is reported on the same candidate set).  ``min_common``
+    prunes the hub-driven candidate explosion: raise it on graphs with
+    high-degree hubs.
+
+    ``mode='all'``: undirected graph, candidates are non-adjacent pairs
+    (existing edges anti-joined away).  ``mode='src_side'``: bipartite
+    projection — score pairs of SOURCE-side entities through shared
+    destination neighbors (e.g. supplier pairs through shared customers);
+    endpoint degree = out-degree, shared-neighbor degree = in-degree, and
+    no anti-join (src-src edges are a different relation).  The
+    projection caps the 2-hop blowup at sum(in_deg^2) instead of
+    sum(deg^2) — the difference between 1.7M and 27M intermediate rows on
+    the sf0.01 supply graph.  AA/RA divide by shared-neighbor degree,
+    >= 2 by construction, so log/ratio are always defined.
+    """
+    if mode == "src_side":
+        ez = edges.select(F.col(src).alias("u"), F.col(dst).alias("z")).distinct()
+        deg = ez.groupBy(F.col("u").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        degz = ez.groupBy("z").agg(F.count(F.lit(1)).alias("degz"))
+        l = ez
+        r = ez.select(F.col("u").alias("v"), "z")
+    else:
+        ue = _undirected(edges, src, dst)
+        deg = ue.groupBy(F.col("a").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        degz = deg.select(F.col("id").alias("z"), F.col("deg").alias("degz"))
+        l = ue.select(F.col("a").alias("u"), F.col("b").alias("z"))
+        r = ue.select(F.col("a").alias("v"), F.col("b").alias("z"))
+    # 2-hop: (u -z- v), one shuffle on the shared neighbor z
+    hop2 = (
+        l.join(r, "z")
+        .filter(F.col("u") < F.col("v"))
+        .join(degz, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.log("degz")).alias("adamic_adar"),
+            F.sum(1.0 / F.col("degz")).alias("resource_alloc"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    if mode != "src_side":  # drop existing edges
+        hop2 = hop2.join(
+            ue.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    return (
+        hop2.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            (F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn"))).alias(
+                "jaccard"
+            ),
+            "adamic_adar",
+            "resource_alloc",
+            (F.col("du") * F.col("dv")).alias("pref_attach"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic synchronous label-propagation community detection
+    (reference recipes/graph.py:235-263 community_detection 'label').
+
+    Every node starts with its own id as label; each sweep it adopts the
+    most frequent neighbor label, ties broken by the smallest label
+    (networkx resolves ties randomly — fixed tiebreak + fixed iteration
+    count make the result reproducible, which the synchronous variant
+    needs anyway since it can oscillate on bipartite structures).  Each
+    sweep is one join + one count + one argmin window — the same
+    Pregel-as-SQL shape as pagerank, localCheckpoint discipline included.
+    """
+    from pyspark.sql import Window
+
+    ue = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    labels = (
+        ue.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cnt = (
+            ue.join(labels, ue.b == labels.id)
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("lab"))
+        best = (
+            cnt.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(F.col("a").alias("id"), F.col("lab").alias("blab"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("blab", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

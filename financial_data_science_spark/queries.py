@@ -1198,6 +1198,83 @@ def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["supply_graph_pagerank"] = _pagerank_oracle_sql()
 
 
+@query(
+    "supply_link_prediction",
+    """
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+    degz AS (SELECT dst, count(*)::BIGINT AS dz FROM e GROUP BY 1),
+    hop2 AS (
+      SELECT a.src AS u, b.src AS v, count(*)::BIGINT AS cn,
+             sum(1.0 / ln(z.dz)) AS adamic_adar,
+             sum(1.0 / z.dz) AS resource_alloc
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      JOIN degz z ON z.dst = a.dst
+      GROUP BY 1, 2)
+    SELECT u, v, cn,
+           round(cn / (du.d + dv.d - cn), 6) AS jaccard,
+           round(adamic_adar, 6) AS adamic_adar,
+           round(resource_alloc, 6) AS resource_alloc,
+           (du.d * dv.d)::BIGINT AS pref_attach
+    FROM hop2 JOIN deg du ON du.src = u JOIN deg dv ON dv.src = v
+    """,
+)
+def supply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier side of the supply bipartite graph
+    (recipes/graph.py:286-317): which supplier pairs share customer bases
+    — common neighbors, Jaccard, Adamic-Adar, resource allocation,
+    preferential attachment via the src_side 2-hop projection."""
+    from financial_data_science_spark.functions.graph import link_scores
+
+    out = link_scores(_supply_edges(spark, sf_dir), mode="src_side")
+    return out.select(
+        "u", "v", "cn",
+        _r("jaccard").alias("jaccard"),
+        _r("adamic_adar").alias("adamic_adar"),
+        _r("resource_alloc").alias("resource_alloc"),
+        F.col("pref_attach").cast("long").alias("pref_attach"),
+    )
+
+
+def _label_prop_oracle_sql(iters: int = 5) -> str:
+    """Generated fixed-sweep synchronous label propagation mirroring
+    graph.label_propagation: adopt the most frequent neighbor label, ties
+    to the smallest label."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+           UNION SELECT dst, src FROM e0 WHERE src != dst),
+    l0 AS (SELECT DISTINCT a AS id, a AS lab FROM ue)"""
+    step = """,
+    c{k} AS (SELECT ue.a AS id, p.lab, count(*) AS c
+             FROM ue JOIN l{prev} p ON p.id = ue.b GROUP BY 1, 2),
+    b{k} AS (SELECT id, lab FROM (
+               SELECT id, lab, row_number() OVER (
+                 PARTITION BY id ORDER BY c DESC, lab) AS rn FROM c{k})
+             WHERE rn = 1),
+    l{k} AS (SELECT p.id, coalesce(b.lab, p.lab) AS lab
+             FROM l{prev} p LEFT JOIN b{k} b ON b.id = p.id)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, iters + 1))
+    return head + body + f"\n    SELECT id, lab FROM l{iters}"
+
+
+@query("supply_communities", None)
+def supply_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label propagation
+    (recipes/graph.py:235-263 'label'); the oracle replays the same five
+    sweeps as a generated CTE chain."""
+    from financial_data_science_spark.functions.graph import label_propagation
+
+    return label_propagation(_supply_edges(spark, sf_dir), iters=5)
+
+
+ORACLE["supply_communities"] = _label_prop_oracle_sql()
+
+
 # jaccard >= 0.5 pair generation shared with the jaccard_near_dups oracle
 _JACCARD_PAIRS_CTE = """
     toks AS (
