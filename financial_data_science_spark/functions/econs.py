@@ -96,6 +96,99 @@ def approximate_factors(
     return out
 
 
+def approximate_factors_rowmatrix(
+    df: DataFrame,
+    date_col: str = "date",
+    series_col: str = "series_id",
+    value_col: str = "value",
+    k: int = 2,
+    standardize: bool = True,
+) -> DataFrame:
+    """Distributed variant of :func:`approximate_factors` — the scale path
+    promised in its docstring, now real: the T x N panel never
+    materializes on the driver.
+
+    Spark standardizes per series, scatters each date's cross-section
+    into a dense N-vector (map_from_entries + transform — missing cells
+    0, matching the driver path's nan->0), and MLlib's
+    ``IndexedRowMatrix.computeSVD`` factors the distributed matrix; only
+    the k singular values and N x k V come back to the driver.  Returns a
+    Spark DataFrame (date, f1..fk) with factors = U*s/sqrt(T), same
+    normalization as the driver path (econs.py:103-141).  Factor SIGNS
+    are arbitrary (as with any SVD); align on a convention before
+    comparing runs.  The only collects are the N series names and k
+    singular values — driver-scale by construction.
+    """
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    names = [
+        r[0]
+        for r in df.select(series_col).distinct().orderBy(series_col).collect()
+    ]
+    n = len(names)
+    pos_df = F.broadcast(
+        spark.createDataFrame(
+            [(nm, i) for i, nm in enumerate(names)], [series_col, "__pos__"]
+        )
+    )
+    base = df.select(
+        date_col, series_col, F.col(value_col).cast("double").alias("__v__")
+    ).filter(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
+    if standardize:
+        stats = base.groupBy(series_col).agg(
+            F.avg("__v__").alias("__mu__"),
+            F.stddev_samp("__v__").alias("__sd__"),
+        )
+        base = base.join(F.broadcast(stats), series_col).withColumn(
+            "__v__",
+            (F.col("__v__") - F.col("__mu__"))
+            / F.when(
+                F.col("__sd__").isNull() | (F.col("__sd__") == 0), 1.0
+            ).otherwise(F.col("__sd__")),
+        )
+    # dense 0-based date index; the window is over the DISTINCT dates only
+    # (T rows), so the single-partition sort is bounded
+    dmap = (
+        base.select(date_col)
+        .distinct()
+        .withColumn("__idx__", F.row_number().over(Window.orderBy(date_col)) - 1)
+    )
+    rows = (
+        base.join(pos_df, series_col)
+        .join(F.broadcast(dmap), date_col)
+        .groupBy("__idx__")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__pos__", "__v__"))
+            ).alias("__m__")
+        )
+        .select(
+            "__idx__",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.coalesce(F.element_at("__m__", i), F.lit(0.0)),
+            ).alias("__arr__"),
+        )
+    )
+    t = dmap.count()
+    irm = IndexedRowMatrix(
+        rows.rdd.map(lambda r: IndexedRow(r["__idx__"], Vectors.dense(r["__arr__"])))
+    )
+    svd = irm.computeSVD(k, computeU=True)
+    scale = [float(s) / math.sqrt(t) for s in svd.s.toArray()]
+    fac = svd.U.rows.map(
+        lambda r: [int(r.index)] + [float(r.vector[j]) * scale[j] for j in range(k)]
+    )
+    cols = ["__idx__"] + [f"f{i+1}" for i in range(k)]
+    fdf = spark.createDataFrame(fac, schema=", ".join(
+        f"{c} double" if c != "__idx__" else "__idx__ long" for c in cols
+    ))
+    return fdf.join(dmap, "__idx__").select(date_col, *cols[1:])
+
+
 def fillna_em(
     df: DataFrame,
     date_col: str = "date",

@@ -167,3 +167,41 @@ def test_train_test_split_disjoint(spark):
     tr, te = train_test_split(df, 0.25, seed=1)
     assert tr.count() + te.count() == 1000
     assert tr.join(te, "id", "inner").count() == 0
+
+
+def test_rowmatrix_factors_match_driver_svd(spark):
+    """Distributed RowMatrix path == driver numpy SVD path up to the
+    per-factor sign ambiguity, on a panel with missing cells."""
+    from financial_data_science_spark.functions.econs import (
+        approximate_factors_rowmatrix,
+    )
+
+    rng = np.random.default_rng(11)
+    t, n, k = 60, 15, 3
+    X = rng.normal(size=(t, k)) @ rng.normal(size=(k, n)) + rng.normal(
+        scale=0.1, size=(t, n)
+    )
+    long = pd.DataFrame(
+        {
+            "date": np.repeat(np.arange(t), n),
+            "series_id": np.tile([f"s{i:02d}" for i in range(n)], t),
+            "value": X.ravel(),
+        }
+    )
+    long = long.drop(long.sample(frac=0.05, random_state=1).index)  # holes
+    df = spark.createDataFrame(long)
+    want = approximate_factors(df, k=k).sort_values("date")
+    got = (
+        approximate_factors_rowmatrix(df, k=k)
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    assert got["date"].tolist() == want["date"].tolist()
+    for j in range(1, k + 1):
+        a = want[f"f{j}"].to_numpy()
+        b = got[f"f{j}"].to_numpy()
+        # align the arbitrary SVD sign before comparing
+        if np.dot(a, b) < 0:
+            b = -b
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
