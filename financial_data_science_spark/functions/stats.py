@@ -15,6 +15,8 @@ designs (operators exposed separately).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -101,3 +103,96 @@ def risk_summary(
         (-F.first("__q__")).alias("var"),
         (-F.avg(F.when(r <= F.col("__q__"), r))).alias("es"),
     )
+
+
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 erf approximation (|err| < 1.5e-7) as pure
+    column arithmetic — Spark SQL has no erf builtin, and the identical
+    polynomial is replayed in the DuckDB oracle so both engines agree to
+    machine precision (scale-aware: the driver never evaluates it)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return 1.0 - poly * F.exp(-x * x)
+
+
+def kupiec_stats(
+    df: DataFrame,
+    keys: list[str] | str,
+    ret: str = "ret",
+    var_col: str | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Kupiec proportion-of-failures LR test per group
+    (finance.py:360-389): s violations (ret < -VaR) in n trials,
+    LR = -2[(n-s)ln(1-p) + s ln p - (n-s)ln(1-s/n) - s ln(s/n)],
+    pvalue from chi2(df=1): 1 - erf(sqrt(LR/2)).
+
+    ``var_col=None`` backtests the in-sample historical VaR (the
+    group's own alpha quantile), matching historical_risk; pass a
+    predicted-VaR column for out-of-sample backtests.  One shuffle: the
+    quantile rides a partition window, violations and n are one
+    aggregate.  The s=0 / s=n edges use the 0*ln(0)=0 limit.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    r = F.col(ret)
+    if var_col is None:
+        q = F.percentile(r, F.lit(alpha)).over(Window.partitionBy(*keys))
+        df = df.withColumn("__negvar__", q)
+    else:
+        df = df.withColumn("__negvar__", -F.col(var_col))
+    agg = df.groupBy(*keys).agg(
+        F.count(r).alias("n"),
+        F.sum((r < F.col("__negvar__")).cast("long")).alias("violations"),
+        (-F.first("__negvar__")).alias("var") if var_col is None
+        else F.first(var_col).alias("var"),
+    )
+    p = alpha
+    n, s = F.col("n").cast("double"), F.col("violations").cast("double")
+    num = (n - s) * F.lit(math.log(1 - p)) + s * F.lit(math.log(p))
+    den = F.when(s > 0, s * F.log(s / n)).otherwise(0.0) + F.when(
+        s < n, (n - s) * F.log(1 - s / n)
+    ).otherwise(0.0)
+    lr = -2.0 * (num - den)
+    return agg.select(
+        *keys, "n", "violations", "var",
+        lr.alias("lr"),
+        (1.0 - _erf_approx(F.sqrt(lr / 2.0))).alias("pvalue"),
+    )
+
+
+def bootstrap_risk(
+    df: DataFrame,
+    keys: list[str] | str,
+    ret: str = "ret",
+    alpha: float = 0.05,
+    n_samples: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Bootstrap distribution of the historical risk measures
+    (finance.py:339-358): ``n_samples`` with-replacement resamples, each a
+    ``df.sample(withReplacement=True)`` tagged with a sample id, then the
+    same VaR/ES/moments aggregation per (group, sample).
+
+    Plan shape: the union replays the scan n_samples times — cache the
+    input (or persist to a cheap columnar cache) when the source is an
+    expensive lineage; each resample is embarrassingly parallel and
+    nothing ever gathers to the driver.  Returns the per-sample risk
+    frame; aggregate downstream for CIs (e.g. stddev of var across
+    sample_id = bootstrap stderr).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    samples = [
+        df.sample(withReplacement=True, fraction=1.0, seed=seed + b)
+        .withColumn("__sample__", F.lit(b))
+        for b in range(n_samples)
+    ]
+    allb = samples[0]
+    for s in samples[1:]:
+        allb = allb.unionByName(s)
+    return risk_summary(allb, keys + ["__sample__"], ret=ret, alpha=alpha)\
+        .withColumnRenamed("__sample__", "sample_id")

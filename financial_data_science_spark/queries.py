@@ -1060,6 +1060,52 @@ def risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kupiec_var_backtest",
+    """
+    WITH q AS (
+      SELECT event_type, quantile_cont(value, 0.05) AS qv
+      FROM events GROUP BY event_type),
+    agg AS (
+      SELECT e.event_type,
+             count(e.value)::BIGINT AS n,
+             sum(CASE WHEN e.value < q.qv THEN 1 ELSE 0 END)::BIGINT AS violations,
+             -max(q.qv) AS var
+      FROM events e JOIN q USING (event_type) GROUP BY 1),
+    lrc AS (
+      SELECT *,
+        -2 * ( (n - violations) * ln(0.95) + violations * ln(0.05)
+             - (CASE WHEN violations > 0
+                     THEN violations * ln(violations / n::DOUBLE) ELSE 0 END)
+             - (CASE WHEN violations < n
+                     THEN (n - violations) * ln(1 - violations / n::DOUBLE) ELSE 0 END)
+             ) AS lr
+      FROM agg),
+    erf AS (
+      SELECT *, 1.0 / (1.0 + 0.3275911 * sqrt(lr / 2)) AS t FROM lrc)
+    SELECT event_type, n, violations, round(var, 6) AS var, round(lr, 6) AS lr,
+           round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                 + t * (-1.453152027 + t * 1.061405429)))) * exp(-lr / 2), 6)
+             AS pvalue
+    FROM erf
+    """,
+)
+def kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 extension: Kupiec proportion-of-failures LR coverage test of
+    the historical VaR per event type (finance.py:360-389); pvalue via
+    the Abramowitz-Stegun erf polynomial replayed identically in the
+    oracle."""
+    from financial_data_science_spark.functions.stats import kupiec_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = kupiec_stats(ev, "event_type", ret="value", alpha=0.05)
+    return out.select(
+        "event_type", "n", "violations",
+        _r("var").alias("var"), _r("lr").alias("lr"),
+        _r("pvalue").alias("pvalue"),
+    )
+
+
+@query(
     "cube_revenue",
     """
     SELECT l_returnflag, l_linestatus,

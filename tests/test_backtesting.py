@@ -120,3 +120,46 @@ def test_event_study_analytic_car(spark, calendar_dates):
     np.testing.assert_allclose(
         one["bhar"].to_numpy(), (1.01 ** np.arange(1, 6)) - 1, rtol=1e-9
     )
+
+
+def test_kupiec_matches_closed_form(spark, daily):
+    """LR and chi2(1) pvalue vs the exact math.erf closed form
+    (finance.py:360-389)."""
+    import math
+
+    from financial_data_science_spark.functions.stats import kupiec_stats
+
+    out = (
+        kupiec_stats(daily.filter(F.col("ret").isNotNull()), [], ret="ret", alpha=0.05)
+        .toPandas()
+        .iloc[0]
+    )
+    n, s = int(out["n"]), int(out["violations"])
+    p = 0.05
+    num = (n - s) * math.log(1 - p) + s * math.log(p)
+    den = (n - s) * math.log(1 - s / n) + s * math.log(s / n)
+    lr = -2 * (num - den)
+    assert out["lr"] == pytest.approx(lr, rel=1e-9)
+    # A&S approximation vs exact erf: |err| < 1.5e-7
+    assert out["pvalue"] == pytest.approx(1 - math.erf(math.sqrt(lr / 2)), abs=2e-7)
+    # in-sample 5% VaR violates ~5% of the time by construction
+    assert s / n == pytest.approx(0.05, abs=0.01)
+
+
+def test_bootstrap_risk_distribution(spark, daily):
+    """Bootstrap VaR distribution centers on the point estimate, is
+    deterministic under a fixed seed, and yields a positive stderr."""
+    from financial_data_science_spark.functions.stats import (
+        bootstrap_risk,
+        risk_summary,
+    )
+
+    src = daily.filter(F.col("ret").isNotNull()).filter(F.col("permno") <= 10010)
+    point = risk_summary(src, [], ret="ret").toPandas().iloc[0]["var"]
+    bs = bootstrap_risk(src, [], ret="ret", n_samples=12, seed=7).toPandas()
+    assert len(bs) == 12 and bs["sample_id"].nunique() == 12
+    assert bs["var"].std(ddof=1) > 0
+    assert abs(bs["var"].mean() - point) < 4 * bs["var"].std(ddof=1) / (12 ** 0.5) + 1e-4
+    again = bootstrap_risk(src, [], ret="ret", n_samples=12, seed=7).toPandas()
+    assert (bs.sort_values("sample_id")["var"].to_numpy()
+            == again.sort_values("sample_id")["var"].to_numpy()).all()
