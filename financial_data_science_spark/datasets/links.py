@@ -67,3 +67,46 @@ def get_permnos(
     with_date = keys.withColumn("__d__", F.lit(date))
     out = get_linked(with_date, links, date_field="__d__", key=key)
     return out.drop("__d__").fillna({"lpermno": 0})
+
+
+def build_ibes_links(
+    idents: DataFrame,
+    names: DataFrame,
+) -> DataFrame:
+    """IBES ticker -> CRSP permno bridge (reference ibes.py:131-158
+    write_links): each ident row (ticker, sdates, cusip, cname) picks the
+    CRSP names row with the same 8-char cusip and the max name-date <=
+    sdates.  The reference runs a correlated MAX subquery per row in
+    MySQL; here it is ONE as-of join keyed on cusip (union-ffill shape —
+    no per-row probing, linear in rows at any scale).  Unmatched idents
+    keep null permno (LEFT JOIN semantics).
+    """
+    nm = names.select(
+        F.col("ncusip").alias("cusip"),
+        F.col("date"),
+        F.col("date").alias("namedate"),  # as-of drops the time key; keep a copy
+        "comnam",
+        "permno",
+    )
+    return asof_join(
+        idents, nm, by="cusip", left_on="sdates", right_on="date",
+        right_tiebreak="permno",
+    ).select(
+        "ticker", "sdates", "permno",
+        F.col("namedate").alias("date"), "comnam", "cname", "cusip",
+    )
+
+
+def ibes_get_permnos(
+    links: DataFrame, tickers: DataFrame, date: int
+) -> DataFrame:
+    """Prevailing permno for a ticker list at one date (ibes.py:142-158
+    get_permnos): link row with max sdates <= date per ticker; missing ->
+    0 (reference fillna(0))."""
+    with_date = tickers.withColumn("__d__", F.lit(date))
+    out = asof_join(
+        with_date, links.select("ticker", "sdates", "permno"),
+        by="ticker", left_on="__d__", right_on="sdates",
+        right_tiebreak="permno",
+    )
+    return out.drop("__d__").fillna({"permno": 0})

@@ -1059,6 +1059,48 @@ def risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keydev_oracle_sql() -> str:
+    """CASE expression generated from the SAME python mapping the Spark
+    facade broadcasts — single source of truth for the oracle."""
+    from financial_data_science_spark.datasets.pstat import KEYDEV_EVENTS
+
+    cases = "\n             ".join(
+        f"WHEN {k} THEN '{v.replace(chr(39), chr(39) * 2)}'"
+        for k, v in KEYDEV_EVENTS.items()
+    )
+    return f"""
+    WITH k AS (
+      SELECT event_id % 120 AS keydeveventtypeid, value FROM events),
+    lab AS (
+      SELECT CASE keydeveventtypeid
+             {cases}
+             ELSE 'Other' END AS event_label,
+             value
+      FROM k)
+    SELECT event_label, count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+    FROM lab GROUP BY event_label
+    """
+
+
+@query("keydev_event_labels", None)
+def keydev_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSTAT KeyDev facade: broadcast id->label dimension attach
+    (pstat.py:36-226) over a synthetic keydev id, then label rollup."""
+    from financial_data_science_spark.datasets.pstat import PSTAT
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 120).cast("int").alias("keydeveventtypeid"),
+        "value",
+    )
+    labeled = PSTAT(spark).label_keydev(ev)
+    return labeled.groupBy("event_label").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.avg("value")).alias("avg_value")
+    )
+
+
+ORACLE["keydev_event_labels"] = _keydev_oracle_sql()
+
+
 @query(
     "kupiec_var_backtest",
     """

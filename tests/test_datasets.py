@@ -135,3 +135,66 @@ def test_benchmarks_from_wide(spark):
     out = b.get_series(["Mkt-RF"], 20230101, 20231231).toPandas()
     assert out["permno"].tolist() == ["Mkt-RF", "Mkt-RF"]
     np.testing.assert_allclose(sorted(out["ret"]), [-0.02, 0.01])
+
+
+def test_pstat_keydev_labels(spark):
+    from financial_data_science_spark.datasets.pstat import (
+        KEYDEV_EVENTS,
+        KEYDEV_ROLES,
+        PSTAT,
+    )
+
+    df = spark.createDataFrame(
+        [(28, 1), (47, 3), (999, 14), (85, 99)],
+        "keydeveventtypeid int, keydevtoobjectroletypeid int",
+    )
+    got = PSTAT(spark).label_keydev(df).toPandas()
+    lut = got.set_index("keydeveventtypeid")
+    assert lut.loc[28, "event_label"] == KEYDEV_EVENTS[28]
+    assert lut.loc[999, "event_label"] == "Other"
+    assert lut.loc[85, "role_label"] == "Other"  # role 99 unknown
+    assert (
+        got.set_index("keydevtoobjectroletypeid").loc[3, "role_label"]
+        == KEYDEV_ROLES[3]
+    )
+
+
+def test_ibes_link_bridge(spark):
+    """write_links as-of semantics: max names.date <= sdates per cusip;
+    unmatched idents keep null permno (ibes.py:131-158)."""
+    import pandas as pd
+
+    from financial_data_science_spark.datasets.links import (
+        build_ibes_links,
+        ibes_get_permnos,
+    )
+
+    idents = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ticker": ["AAA", "AAA", "BBB", "CCC"],
+                "sdates": [20200115, 20210115, 20200601, 20200601],
+                "cusip": ["11111111", "11111111", "22222222", "33333333"],
+                "cname": ["A Corp", "A Corp", "B Corp", "C Corp"],
+            }
+        )
+    )
+    names = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ncusip": ["11111111", "11111111", "22222222"],
+                "date": [20200101, 20200701, 20200301],
+                "comnam": ["A OLD", "A NEW", "B CO"],
+                "permno": [101, 101, 202],
+            }
+        )
+    )
+    links = build_ibes_links(idents, names).toPandas().set_index(["ticker", "sdates"])
+    assert links.loc[("AAA", 20200115), "comnam"] == "A OLD"   # 0101 <= 0115
+    assert links.loc[("AAA", 20210115), "comnam"] == "A NEW"   # 0701 <= 2021
+    assert links.loc[("BBB", 20200601), "permno"] == 202
+    assert pd.isna(links.loc[("CCC", 20200601), "permno"])     # no cusip match
+    ldf = build_ibes_links(idents, names)
+    t = spark.createDataFrame(pd.DataFrame({"ticker": ["AAA", "BBB", "ZZZ"]}))
+    pm = ibes_get_permnos(ldf, t, 20200701).toPandas().set_index("ticker")["permno"]
+    assert pm["AAA"] == 101 and pm["BBB"] == 202 and pm["ZZZ"] == 0
