@@ -45,9 +45,30 @@ def covariance_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
 
 def min_variance_weights(cov: np.ndarray) -> np.ndarray:
     """Global-minimum-variance portfolio w = S^-1 1 / (1' S^-1 1)
-    (finance.py:24-49 quadprog special case, closed form)."""
+    (finance.py:24-37 gmv_portfolio, closed form)."""
     ones = np.ones(cov.shape[0])
     x = np.linalg.solve(cov, ones)
+    return x / x.sum()
+
+
+def efficient_weights(cov: np.ndarray, mu: np.ndarray, target: float) -> np.ndarray:
+    """Minimum-variance portfolio meeting a target expected return
+    (finance.py:39-57 efficient_portfolio): the two-constraint Markowitz
+    solution w = S^-1 M B^-1 [target, 1]' with M = [mu, 1], B = M' S^-1 M.
+    Driver-side N x N solve on the Spark-computed covariance
+    (econs.cov_matrix) — N assets, small by construction."""
+    mu = np.asarray(mu, dtype="float64").ravel()
+    m = np.column_stack([mu, np.ones(len(mu))])
+    sinv_m = np.linalg.solve(cov, m)
+    b = m.T @ sinv_m
+    return sinv_m @ np.linalg.solve(b, np.array([target, 1.0]))
+
+
+def tangency_weights(cov: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    """Maximum-Sharpe (tangency) portfolio w ∝ S^-1 mu, normalized to
+    w'1 = 1 (finance.py:59-75 tangency_portfolio)."""
+    mu = np.asarray(mu, dtype="float64").ravel()
+    x = np.linalg.solve(cov, mu)
     return x / x.sum()
 
 

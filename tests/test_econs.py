@@ -205,3 +205,52 @@ def test_rowmatrix_factors_match_driver_svd(spark):
         if np.dot(a, b) < 0:
             b = -b
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+
+
+def test_efficient_and_tangency_portfolios():
+    """Constraint satisfaction + optimality by perturbation + the
+    efficient frontier containing both gmv and tangency as special cases
+    (finance.py:24-75)."""
+    from financial_data_science_spark.functions.econs import (
+        efficient_weights,
+        min_variance_weights,
+        tangency_weights,
+    )
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(6, 4))
+    cov = a.T @ a / 6 + np.eye(4) * 0.01
+    mu = np.array([0.02, 0.05, 0.03, 0.08])
+
+    target = 0.04
+    w = efficient_weights(cov, mu, target)
+    assert w.sum() == pytest.approx(1.0)
+    assert w @ mu == pytest.approx(target)
+    # any other feasible perturbation has higher variance
+    base = w @ cov @ w
+    d = np.array([1.0, -1.0, 0.0, 0.0])  # stays feasible iff d'1=0 and d'mu=0
+    d -= (d @ mu) / (np.ones(4) @ mu) * np.ones(4)
+    d -= d.sum() / 4
+    d -= (d @ mu) * np.linalg.lstsq(
+        np.column_stack([mu, np.ones(4)]).T, np.array([1.0, 0.0]), rcond=None
+    )[0] @ np.column_stack([mu, np.ones(4)]).T
+    # project d onto the feasible subspace {d: d'1=0, d'mu=0} exactly
+    m = np.column_stack([mu, np.ones(4)])
+    d = np.array([1.0, -1.0, 0.5, -0.5])
+    d = d - m @ np.linalg.solve(m.T @ m, m.T @ d)
+    assert abs(d @ mu) < 1e-12 and abs(d.sum()) < 1e-12
+    for eps in (0.01, -0.01):
+        wp = w + eps * d
+        assert wp @ cov @ wp >= base - 1e-15
+
+    tw = tangency_weights(cov, mu)
+    assert tw.sum() == pytest.approx(1.0)
+    # tangency maximizes sharpe among frontier portfolios
+    sharpe = (tw @ mu) / np.sqrt(tw @ cov @ tw)
+    for t2 in (0.03, 0.05, 0.07):
+        we = efficient_weights(cov, mu, t2)
+        s2 = (we @ mu) / np.sqrt(we @ cov @ we)
+        assert sharpe >= s2 - 1e-12
+    # gmv is the unconstrained-return frontier minimum
+    gmv = min_variance_weights(cov)
+    assert gmv @ cov @ gmv <= w @ cov @ w + 1e-15
