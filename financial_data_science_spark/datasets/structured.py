@@ -163,6 +163,13 @@ class CRSP(Stocks):
                 & (F.col("capco") > 0)
             )
         )
+        # capco is a float window-SUM shared by every row of a permco, so
+        # decile breakpoints routinely land EXACTLY on tied capco values;
+        # the strict-> bucketing (filters.py:281-287) would then flip on
+        # last-bit summation-order differences between engines/partitionings.
+        # Fixing the precision before breakpoints+bucketing makes the split
+        # deterministic (6 dp ~ 1e9x the ulp of a dollar-scale cap).
+        uni = uni.withColumn("capco", F.round("capco", 6))
         return fractile_split(
             uni, "capco", key_filter=F.col("exchcd") == 1, out="decile",
             ascending=False, exact=True,

@@ -2582,7 +2582,8 @@ def daily_portfolio_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap AS (
       SELECT s.permno, abs(prc) * shrout AS cap, n.shrcd, n.exchcd, n.permco
       FROM sec s JOIN names n ON s.permno = n.permno),
-    capco AS (SELECT *, sum(cap) OVER (PARTITION BY permco) AS capco FROM cap),
+    capco AS (SELECT *, round(sum(cap) OVER (PARTITION BY permco), 6) AS capco
+              FROM cap),
     uni AS (
       SELECT * FROM capco
       WHERE shrcd IN (10, 11) AND exchcd IN (1, 2, 3)

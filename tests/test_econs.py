@@ -228,12 +228,6 @@ def test_efficient_and_tangency_portfolios():
     assert w @ mu == pytest.approx(target)
     # any other feasible perturbation has higher variance
     base = w @ cov @ w
-    d = np.array([1.0, -1.0, 0.0, 0.0])  # stays feasible iff d'1=0 and d'mu=0
-    d -= (d @ mu) / (np.ones(4) @ mu) * np.ones(4)
-    d -= d.sum() / 4
-    d -= (d @ mu) * np.linalg.lstsq(
-        np.column_stack([mu, np.ones(4)]).T, np.array([1.0, 0.0]), rcond=None
-    )[0] @ np.column_stack([mu, np.ones(4)]).T
     # project d onto the feasible subspace {d: d'1=0, d'mu=0} exactly
     m = np.column_stack([mu, np.ones(4)])
     d = np.array([1.0, -1.0, 0.5, -0.5])
