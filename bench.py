@@ -5,6 +5,13 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 (SURVEY §6): as-of join (J1), event-window join (J4), groupwise
 compounding (A2), breakpoint deciles (A6), tick binning (A11) — plus
 TPC-H-shaped scan/join/agg and the LLM-pipeline operators.
+
+The headline measures the PRODUCTION paths: minhash/simhash run the
+fused JVM xxhash64 family.  The slower portable arithmetic-hash variants
+(needed only so the DuckDB oracle can recompute values bit-for-bit) are
+timed separately under "oracle_path" and excluded from the headline
+total.  Both raw run times ("runs") and /proc load + CPU-steal stamps
+are reported so hypervisor noise is separable from plan regressions.
 """
 
 from __future__ import annotations
@@ -34,10 +41,100 @@ BENCH_QUERIES = [
     "holdings_turnover",
     "sessionization",
     "jaccard_near_dups",
-    "minhash_lsh_candidates",
+    "minhash_lsh_production",
+    "simhash_production",
     "cosine_topk",
     "text_quality",
 ]
+
+# correctness-oracle variants (portable arithmetic hash; deliberately
+# slower than the xxhash64 production path) — labeled, not in the headline
+ORACLE_PATH_QUERIES = [
+    "minhash_lsh_candidates",
+    "simhash_near_dups",
+]
+
+
+def _production_minhash(spark, sf_dir):
+    """xxhash64 MinHash+LSH — the production default of
+    similarity.minhash_candidates (portable=False)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions import similarity as SIM
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SIM.minhash_candidates(docs, num_hashes=64, bands=32).filter(
+        F.col("est_jaccard") >= 0.4
+    )
+
+
+def _production_simhash(spark, sf_dir):
+    """xxhash64 SimHash near-dup pairs: 16-bit band block + Hamming<=6."""
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions import similarity as SIM
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = SIM.simhash_signatures(docs, bits=62).select("doc_id", "simhash")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    lt = bands.select(
+        F.col("doc_id").alias("left_id"), F.col("simhash").alias("sl"), "band", "key"
+    )
+    rt = bands.select(
+        F.col("doc_id").alias("right_id"), F.col("simhash").alias("sr"), "band", "key"
+    )
+    return (
+        lt.join(rt, ["band", "key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            SIM.hamming64(F.col("sl"), F.col("sr")).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+EXTRA = {
+    "minhash_lsh_production": _production_minhash,
+    "simhash_production": _production_simhash,
+}
+
+
+def _read_steal_jiffies() -> int:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu ... steal is field 8 (0-based after 'cpu')
+    except Exception:
+        return 0
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:
+        return []
 
 
 def main() -> None:
@@ -51,18 +148,37 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR).values():
         df.limit(1).count()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    load0, steal0, wall0 = _loadavg(), _read_steal_jiffies(), time.time()
+
+    def run(name: str) -> tuple[float, list[float], int]:
+        fn = EXTRA.get(name) or Q[name]
         # min of 2 runs: this host shows heavy CPU-steal variance; the min
-        # reflects steady-state plan cost rather than hypervisor noise
-        best, n = float("inf"), 0
+        # reflects steady-state plan cost rather than hypervisor noise —
+        # both raw runs are reported so the two are separable
+        runs, n = [], 0
         for _ in range(2):
             t0 = time.time()
-            df = Q[name](spark, SF_DIR)
+            df = fn(spark, SF_DIR)
             n = df.count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        return min(runs), runs, n
+
+    times: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
+    for name in BENCH_QUERIES:
+        times[name], raw_runs[name], n = run(name)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    oracle_times: dict[str, float] = {}
+    for name in ORACLE_PATH_QUERIES:
+        oracle_times[name], raw_runs[name], n = run(name)
+        print(f"# [oracle-path] {name}: {n} rows in {oracle_times[name]:.2f}s",
+              file=sys.stderr)
+
+    wall = time.time() - wall0
+    steal_jiffies = _read_steal_jiffies() - steal0
+    # steal% of one-CPU time over the bench wall-clock (jiffies = 10ms)
+    steal_pct = round(100.0 * steal_jiffies * 0.01 / max(wall, 1e-9), 2)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -70,6 +186,11 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "oracle_path": oracle_times,
+        "runs": raw_runs,
+        "loadavg_start": load0,
+        "loadavg_end": _loadavg(),
+        "cpu_steal_pct_of_wall": steal_pct,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -5,6 +5,16 @@ pairs, pstat.py:347-363).  GraphFrames jars are not in this image, so the
 core measures are implemented directly as DataFrame iterations — each
 PageRank sweep is one join + one aggregation, the classic Pregel-as-SQL
 shape that scales to billions of edges (networkx does not).
+
+Coverage vs reference nodes_centrality (recipes/graph.py:185-231):
+degree, eigenvector, pagerank, hub/authority (HITS), closeness (for a
+queried source subset; all-vertex closeness is O(V*E*diam) — at cluster
+scale run it on the vertices you need or landmark-sample).  EXCLUDED by
+design: exact all-pairs betweenness — Brandes' algorithm needs a
+per-source shortest-path DAG plus reverse-order dependency accumulation,
+which distributes as V synchronized BFS+backprop rounds; at 100 TB scale
+that is a dedicated system (or a sampled approximation whose error bars
+the reference's networkx call doesn't model), not a query operator.
 """
 
 from __future__ import annotations
@@ -271,3 +281,274 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration (reference
+    recipes/graph.py:210-222 nodes_centrality 'eigenvector').
+
+    Follows the networkx update x_{t+1} = (I + A) x_t on the undirected
+    graph — the +I shift guarantees convergence on bipartite structures
+    (plain A x oscillates) — then L2-normalizes each sweep.  The
+    normalizer is a one-row aggregate crossJoined back in (stays in the
+    plan; no driver round-trip per sweep), and lineage is truncated with
+    localCheckpoint like pagerank.  Fixed iteration count keeps the
+    result engine-reproducible for the oracle.
+    """
+    ue = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    verts = ue.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    x = verts.withColumn("x", F.lit(1.0 / n))
+    for i in range(max_iter):
+        nbr = (
+            ue.join(x, ue.b == x.id)
+            .groupBy("a")
+            .agg(F.sum("x").alias("nx"))
+        )
+        y = (
+            x.join(nbr, x.id == nbr.a, "left")
+            .select("id", (F.col("x") + F.coalesce("nx", F.lit(0.0))).alias("y"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        x = y.crossJoin(norm).select("id", (F.col("y") / F.col("nrm")).alias("x"))
+        if (i + 1) % checkpoint_every == 0:
+            x = x.localCheckpoint(eager=True)
+    return x.select("id", F.col("x").alias("eigenvector"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """HITS hub/authority scores (reference recipes/graph.py:222
+    nodes_centrality 'hub'/'authority').
+
+    networkx semantics on the directed graph: per sweep
+    ``auth = A' hub`` then ``hub = A auth``, each max-normalized; final
+    scores sum-normalized.  Every step is a join + aggregation; the
+    normalizers are one-row aggregates crossJoined back (in-plan).
+    Vertices with no in-edges get authority 0, no out-edges hub 0.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    h = verts.withColumn("h", F.lit(1.0 / n))
+    a = None
+    for i in range(max_iter):
+        a_raw = (
+            e.join(h, e.src == h.id)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        a = (
+            verts.join(a_raw, verts.id == a_raw.dst, "left")
+            .select("id", F.coalesce("ar", F.lit(0.0)).alias("a"))
+        )
+        amax = a.agg(F.max("a").alias("mx"))
+        a = a.crossJoin(amax).select("id", (F.col("a") / F.col("mx")).alias("a"))
+        h_raw = (
+            e.join(a, e.dst == a.id)
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        h = (
+            verts.join(h_raw, verts.id == h_raw.src, "left")
+            .select("id", F.coalesce("hr", F.lit(0.0)).alias("h"))
+        )
+        hmax = h.agg(F.max("h").alias("mx"))
+        h = h.crossJoin(hmax).select("id", (F.col("h") / F.col("mx")).alias("h"))
+        if (i + 1) % checkpoint_every == 0:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    hsum = h.agg(F.sum("h").alias("s"))
+    asum = a.agg(F.sum("a").alias("s"))
+    hn = h.crossJoin(hsum).select("id", (F.col("h") / F.col("s")).alias("hub"))
+    an = a.crossJoin(asum).select("id", (F.col("a") / F.col("s")).alias("authority"))
+    return hn.join(an, "id")
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "lab",
+) -> DataFrame:
+    """Per-community modularity contributions on the undirected graph
+    (reference recipes/graph.py:268-285 community_quality 'modularity').
+
+    Q_c = L_c/m - (k_c/2m)^2 where L_c = intra-community edges, k_c = sum
+    of member degrees, m = total undirected edges.  One labels join per
+    edge endpoint + one groupBy — no iteration.  Also reports members and
+    intra-pair counts for the coverage/performance metrics.
+    """
+    # canonical undirected edge list (one row per edge, a < b after dedup)
+    ue = _undirected(edges, src, dst).filter(F.col("a") < F.col("b"))
+    lab_a = labels.select(
+        F.col(id_col).alias("a"), F.col(label_col).alias("la")
+    )
+    lab_b = labels.select(
+        F.col(id_col).alias("b"), F.col(label_col).alias("lb")
+    )
+    tagged = ue.join(lab_a, "a").join(lab_b, "b")
+    m_row = tagged.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = (
+        _undirected(edges, src, dst)
+        .groupBy(F.col("a").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ksum = (
+        labels.join(deg, labels[id_col] == deg.vid, "left")
+        .groupBy(F.col(label_col).alias("community"))
+        .agg(
+            F.sum(F.coalesce("deg", F.lit(0))).alias("degree_sum"),
+            F.count(F.lit(1)).alias("members"),
+        )
+    )
+    return (
+        ksum.join(intra, "community", "left")
+        .fillna(0, subset=["internal_edges"])
+        .crossJoin(m_row)
+        .select(
+            "community",
+            "members",
+            "internal_edges",
+            "degree_sum",
+            (
+                F.col("internal_edges") / F.col("m")
+                - (F.col("degree_sum") / (2.0 * F.col("m"))) ** 2
+            ).alias("contribution"),
+        )
+    )
+
+
+def community_quality(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "lab",
+) -> DataFrame:
+    """One-row partition quality summary (reference graph.py:268-285):
+    community count, modularity, coverage (intra-edge fraction), and
+    performance ((intra-edges + inter non-edges) / all pairs) — the
+    networkx partition_quality pair."""
+    per = modularity(edges, labels, src, dst, id_col, label_col)
+    m_edges = (
+        _undirected(edges, src, dst).filter(F.col("a") < F.col("b"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    n_nodes = labels.agg(F.count(F.lit(1)).alias("n"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("communities"),
+        F.sum("contribution").alias("modularity"),
+        F.sum("internal_edges").alias("intra_edges"),
+        F.sum(F.col("members") * (F.col("members") - 1) / 2).alias("intra_pairs"),
+    )
+    return (
+        agg.crossJoin(m_edges)
+        .crossJoin(n_nodes)
+        .select(
+            "communities",
+            "modularity",
+            (F.col("intra_edges") / F.col("m")).alias("coverage"),
+            (
+                (
+                    F.col("intra_edges")
+                    + (
+                        F.col("n") * (F.col("n") - 1) / 2
+                        - F.col("intra_pairs")
+                        - (F.col("m") - F.col("intra_edges"))
+                    )
+                )
+                / (F.col("n") * (F.col("n") - 1) / 2)
+            ).alias("performance"),
+        )
+    )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "id",
+    hops: int = 8,
+) -> DataFrame:
+    """Exact closeness centrality for the given source vertices
+    (reference recipes/graph.py:225-228 nodes_centrality 'closeness'),
+    distances capped at ``hops`` (set >= graph diameter for exactness).
+
+    Multi-source BFS: state is a (source, node, dist) frame; each sweep
+    joins the frontier to the edge list and min-merges — k sources cost
+    k parallel BFS sharing the same shuffles, so per-source cost amortizes.
+    All-vertex closeness is O(V*E*diam) — at cluster scale compute it for
+    the vertex subset you need (or landmark-sample); exact all-pairs
+    betweenness (Brandes) needs per-source dependency back-propagation on
+    top of this and is deliberately NOT implemented — see module notes.
+
+    Uses the Wasserman-Faust improved formula (networkx default):
+    c(s) = ((r-1)/(n-1)) * ((r-1)/sum_dist) with r = vertices reached.
+    """
+    ue = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    n_nodes = (
+        ue.select(F.col("a").alias("id")).distinct().count()
+    )
+    seed = sources.select(F.col(source_col).alias("s")).distinct()
+    dist = seed.select("s", F.col("s").alias("node"), F.lit(0).alias("d"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, hops + 1):
+        # expand the frontier then min-merge with known distances — the
+        # groupBy-min is the simplest correct merge (an anti-join against
+        # visited would save re-aggregating but self-referencing joins on
+        # checkpointed frames re-alias attribute ids and get brittle)
+        expanded = (
+            frontier.join(ue, frontier.node == ue.a)
+            .select("s", F.col("b").alias("node"), F.lit(k).alias("d"))
+        )
+        merged = (
+            dist.union(expanded)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        # new frontier = nodes first reached this sweep
+        frontier = merged.filter(F.col("d") == k)
+        if frontier.isEmpty():
+            dist = merged
+            break
+        dist = merged
+    per_src = dist.filter(F.col("node") != F.col("s")).groupBy("s").agg(
+        F.count(F.lit(1)).alias("r_minus_1"),
+        F.sum("d").alias("sum_dist"),
+    )
+    return per_src.select(
+        F.col("s").alias("id"),
+        (
+            (F.col("r_minus_1") / F.lit(n_nodes - 1))
+            * (F.col("r_minus_1") / F.col("sum_dist"))
+        ).alias("closeness"),
+    )

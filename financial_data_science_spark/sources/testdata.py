@@ -45,6 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: ns epoch (~1.7e18) exceeds double's 53-bit
         # mantissa, so `/ 1000` would be off by ±1us on some rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # newer driver snapshots write naive timestamps (TIMESTAMP_NTZ), which
+    # many builtins (unix_micros, double casts) refuse; with the session
+    # timezone pinned to UTC the cast to TIMESTAMP preserves wall-clock
+    # values exactly, matching how DuckDB reads the same parquet.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -107,7 +107,9 @@ def read_events_stream(
     """readStream over the driver's events parquet (one file => one batch).
 
     Schema must be supplied for streaming reads; defaults to the events
-    table shape with ns-as-long ts converted to TimestampType.
+    table shape with the naive parquet timestamp[us] ts read as NTZ then
+    cast to session-TZ TimestampType (UTC session => same wall clock,
+    matching the batch loader in sources/testdata.py).
     """
     import os
 
@@ -115,7 +117,7 @@ def read_events_stream(
         schema = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
                 T.StructField("user_id", T.LongType()),
                 T.StructField("event_type", T.StringType()),
                 T.StructField("value", T.DoubleType()),
@@ -129,4 +131,4 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -29,7 +29,7 @@ def test_close_ticks_parity_across_batches(spark, tmp_path):
         load_table(spark, SF, "events")
         .select(
             F.col("user_id").cast("string").alias("key"),
-            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             F.col("value").cast("double").alias("value"),
         )
     )
