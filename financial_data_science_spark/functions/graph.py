@@ -288,7 +288,7 @@ def eigenvector_centrality(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 8,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Eigenvector centrality by power iteration (reference
     recipes/graph.py:210-222 nodes_centrality 'eigenvector').
@@ -327,7 +327,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 8,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """HITS hub/authority scores (reference recipes/graph.py:222
     nodes_centrality 'hub'/'authority').

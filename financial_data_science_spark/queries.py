@@ -1251,15 +1251,15 @@ def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
     sweep, mirroring graph.pagerank's update exactly (no dangling-mass
     redistribution; missing in-edges -> (1-d)/N)."""
     head = """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-    nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
-    deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+    verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts),
+    deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
     r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"""
     step = """,
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT v.id, {base} / (SELECT n FROM nv) + {d} * coalesce(c.csum, 0) AS rank
       FROM verts v LEFT JOIN (
         SELECT e.dst AS id, sum(p.rank / d.outdeg) AS csum
@@ -1331,20 +1331,20 @@ def _label_prop_oracle_sql(iters: int = 5) -> str:
     graph.label_propagation: adopt the most frequent neighbor label, ties
     to the smallest label."""
     head = """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+    ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0 WHERE src != dst
            UNION SELECT dst, src FROM e0 WHERE src != dst),
-    l0 AS (SELECT DISTINCT a AS id, a AS lab FROM ue)"""
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM ue)"""
     step = """,
-    c{k} AS (SELECT ue.a AS id, p.lab, count(*) AS c
+    c{k} AS MATERIALIZED (SELECT ue.a AS id, p.lab, count(*) AS c
              FROM ue JOIN l{prev} p ON p.id = ue.b GROUP BY 1, 2),
     b{k} AS (SELECT id, lab FROM (
                SELECT id, lab, row_number() OVER (
                  PARTITION BY id ORDER BY c DESC, lab) AS rn FROM c{k})
              WHERE rn = 1),
-    l{k} AS (SELECT p.id, coalesce(b.lab, p.lab) AS lab
+    l{k} AS MATERIALIZED (SELECT p.id, coalesce(b.lab, p.lab) AS lab
              FROM l{prev} p LEFT JOIN b{k} b ON b.id = p.id)"""
     body = "".join(step.format(k=k, prev=k - 1) for k in range(1, iters + 1))
     return head + body + f"\n    SELECT id, lab FROM l{iters}"
@@ -1361,6 +1361,197 @@ def supply_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["supply_communities"] = _label_prop_oracle_sql()
+
+
+_SUPPLY_UE_CTE = """
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0 WHERE src != dst
+           UNION SELECT dst, src FROM e0 WHERE src != dst)"""
+
+
+def _eigenvector_oracle_sql(iters: int = 8) -> str:
+    """Fixed-iteration (I+A) power sweep with per-sweep L2 normalization,
+    mirroring graph.eigenvector_centrality exactly."""
+    head = f"""
+    WITH {_SUPPLY_UE_CTE},
+    verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM ue),
+    x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS x FROM verts)"""
+    step = """,
+    y{k} AS MATERIALIZED (SELECT v.id, v.x + coalesce(s.nx, 0) AS y
+             FROM x{prev} v LEFT JOIN (
+               SELECT ue.a AS id, sum(p.x) AS nx
+               FROM ue JOIN x{prev} p ON p.id = ue.b GROUP BY 1) s
+             ON s.id = v.id),
+    x{k} AS MATERIALIZED (SELECT id, y / (SELECT sqrt(sum(y * y)) FROM y{k}) AS x FROM y{k})"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, iters + 1))
+    return head + body + f"\n    SELECT id, round(x, 6) AS eigenvector FROM x{iters}"
+
+
+@query("supply_eigenvector", None)
+def supply_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over the undirected supply network
+    (recipes/graph.py:210-222) — (I+A) power iteration, in-plan L2
+    normalizers; the oracle replays the same 8 sweeps as a CTE chain."""
+    from financial_data_science_spark.functions.graph import (
+        eigenvector_centrality,
+    )
+
+    out = eigenvector_centrality(_supply_edges(spark, sf_dir), max_iter=8)
+    return out.select("id", _r("eigenvector").alias("eigenvector"))
+
+
+ORACLE["supply_eigenvector"] = _eigenvector_oracle_sql()
+
+
+def _hits_oracle_sql(iters: int = 8) -> str:
+    """Fixed-iteration HITS: a = A'h (max-norm), h = Aa (max-norm), final
+    sum normalization — mirroring graph.hits exactly."""
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS h FROM verts)"""
+    step = """,
+    ar{k} AS MATERIALIZED (SELECT v.id, coalesce(s.ar, 0) AS a FROM verts v LEFT JOIN (
+                SELECT e.dst AS id, sum(p.h) AS ar
+                FROM e JOIN h{prev} p ON p.id = e.src GROUP BY 1) s
+              ON s.id = v.id),
+    a{k} AS MATERIALIZED (SELECT id, a / (SELECT max(a) FROM ar{k}) AS a FROM ar{k}),
+    hr{k} AS MATERIALIZED (SELECT v.id, coalesce(s.hr, 0) AS h FROM verts v LEFT JOIN (
+                SELECT e.src AS id, sum(p.a) AS hr
+                FROM e JOIN a{k} p ON p.id = e.dst GROUP BY 1) s
+              ON s.id = v.id),
+    h{k} AS MATERIALIZED (SELECT id, h / (SELECT max(h) FROM hr{k}) AS h FROM hr{k})"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, iters + 1))
+    return head + body + f"""
+    SELECT h.id, round(h.h / (SELECT sum(h) FROM h{iters}), 6) AS hub,
+           round(a.a / (SELECT sum(a) FROM a{iters}), 6) AS authority
+    FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
+
+
+@query("supply_hits", None)
+def supply_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority over the directed supply network
+    (recipes/graph.py:222); oracle replays the same 8 normalized sweeps."""
+    from financial_data_science_spark.functions.graph import hits
+
+    out = hits(_supply_edges(spark, sf_dir), max_iter=8)
+    return out.select(
+        "id", _r("hub").alias("hub"), _r("authority").alias("authority")
+    )
+
+
+ORACLE["supply_hits"] = _hits_oracle_sql()
+
+
+def _community_quality_oracle_sql(iters: int = 5) -> str:
+    """Replay the label-propagation sweeps, then score the partition:
+    modularity, coverage, performance (reference graph.py:268-285)."""
+    lp = _label_prop_oracle_sql(iters)
+    lp_body = lp[: lp.rindex("\n    SELECT id, lab FROM")]
+    return lp_body + f""",
+    lab AS MATERIALIZED (SELECT id, lab FROM l{iters}),
+    canon AS MATERIALIZED (SELECT a, b FROM ue WHERE a < b),
+    tagged AS MATERIALIZED (SELECT c.a, c.b, la.lab AS la, lb.lab AS lb
+               FROM canon c JOIN lab la ON la.id = c.a
+               JOIN lab lb ON lb.id = c.b),
+    mm AS (SELECT count(*)::DOUBLE AS m FROM tagged),
+    deg AS (SELECT a AS id, count(*)::DOUBLE AS deg FROM ue GROUP BY 1),
+    ks AS (SELECT l.lab AS community,
+                  sum(coalesce(d.deg, 0)) AS degree_sum,
+                  count(*)::DOUBLE AS members
+           FROM lab l LEFT JOIN deg d ON d.id = l.id GROUP BY 1),
+    intra AS (SELECT la AS community, count(*)::DOUBLE AS ie
+              FROM tagged WHERE la = lb GROUP BY 1),
+    per AS (SELECT ks.community, ks.members, coalesce(intra.ie, 0) AS ie,
+                   ks.degree_sum
+            FROM ks LEFT JOIN intra ON intra.community = ks.community),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM lab)
+    SELECT count(*)::BIGINT AS communities,
+           round(sum(ie / (SELECT m FROM mm)
+                     - pow(degree_sum / (2 * (SELECT m FROM mm)), 2)), 6)
+             AS modularity,
+           round(sum(ie) / (SELECT m FROM mm), 6) AS coverage,
+           round((sum(ie)
+                  + ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2
+                     - sum(members * (members - 1) / 2)
+                     - ((SELECT m FROM mm) - sum(ie))))
+                 / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2), 6)
+             AS performance
+    FROM per"""
+
+
+@query("supply_community_quality", None)
+def supply_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition quality of the label-propagation communities: count,
+    modularity, coverage, performance (recipes/graph.py:268-285
+    community_quality) — one labels-join + groupBy, no iteration beyond
+    the detection itself."""
+    from financial_data_science_spark.functions.graph import (
+        community_quality,
+        label_propagation,
+    )
+
+    edges = _supply_edges(spark, sf_dir)
+    labels = label_propagation(edges, iters=5)
+    out = community_quality(edges, labels)
+    return out.select(
+        "communities",
+        _r("modularity").alias("modularity"),
+        _r("coverage").alias("coverage"),
+        _r("performance").alias("performance"),
+    )
+
+
+ORACLE["supply_community_quality"] = _community_quality_oracle_sql()
+
+
+def _closeness_oracle_sql(hops: int = 8, n_sources: int = 32) -> str:
+    """Fixed-level multi-source BFS (Bellman-Ford relaxation per level —
+    identical distances to the Spark frontier expansion for the same hop
+    cap) + Wasserman-Faust closeness."""
+    head = f"""
+    WITH {_SUPPLY_UE_CTE},
+    verts AS (SELECT DISTINCT a AS id FROM ue),
+    srcs AS MATERIALIZED (SELECT DISTINCT src AS s FROM e0 ORDER BY s LIMIT {n_sources}),
+    d0 AS MATERIALIZED (SELECT s, s AS node, 0 AS d FROM srcs)"""
+    step = """,
+    d{k} AS MATERIALIZED (SELECT s, node, min(d) AS d FROM (
+               SELECT s, node, d FROM d{prev}
+               UNION ALL
+               SELECT p.s, ue.b AS node, p.d + 1 AS d
+               FROM d{prev} p JOIN ue ON ue.a = p.node)
+             GROUP BY 1, 2)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, hops + 1))
+    return head + body + f"""
+    SELECT s AS id,
+           round((count(*)::DOUBLE / ((SELECT count(*) FROM verts) - 1))
+                 * (count(*)::DOUBLE / sum(d)), 6) AS closeness
+    FROM d{hops} WHERE node != s GROUP BY s"""
+
+
+@query("supply_closeness", None)
+def supply_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality for the 32 smallest supplier vertices
+    (recipes/graph.py:225-228) — multi-source BFS, distances capped at 8
+    hops (>= the bipartite supply graph's diameter); the oracle replays
+    the same BFS as a fixed-level relaxation chain."""
+    from financial_data_science_spark.functions.graph import (
+        closeness_centrality,
+    )
+
+    edges = _supply_edges(spark, sf_dir)
+    sources = (
+        edges.select(F.col("src").alias("id")).distinct().orderBy("id").limit(32)
+    )
+    out = closeness_centrality(edges, sources, hops=8)
+    return out.select("id", _r("closeness").alias("closeness"))
+
+
+ORACLE["supply_closeness"] = _closeness_oracle_sql()
 
 
 # jaccard >= 0.5 pair generation shared with the jaccard_near_dups oracle

@@ -81,3 +81,132 @@ def test_label_propagation_two_cliques(spark):
     out = label_propagation(df, iters=5).toPandas().set_index("id")["lab"]
     assert set(out[[1, 2, 3, 4]]) == {1}
     assert set(out[[11, 12, 13, 14]]) == {11}
+
+
+def _np_power_iteration(nodes, nbrs, iters=8):
+    import numpy as np
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, ns in nbrs.items():
+        for b in ns:
+            A[idx[a], idx[b]] = 1.0
+    x = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(iters):
+        y = x + A @ x
+        x = y / np.sqrt((y * y).sum())
+    return {n: x[idx[n]] for n in nodes}
+
+
+def test_eigenvector_centrality_vs_numpy(spark, edges_df):
+    from financial_data_science_spark.functions.graph import (
+        eigenvector_centrality,
+    )
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in EDGES:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = _np_power_iteration(sorted(nbrs), nbrs, iters=8)
+    got = (
+        eigenvector_centrality(edges_df, max_iter=8)
+        .toPandas()
+        .set_index("id")["eigenvector"]
+    )
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v), n
+
+
+def test_hits_vs_numpy(spark):
+    import numpy as np
+
+    from financial_data_science_spark.functions.graph import hits
+
+    # directed: 1,2 -> {10,11}; 3 -> 10 (hubs = sources, auths = sinks)
+    E = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    nodes = sorted({x for e in E for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in E:
+        A[idx[a], idx[b]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(8):
+        a = A.T @ h
+        a = a / a.max()
+        h = A @ a
+        h = h / h.max()
+    hn, an = h / h.sum(), a / a.sum()
+    got = hits(df, max_iter=8).toPandas().set_index("id")
+    for n in nodes:
+        assert got.loc[n, "hub"] == pytest.approx(hn[idx[n]]), n
+        assert got.loc[n, "authority"] == pytest.approx(an[idx[n]]), n
+    # structure: sinks have no out-edges -> hub 0; sources -> authority 0
+    assert got.loc[10, "hub"] == pytest.approx(0.0)
+    assert got.loc[1, "authority"] == pytest.approx(0.0)
+
+
+def test_modularity_two_cliques(spark):
+    from financial_data_science_spark.functions.graph import (
+        community_quality,
+        label_propagation,
+        modularity,
+    )
+
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(1, 5)]
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    edges.append((4, 11))
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    labels = label_propagation(df, iters=5)
+    per = modularity(df, labels).toPandas().set_index("community")
+    # m=13 edges; each clique: 6 internal, degree sum 3*3+4 = 13
+    assert per.loc[1, "internal_edges"] == 6 and per.loc[11, "internal_edges"] == 6
+    assert per.loc[1, "degree_sum"] == 13
+    q_want = 2 * (6 / 13 - (13 / 26) ** 2)
+    assert per["contribution"].sum() == pytest.approx(q_want)
+    q = community_quality(df, labels).toPandas().iloc[0]
+    assert q["communities"] == 2
+    assert q["modularity"] == pytest.approx(q_want)
+    assert q["coverage"] == pytest.approx(12 / 13)
+    # pairs: n=8 -> 28; intra pairs 2*6=12, all are edges; inter non-edges
+    # = 28 - 12 - 1 = 15 -> performance = (12 + 15) / 28
+    assert q["performance"] == pytest.approx(27 / 28)
+
+
+def test_closeness_path_graph(spark):
+    from financial_data_science_spark.functions.graph import (
+        closeness_centrality,
+    )
+    from pyspark.sql import functions as F
+
+    # path 1-2-3-4-5: closeness known in closed form (wf_improved on a
+    # connected graph reduces to (n-1)/sum_dist)
+    E = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    sources = df.select(F.col("src").alias("id")).union(
+        df.select(F.col("dst").alias("id"))
+    ).distinct()
+    got = closeness_centrality(df, sources, hops=8).toPandas().set_index("id")
+    want = {1: 4 / 10, 2: 4 / 7, 3: 4 / 6, 4: 4 / 7, 5: 4 / 10}
+    for n, v in want.items():
+        assert got.loc[n, "closeness"] == pytest.approx(v), n
+
+
+def test_closeness_disconnected_wf(spark):
+    from financial_data_science_spark.functions.graph import (
+        closeness_centrality,
+    )
+    from pyspark.sql import functions as F
+
+    # two components: 1-2-3 and 4-5; wf factor (r-1)/(n-1) applies
+    E = [(1, 2), (2, 3), (4, 5)]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    sources = df.select(F.col("src").alias("id")).union(
+        df.select(F.col("dst").alias("id"))
+    ).distinct()
+    got = closeness_centrality(df, sources, hops=8).toPandas().set_index("id")
+    assert got.loc[2, "closeness"] == pytest.approx((2 / 4) * (2 / 2))
+    assert got.loc[1, "closeness"] == pytest.approx((2 / 4) * (2 / 3))
+    assert got.loc[4, "closeness"] == pytest.approx((1 / 4) * (1 / 1))
