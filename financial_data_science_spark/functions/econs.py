@@ -72,6 +72,44 @@ def tangency_weights(cov: np.ndarray, mu: np.ndarray) -> np.ndarray:
     return x / x.sum()
 
 
+def long_only_min_variance(cov: np.ndarray, max_iter: int | None = None) -> np.ndarray:
+    """Long-only global-minimum-variance portfolio: min w'Sw s.t.
+    1'w = 1, w >= 0 (reference finance.py:403-413 quadprog — a cvxopt QP
+    with G = -I, h = 0, A = 1', b = 1; cvxopt is not in this image).
+
+    Active-set method on the driver over the Spark-computed covariance
+    (econs.covariance_matrix): solve the equality-constrained GMV on the
+    free set; clamp the most negative weight to zero; at a nonnegative
+    solution check the KKT multipliers of the clamped assets
+    (stationarity 2Sw = lam*1 + mu, mu >= 0 complementary) and free any
+    violator.  Finite for PD S: each distinct active set is visited at
+    most once (standard active-set argument); max_iter defaults to 4x
+    the asset count as a safety stop.  N is small by construction — the
+    distributed work is the covariance aggregation, not this solve.
+    """
+    cov = np.asarray(cov, dtype="float64")
+    n = cov.shape[0]
+    max_iter = max_iter or 4 * n
+    free = np.ones(n, dtype=bool)
+    for _ in range(max_iter):
+        w = np.zeros(n)
+        w[free] = min_variance_weights(cov[np.ix_(free, free)])
+        if w[free].min() < -1e-12:
+            # clamp the most negative free weight to the bound
+            neg = np.where(free)[0][np.argmin(w[free])]
+            free[neg] = False
+            continue
+        # KKT: free assets share (Sw)_i = lam/2; a clamped asset with
+        # (Sw)_i < lam/2 would reduce variance if freed
+        grad = cov @ w
+        lam_half = grad[free].mean()
+        viol = (~free) & (grad < lam_half - 1e-12)
+        if not viol.any():
+            return np.maximum(w, 0.0)
+        free[np.argmin(np.where(viol, grad, np.inf))] = True
+    return np.maximum(w, 0.0)
+
+
 # ------------------------------------------------------------ factors
 
 def _wide_matrix(
@@ -171,9 +209,13 @@ def approximate_factors_rowmatrix(
             ).otherwise(F.col("__sd__")),
         )
     # dense 0-based date index; the window is over the DISTINCT dates only
-    # (T rows), so the single-partition sort is bounded
+    # (T rows), so the single-partition sort is bounded.  Derived from the
+    # UNFILTERED input so a date whose entire cross-section is null keeps
+    # its (all-zero) row, matching the driver pivot in
+    # approximate_factors — otherwise the two paths' date sets diverge on
+    # degenerate panels.
     dmap = (
-        base.select(date_col)
+        df.select(date_col)
         .distinct()
         .withColumn("__idx__", F.row_number().over(Window.orderBy(date_col)) - 1)
     )

@@ -148,8 +148,10 @@ def kupiec_stats(
     agg = df.groupBy(*keys).agg(
         F.count(r).alias("n"),
         F.sum((r < F.col("__negvar__")).cast("long")).alias("violations"),
+        # var_col branch: avg, not first — first() over an unordered group
+        # is nondeterministic across partitionings for time-varying VaR
         (-F.first("__negvar__")).alias("var") if var_col is None
-        else F.first(var_col).alias("var"),
+        else F.avg(var_col).alias("var"),
     )
     p = alpha
     n, s = F.col("n").cast("double"), F.col("violations").cast("double")
@@ -157,7 +159,10 @@ def kupiec_stats(
     den = F.when(s > 0, s * F.log(s / n)).otherwise(0.0) + F.when(
         s < n, (n - s) * F.log(1 - s / n)
     ).otherwise(0.0)
-    lr = -2.0 * (num - den)
+    # mathematically lr >= 0, but it can round to a tiny negative when
+    # s/n is very close to p, which would NaN the sqrt below (and diverge
+    # from the oracle); clamp at 0 in both engines
+    lr = F.greatest(-2.0 * (num - den), F.lit(0.0))
     return agg.select(
         *keys, "n", "violations", "var",
         lr.alias("lr"),
@@ -184,6 +189,16 @@ def bootstrap_risk(
     nothing ever gathers to the driver.  Returns the per-sample risk
     frame; aggregate downstream for CIs (e.g. stddev of var across
     sample_id = bootstrap stderr).
+
+    DEVIATION from the reference (finance.py:339-358): Spark's
+    ``sample(withReplacement=True, fraction=1.0)`` is a *Poisson*
+    bootstrap — each row is drawn Poisson(1) times, so resample sizes
+    vary around n rather than equaling it exactly.  This is the standard
+    distributed bootstrap (an exact fixed-n multinomial draw would need a
+    global count + per-partition coordination); for the n at which
+    bootstrapping is meaningful the extra dispersion is O(1/sqrt(n)) of
+    the statistic's own stderr.  Users comparing CI widths to the
+    reference's fixed-n resamples should expect slightly wider tails.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     samples = [

@@ -1115,12 +1115,12 @@ ORACLE["keydev_event_labels"] = _keydev_oracle_sql()
       FROM events e JOIN q USING (event_type) GROUP BY 1),
     lrc AS (
       SELECT *,
-        -2 * ( (n - violations) * ln(0.95) + violations * ln(0.05)
+        greatest(-2 * ( (n - violations) * ln(0.95) + violations * ln(0.05)
              - (CASE WHEN violations > 0
                      THEN violations * ln(violations / n::DOUBLE) ELSE 0 END)
              - (CASE WHEN violations < n
                      THEN (n - violations) * ln(1 - violations / n::DOUBLE) ELSE 0 END)
-             ) AS lr
+             ), 0) AS lr
       FROM agg),
     erf AS (
       SELECT *, 1.0 / (1.0 + 0.3275911 * sqrt(lr / 2)) AS t FROM lrc)

@@ -248,3 +248,66 @@ def test_efficient_and_tangency_portfolios():
     # gmv is the unconstrained-return frontier minimum
     gmv = min_variance_weights(cov)
     assert gmv @ cov @ gmv <= w @ cov @ w + 1e-15
+
+
+def test_long_only_min_variance_vs_grid():
+    from financial_data_science_spark.functions.econs import (
+        long_only_min_variance,
+        min_variance_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    # covariance engineered so the unconstrained GMV shorts asset 2
+    a = rng.normal(size=(8, 3))
+    cov = a.T @ a / 8 + np.eye(3) * 0.05
+    cov[0, 2] = cov[2, 0] = 0.9 * np.sqrt(cov[0, 0] * cov[2, 2])
+    uncon = min_variance_weights(cov)
+    w = long_only_min_variance(cov)
+    assert w.sum() == pytest.approx(1.0)
+    assert (w >= -1e-12).all()
+    # brute-force simplex grid oracle at 0.01 resolution
+    best, best_v = None, np.inf
+    steps = 100
+    for i in range(steps + 1):
+        for j in range(steps + 1 - i):
+            g = np.array([i, j, steps - i - j]) / steps
+            v = g @ cov @ g
+            if v < best_v:
+                best, best_v = g, v
+    assert w @ cov @ w <= best_v + 1e-10
+    assert np.abs(w - best).max() < 0.02  # within one grid step
+    if (uncon >= 0).all():
+        # unconstrained solution feasible -> must match closed form
+        assert np.allclose(w, uncon, atol=1e-10)
+
+
+def test_long_only_matches_unconstrained_when_interior():
+    from financial_data_science_spark.functions.econs import (
+        long_only_min_variance,
+        min_variance_weights,
+    )
+
+    cov = np.array([[0.04, 0.01, 0.0], [0.01, 0.09, 0.02], [0.0, 0.02, 0.16]])
+    uncon = min_variance_weights(cov)
+    assert (uncon >= 0).all()  # diagonal-dominant: interior optimum
+    assert np.allclose(long_only_min_variance(cov), uncon, atol=1e-12)
+
+
+def test_long_only_kkt_certificate():
+    from financial_data_science_spark.functions.econs import (
+        long_only_min_variance,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        a = rng.normal(size=(6, 5))
+        cov = a.T @ a / 6 + np.eye(5) * 1e-3
+        w = long_only_min_variance(cov)
+        assert w.sum() == pytest.approx(1.0)
+        assert (w >= -1e-12).all()
+        grad = cov @ w
+        free = w > 1e-10
+        lam_half = grad[free].mean()
+        # free assets share the marginal variance; clamped ones exceed it
+        assert np.abs(grad[free] - lam_half).max() < 1e-8
+        assert (grad[~free] >= lam_half - 1e-8).all()
