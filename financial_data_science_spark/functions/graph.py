@@ -552,3 +552,61 @@ def closeness_centrality(
             * (F.col("r_minus_1") / F.col("sum_dist"))
         ).alias("closeness"),
     )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts (reference recipes/graph.py:206
+    nodes_centrality 'triangles').
+
+    Canonical-order enumeration: each triangle a<b<c is emitted exactly
+    once by joining the (a<b) edge list to itself on the shared middle
+    vertex and closing with a third join — never the per-node
+    neighborhood cross product.  On skewed graphs swap the id order for
+    (degree, id) order so hubs sit on the small side of the wedge join;
+    the join shape is unchanged.  Vertices in no triangle get 0.
+    """
+    ue = _undirected(edges, src, dst)
+    e = ue.filter(F.col("a") < F.col("b")).localCheckpoint(eager=True)
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y")  # x < y < z by construction
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    per_node = (
+        tri.select(F.col("x").alias("id"))
+        .union(tri.select(F.col("y").alias("id")))
+        .union(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    verts = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    ).distinct()
+    return (
+        verts.join(per_node, "id", "left").fillna(0, subset=["triangles"])
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient 2T(v)/(deg(v)(deg(v)-1)) (reference
+    recipes/graph.py:206 nodes_centrality 'clustering'); 0 for degree<2
+    vertices (networkx convention)."""
+    tri = triangles(edges, src, dst)
+    deg = (
+        _undirected(edges, src, dst)
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return tri.join(deg, "id").select(
+        "id",
+        "triangles",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("clustering"),
+    )

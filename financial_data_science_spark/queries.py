@@ -1554,6 +1554,65 @@ def supply_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["supply_closeness"] = _closeness_oracle_sql()
 
 
+@query(
+    "cosupply_clustering",
+    """
+    WITH ce AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS a,
+             greatest(a.l_suppkey, b.l_suppkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey),
+    verts AS (SELECT a AS id FROM ce UNION SELECT b FROM ce),
+    deg AS (SELECT id, count(*) AS deg FROM (
+              SELECT a AS id FROM ce UNION ALL SELECT b FROM ce)
+            GROUP BY id),
+    tri AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM ce ab JOIN ce bc ON ab.b = bc.a
+      JOIN ce ac ON ac.a = ab.a AND ac.b = bc.b),
+    pn AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+             SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY id)
+    SELECT v.id, coalesce(pn.triangles, 0)::BIGINT AS triangles,
+           round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(pn.triangles, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM verts v LEFT JOIN pn ON pn.id = v.id JOIN deg d ON d.id = v.id
+    """,
+)
+def cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient on the co-supply
+    graph (suppliers sharing an order) — recipes/graph.py:206
+    nodes_centrality 'clustering'/'triangles'.  Canonical-order triangle
+    enumeration (each triangle counted once), never per-node neighborhood
+    cross products; the supplier<->customer graph itself is bipartite and
+    triangle-free, so the co-occurrence projection is the meaningful
+    instance."""
+    from financial_data_science_spark.functions.graph import (
+        clustering_coefficient,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.least("a.l_suppkey", "b.l_suppkey").alias("src"),
+            F.greatest("a.l_suppkey", "b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    out = clustering_coefficient(edges)
+    return out.select(
+        "id",
+        F.col("triangles").cast("long").alias("triangles"),
+        _r("clustering").alias("clustering"),
+    )
+
+
 # jaccard >= 0.5 pair generation shared with the jaccard_near_dups oracle
 _JACCARD_PAIRS_CTE = """
     toks AS (

@@ -210,3 +210,30 @@ def test_closeness_disconnected_wf(spark):
     assert got.loc[2, "closeness"] == pytest.approx((2 / 4) * (2 / 2))
     assert got.loc[1, "closeness"] == pytest.approx((2 / 4) * (2 / 3))
     assert got.loc[4, "closeness"] == pytest.approx((1 / 4) * (1 / 1))
+
+
+def test_triangles_and_clustering_bruteforce(spark, edges_df):
+    from itertools import combinations
+
+    from financial_data_science_spark.functions.graph import (
+        clustering_coefficient,
+    )
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in EDGES:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want_tri = {
+        n: sum(
+            1
+            for u, v in combinations(sorted(ns), 2)
+            if v in nbrs[u]
+        )
+        for n, ns in nbrs.items()
+    }
+    got = clustering_coefficient(edges_df).toPandas().set_index("id")
+    for n, t in want_tri.items():
+        assert got.loc[n, "triangles"] == t, n
+        d = len(nbrs[n])
+        want_c = 2 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got.loc[n, "clustering"] == pytest.approx(want_c), n
