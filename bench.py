@@ -152,11 +152,12 @@ def main() -> None:
 
     def run(name: str) -> tuple[float, list[float], int]:
         fn = EXTRA.get(name) or Q[name]
-        # min of 2 runs: this host shows heavy CPU-steal variance; the min
-        # reflects steady-state plan cost rather than hypervisor noise —
-        # both raw runs are reported so the two are separable
+        # min of 3 runs: this host shows heavy CPU-steal variance (2x
+        # swings between back-to-back runs measured); the min reflects
+        # steady-state plan cost rather than hypervisor noise — all raw
+        # runs are reported so the two are separable
         runs, n = [], 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
