@@ -1,4 +1,5 @@
 from financial_data_science_spark.backtesting.backtest import (
+    bivariate_sorts,
     portfolio_returns,
     smooth_holdings,
     turnover,
@@ -12,6 +13,7 @@ from financial_data_science_spark.backtesting.eventstudy import (
 )
 
 __all__ = [
+    "bivariate_sorts",
     "portfolio_returns", "smooth_holdings", "turnover", "univariate_sorts",
     "abnormal_returns", "car_bhar", "event_study", "portfolio_stats",
 ]

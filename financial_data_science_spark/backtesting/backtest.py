@@ -66,6 +66,74 @@ def univariate_sorts(
     ).select("rebaldate", "permno", "fractile", "side", "weight")
 
 
+def bivariate_sorts(
+    universe: DataFrame,
+    signal: DataFrame,
+    pcts: tuple[float, float] = (30.0, 70.0),
+    key_filter=None,
+    weight_col: str = "cap",
+    size_col: str = "decile",
+    big_max: int = 5,
+    leverage: float = 1.0,
+    label: str = "hml",
+    exact: bool = True,
+    breaks_round: int | None = None,
+) -> DataFrame:
+    """Fama-French two-way sort holdings for every rebalance date at once
+    (reference backtesting.py:95-199 bivariate_sorts).
+
+    Independent sorts: the signal into High/Mid/Low at the (30, 70) key
+    (NYSE) percentiles descending (fractile 1 = High), and size into
+    Big/Small at ``size_col <= big_max`` (the reference uses the NYSE cap
+    decile from get_universe).  The six intersection subportfolios are
+    value-weighted within cell; the ``label`` spread is +0.5 HB +0.5 HS
+    -0.5 LB -0.5 LS and ``smb`` is +0.5 each small cell -0.5 each big
+    cell, exactly the reference's weights.  Returns one long frame
+    (rebaldate, permno, port, subport, weight) for ALL rebalances — two
+    rebaldate-partitioned windows replace the reference's per-month loop;
+    non-rebalance-month drift composes downstream (portfolio_returns /
+    daily performance), not here.
+    """
+    j = universe.join(signal, ["rebaldate", "permno"], "inner")
+    wd = Window.partitionBy("rebaldate")
+    key_src = (
+        F.when(key_filter, F.col("value")) if key_filter is not None
+        else F.col("value")
+    )
+    probs = F.array(*[F.lit(p / 100.0) for p in pcts])
+    breaks = quantiles_expr(key_src, probs, exact).over(wd)
+    if breaks_round is not None:
+        # interpolated percentiles can land within an ulp of a data value
+        # (engine-dependent arithmetic order); snapping breakpoints to the
+        # data's own decimal grid makes the strict-> bucketing
+        # deterministic across engines/partitionings
+        breaks = F.transform(breaks, lambda b: F.round(b, breaks_round))
+    j = j.withColumn("fractile", bucket_expr(F.col("value"), breaks, ascending=False))
+    j = j.withColumn(
+        "subport",
+        F.concat(
+            F.element_at(F.array(F.lit("H"), F.lit("M"), F.lit("L")), F.col("fractile")),
+            F.when(F.col(size_col) <= big_max, F.lit("B")).otherwise(F.lit("S")),
+        ),
+    ).filter(F.col("fractile").isNotNull())
+    wcell = Window.partitionBy("rebaldate", "subport")
+    j = j.withColumn("cellw", F.col(weight_col) / F.sum(weight_col).over(wcell))
+    spread_side = F.when(F.col("fractile") == 1, 0.5).when(
+        F.col("fractile") == 3, -0.5
+    )
+    smb_side = F.when(F.col("subport").endswith("S"), 0.5).otherwise(-0.5)
+    spread = j.withColumn("side", spread_side).filter(F.col("side").isNotNull())
+    spread = spread.select(
+        "rebaldate", "permno", F.lit(label).alias("port"), "subport",
+        (F.lit(leverage) * F.col("side") * F.col("cellw")).alias("weight"),
+    )
+    smb = j.select(
+        "rebaldate", "permno", F.lit("smb").alias("port"), "subport",
+        (F.lit(leverage) * smb_side * F.col("cellw")).alias("weight"),
+    )
+    return spread.unionByName(smb)
+
+
 def portfolio_returns(
     holdings: DataFrame,
     daily: DataFrame,

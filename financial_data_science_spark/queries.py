@@ -1555,6 +1555,91 @@ ORACLE["supply_closeness"] = _closeness_oracle_sql()
 
 
 @query(
+    "bivariate_spread_holdings",
+    """
+    WITH uni AS (
+      SELECT date_trunc('month', l_shipdate) AS rebaldate,
+             l_suppkey AS permno,
+             round(sum(l_extendedprice), 6) AS cap,
+             round(avg(l_discount), 6) AS value,
+             l_suppkey % 4 = 1 AS nyse
+      FROM lineitem GROUP BY 1, 2, l_suppkey % 4 = 1),
+    decb AS (
+      SELECT rebaldate,
+             list_transform(quantile_cont(CASE WHEN nyse THEN cap END,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> round(x, 6)) AS db,
+             list_transform(quantile_cont(CASE WHEN nyse THEN value END,
+               [0.3, 0.7]), x -> round(x, 6)) AS vb
+      FROM uni GROUP BY 1),
+    cells AS (
+      SELECT u.rebaldate, u.permno, u.cap,
+             10 - len(list_filter(d.db, x -> u.cap > x)) AS decile,
+             3 - len(list_filter(d.vb, x -> u.value > x)) AS fractile
+      FROM uni u JOIN decb d ON d.rebaldate = u.rebaldate),
+    sub AS (
+      SELECT *, concat(['H','M','L'][fractile],
+                       CASE WHEN decile <= 5 THEN 'B' ELSE 'S' END) AS subport,
+             cap / sum(cap) OVER (PARTITION BY rebaldate, subport) AS cellw
+      FROM cells),
+    spread AS (
+      SELECT rebaldate, permno, 'hml' AS port, subport,
+             (CASE WHEN fractile = 1 THEN 0.5 ELSE -0.5 END) * cellw AS weight
+      FROM sub WHERE fractile IN (1, 3)),
+    smb AS (
+      SELECT rebaldate, permno, 'smb' AS port, subport,
+             (CASE WHEN subport LIKE '%S' THEN 0.5 ELSE -0.5 END) * cellw AS weight
+      FROM sub)
+    SELECT rebaldate, permno, port, subport, round(weight, 6) AS weight
+    FROM (SELECT * FROM spread UNION ALL SELECT * FROM smb)
+    """,
+)
+def bivariate_spread_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fama-French two-way sort holdings (backtesting.py:95-199
+    bivariate_sorts): signal H/M/L at key-subset (30, 70) percentiles x
+    size Big/Small at NYSE-decile 5, six value-weighted cells, spread =
+    +-0.5 H/L cells, smb = +-0.5 small/big cells — all rebalance dates in
+    one windowed DAG (the reference loops months and queries per month)."""
+    from financial_data_science_spark.backtesting.backtest import (
+        bivariate_sorts,
+    )
+    from financial_data_science_spark.operators.fractiles import (
+        bucket_expr,
+        quantiles_expr,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    uni = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("rebaldate"),
+        F.col("l_suppkey").alias("permno"),
+    ).agg(
+        F.round(F.sum("l_extendedprice"), 6).alias("cap"),
+        F.round(F.avg("l_discount"), 6).alias("value"),
+    ).withColumn("nyse", F.col("permno") % 4 == 1)
+    wd = Window.partitionBy("rebaldate")
+    dec_breaks = F.transform(
+        quantiles_expr(
+            F.when(F.col("nyse"), F.col("cap")),
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            exact=True,
+        ).over(wd),
+        lambda b: F.round(b, 6),
+    )
+    uni = uni.withColumn(
+        "decile", bucket_expr(F.col("cap"), dec_breaks, ascending=False)
+    )
+    signal = uni.select("rebaldate", "permno", "value")
+    out = bivariate_sorts(
+        uni.select("rebaldate", "permno", "cap", "decile", "nyse"),
+        signal,
+        key_filter=F.col("nyse"),
+        breaks_round=6,
+    )
+    return out.select(
+        "rebaldate", "permno", "port", "subport", _r("weight").alias("weight")
+    )
+
+
+@query(
     "cosupply_clustering",
     """
     WITH ce AS MATERIALIZED (

@@ -163,3 +163,61 @@ def test_bootstrap_risk_distribution(spark, daily):
     again = bootstrap_risk(src, [], ret="ret", n_samples=12, seed=7).toPandas()
     assert (bs.sort_values("sample_id")["var"].to_numpy()
             == again.sort_values("sample_id")["var"].to_numpy()).all()
+
+
+def test_bivariate_sorts_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.backtesting.backtest import (
+        bivariate_sorts,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 60
+    uni = pd.DataFrame({
+        "rebaldate": [20200131] * n,
+        "permno": np.arange(n),
+        "cap": rng.uniform(1, 100, n).round(6),
+        "decile": rng.integers(1, 11, n),
+        "nyse": (np.arange(n) % 2 == 0),
+    })
+    sig = pd.DataFrame({
+        "rebaldate": [20200131] * n,
+        "permno": np.arange(n),
+        "value": rng.uniform(0, 1, n).round(6),
+    })
+    got = (
+        bivariate_sorts(
+            spark.createDataFrame(uni), spark.createDataFrame(sig),
+            key_filter=F.col("nyse"),
+        )
+        .toPandas()
+        .set_index(["port", "permno"])
+        .sort_index()
+    )
+    # pandas oracle: numpy interpolated percentiles on the key subset,
+    # strict searchsorted descending
+    key_vals = sig.loc[uni["nyse"].values, "value"]
+    b = np.percentile(key_vals, [30, 70], method="linear")
+    frac = 3 - (sig["value"].values[:, None] > b[None, :]).sum(1)
+    m = uni.assign(value=sig["value"], fractile=frac)
+    m["subport"] = pd.Series(
+        np.array(["H", "M", "L"])[m["fractile"] - 1], index=m.index
+    ) + pd.Series(np.where(m["decile"] <= 5, "B", "S"), index=m.index)
+    cellsum = m.groupby("subport")["cap"].transform("sum")
+    m["cellw"] = m["cap"] / cellsum
+    hml = m[m["fractile"].isin([1, 3])].copy()
+    hml["weight"] = np.where(hml["fractile"] == 1, 0.5, -0.5) * hml["cellw"]
+    smb = m.copy()
+    smb["weight"] = np.where(smb["subport"].str.endswith("S"), 0.5, -0.5) * smb["cellw"]
+    assert len(got.loc["hml"]) == len(hml) and len(got.loc["smb"]) == len(smb)
+    for _, r in hml.iterrows():
+        assert got.loc[("hml", r["permno"]), "weight"] == pytest.approx(r["weight"])
+        assert got.loc[("hml", r["permno"]), "subport"] == r["subport"]
+    for _, r in smb.iterrows():
+        assert got.loc[("smb", r["permno"]), "weight"] == pytest.approx(r["weight"])
+    # spread sides are self-financing per rebalance: weights sum to ~0
+    assert abs(got.loc["hml", "weight"].sum()) < 1e-9
+    assert abs(got.loc["smb", "weight"].sum()) < 1e-9
