@@ -496,3 +496,83 @@ def stratified_sample(
     """Per-label sampling via sampleBy (learn.py stratified batching)."""
     labels = [r[0] for r in df.select(label_col).distinct().collect()]
     return df.sampleBy(label_col, {l: frac for l in labels}, seed=seed)
+
+
+def marginal_rsq(
+    df: DataFrame,
+    date_col: str = "date",
+    series_col: str = "series_id",
+    value_col: str = "value",
+    kmax: int = 0,
+) -> pd.DataFrame:
+    """Marginal R-squared of each series from incrementally added principal
+    factors (reference econs.py:21-48 mrsq, after Bai-Ng 2002 / McCracken's
+    FRED-MD appendix): column j of the result is the share of series i's
+    (standardized) variance explained by factor j alone, normalized by the
+    total explained across all factors.
+
+    Spark pivots the long panel to the small T x N matrix (the same
+    distributed-aggregation seam as approximate_factors); the SVD algebra
+    runs on the driver.  Row index = series names, columns f1..fk.
+    """
+    X, _, names = _wide_matrix(df, date_col, series_col, value_col)
+    mu = np.nanmean(X, axis=0)
+    sd = np.nanstd(X, axis=0)
+    sd[sd == 0] = 1.0
+    Z = np.nan_to_num((X - mu) / sd, nan=0.0)
+    u, s, _ = np.linalg.svd(Z, full_matrices=False)
+    k = kmax or len(s)
+    # factor j's fitted panel is u_j u_j' Z; its per-series mean square is
+    # the variance share attributed to that factor
+    per = [
+        np.mean((np.outer(u[:, j], u[:, j]) @ Z) ** 2, axis=0)
+        for j in range(k)
+    ]
+    total = np.mean((u @ (u.T @ Z)) ** 2, axis=0)
+    out = pd.DataFrame(
+        np.column_stack(per) / total[:, None],
+        index=names,
+        columns=[f"f{j+1}" for j in range(k)],
+    )
+    return out
+
+
+def select_baing(
+    df: DataFrame,
+    date_col: str = "date",
+    series_col: str = "series_id",
+    value_col: str = "value",
+    kmax: int = 0,
+    p: int = 2,
+) -> int:
+    """Bai-Ng (2002) ICp information criterion for the number of factors
+    (reference econs.py:51-90 select_baing): residual variance from the
+    trailing eigenvalues plus one of the three published penalties; the
+    first local minimum of the IC curve is selected.
+
+    Spark aggregates the panel; the eigenvalue arithmetic is driver-side
+    (a length-min(T,N) vector).
+    """
+    if p not in (1, 2, 3):
+        raise ValueError("p must be 1, 2 or 3")
+    X, _, _ = _wide_matrix(df, date_col, series_col, value_col)
+    mu = np.nanmean(X, axis=0)
+    sd = np.nanstd(X, axis=0)
+    sd[sd == 0] = 1.0
+    Z = np.nan_to_num((X - mu) / sd, nan=0.0)
+    t_, n_ = Z.shape
+    nt, nt1, gct = n_ * t_, n_ + t_, min(n_, t_)
+    penalty_unit = {
+        1: math.log(nt / nt1) * (nt1 / nt),
+        2: (nt1 / nt) * math.log(gct),
+        3: math.log(gct) / gct,
+    }[p]
+    s = np.linalg.svd(Z, compute_uv=False)
+    eig = s ** 2
+    # residual variance after keeping k factors = sum of trailing eigenvalues
+    resid = np.concatenate([[eig.sum()], eig.sum() - np.cumsum(eig)[:-1]])
+    sigma = resid / eig.sum()
+    ic = np.log(sigma + 1e-12) + penalty_unit * np.arange(gct)
+    ic = ic[: (kmax or gct)]
+    local = np.where(ic[:-1] < ic[1:])[0]
+    return int(local[0]) if len(local) else len(ic)

@@ -136,3 +136,13 @@ def max_drawdown(
     dd = df.withColumn("__dd__", F.lit(1.0) - F.exp(wealth - peak))
     grp = dd.groupBy(*keys_l) if keys_l else dd.groupBy()
     return grp.agg(F.max("__dd__").alias("max_drawdown"))
+
+
+def halflife(alpha: float) -> float:
+    """Halflife of an EWMA with decay lambda = 1 - alpha:
+    -ln(2)/ln(1-alpha) (reference finance.py:392-399)."""
+    import math as _math
+
+    if 0 < alpha < 1:
+        return -_math.log(2) / _math.log(1 - alpha)
+    return float("inf") if alpha > 0 else 0.0

@@ -610,3 +610,47 @@ def clustering_coefficient(
         .otherwise(0.0)
         .alias("clustering"),
     )
+
+
+def graph_info(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row undirected-graph summary (reference recipes/graph.py:45-95
+    graph_info): nodes, edges, density, transitivity (3*triangles /
+    wedges), average clustering, connected-component count and largest
+    size.  Triangles/components reuse the existing distributed kernels;
+    everything else is one aggregate over the degree frame."""
+    ue = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    canon = ue.filter(F.col("a") < F.col("b"))
+    deg = ue.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        (F.sum("deg") / 2).cast("long").alias("edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("wedges"),
+    )
+    tri_total = clustering_coefficient(ue, "a", "b").agg(
+        (F.sum("triangles") / 3).cast("long").alias("tri"),
+        F.avg("clustering").alias("average_clustering"),
+    )
+    comp = connected_components(canon, "a", "b")
+    comp_stats = (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("sz").alias("largest_component"),
+        )
+    )
+    return (
+        base.crossJoin(tri_total)
+        .crossJoin(comp_stats)
+        .select(
+            "nodes",
+            "edges",
+            (2.0 * F.col("edges") / (F.col("nodes") * (F.col("nodes") - 1))).alias("density"),
+            F.when(F.col("wedges") > 0, 3.0 * F.col("tri") / F.col("wedges"))
+            .otherwise(0.0)
+            .alias("transitivity"),
+            "average_clustering",
+            "n_components",
+            "largest_component",
+        )
+    )

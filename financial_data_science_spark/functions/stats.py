@@ -211,3 +211,105 @@ def bootstrap_risk(
         allb = allb.unionByName(s)
     return risk_summary(allb, keys + ["__sample__"], ret=ret, alpha=alpha)\
         .withColumnRenamed("__sample__", "sample_id")
+
+
+def norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — no scipy in this image).  Evaluated driver-side
+    to a float literal so Spark and the DuckDB oracle consume the exact
+    same constant."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def parametric_risk(
+    df: DataFrame, keys: list[str] | str, ret: str = "ret", alpha: float = 0.05
+) -> DataFrame:
+    """Parametric (gaussian) VaR/ES per group from the sample volatility
+    (reference finance.py:309-318 parametric_risk): VaR = -sigma * z_alpha,
+    ES = sigma * pdf(z_alpha) / alpha.  z_alpha = norm_ppf(alpha) is a
+    driver-side literal; everything else is one hash aggregate.  (The
+    reference parameterizes by 1-alpha; alpha here is the tail mass,
+    matching risk_summary.)"""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    z = norm_ppf(alpha)
+    pdf_z = math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+    sigma = F.stddev_samp(F.col(ret))
+    return df.groupBy(*keys).agg(
+        F.count(F.col(ret)).alias("n"),
+        sigma.alias("sigma"),
+        (-sigma * F.lit(z)).alias("var"),
+        (sigma * F.lit(pdf_z / alpha)).alias("es"),
+    )
+
+
+def fstats_breaks(
+    df: DataFrame,
+    keys: list[str] | str,
+    value: str = "value",
+    order: str = "date",
+    tail: float = 0.15,
+) -> DataFrame:
+    """Chow-type F statistics at every candidate break point per group
+    (reference econs.py:267-283 fstats): for split i,
+    sse_i = (var(x[:i])*i + var(x[i:])*(n-i))/n (ddof=0) and
+    F_i = ((n-2)/2) * (rse - sse_i)/rse; points in the first/last
+    ``tail`` fraction get F = 0 (the reference leaves sse = rse there).
+
+    Set-at-a-time: prefix variances come from cumulative sums of x and
+    x^2 over an ordered window, suffix variances from the group totals
+    minus the prefix — one shuffle on the group key, no per-split scan
+    (the reference recomputes np.var per candidate, O(n^2)).
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    x = F.col(value).cast("double")
+    wo = Window.partitionBy(*keys).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wg = Window.partitionBy(*keys)
+    d = (
+        df.select(*keys, order, x.alias("__x__"))
+        .withColumn("__i__", F.count(F.lit(1)).over(
+            Window.partitionBy(*keys).orderBy(order).rowsBetween(
+                Window.unboundedPreceding, -1)))
+        .withColumn("__cs__", F.coalesce(F.sum("__x__").over(wo), F.lit(0.0)))
+        .withColumn("__cs2__", F.coalesce(F.sum(F.col("__x__") * F.col("__x__")).over(wo), F.lit(0.0)))
+        .withColumn("__n__", F.count(F.lit(1)).over(wg))
+        .withColumn("__s__", F.sum("__x__").over(wg))
+        .withColumn("__s2__", F.sum(F.col("__x__") * F.col("__x__")).over(wg))
+    )
+    i = F.col("__i__").cast("double")
+    n = F.col("__n__").cast("double")
+    rse = F.col("__s2__") / n - F.pow(F.col("__s__") / n, 2)
+    var_pre = F.col("__cs2__") / i - F.pow(F.col("__cs__") / i, 2)
+    cs_suf = F.col("__s__") - F.col("__cs__")
+    cs2_suf = F.col("__s2__") - F.col("__cs2__")
+    var_suf = cs2_suf / (n - i) - F.pow(cs_suf / (n - i), 2)
+    sse = (var_pre * i + var_suf * (n - i)) / n
+    in_window = (i >= F.floor(n * tail)) & (i <= F.floor((1.0 - tail) * n))
+    fstat = F.when(in_window, ((n - 2) / 2.0) * (rse - sse) / rse).otherwise(0.0)
+    return d.select(*keys, order, F.col("__x__").alias(value),
+                    fstat.alias("fstat"))

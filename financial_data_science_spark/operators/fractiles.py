@@ -130,3 +130,69 @@ def winsorize(
         clipped = F.least(F.greatest(F.col(c), q[0]), q[1])
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), clipped))
     return out.drop(*[f"__q_{c}__" for c in cols])
+
+
+def outlier_fences(
+    df: DataFrame,
+    cols: list[str] | str,
+    method: str = "iq10",
+    keys: list[str] | str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-column outlier fences (reference recipes/filters.py:161-206
+    is_outlier(fences=True)): 'iq{D}' = median +/- D*(Q3-Q1); 'tukey' =
+    [Q1 - 1.5 IQR, Q3 + 1.5 IQR]; 'farout' = tukey with 3 IQR.  Returns
+    one row (per group if ``keys``) with <col>_lo / <col>_hi bounds —
+    quartiles in one aggregate, same sketch-vs-exact tradeoff as
+    breakpoints()."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if method.lower().startswith(("tukey", "far")):
+        w = 1.5 if method[0].lower() == "t" else 3.0
+        mode = "tukey"
+    elif method.lower().startswith("iq"):
+        w = float(method[2:])
+        mode = "iq"
+    else:
+        raise ValueError("method not in {'iq{D}', 'tukey', 'farout'}")
+    aggs = []
+    for c in cols:
+        q = quantiles_expr(
+            F.col(c).cast("double"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            exact,
+        )
+        aggs.append(q.alias(f"__q_{c}__"))
+    keys = [keys] if isinstance(keys, str) else list(keys or [])
+    qdf = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    out_cols = list(keys)
+    for c in cols:
+        q = F.col(f"__q_{c}__")
+        iqr = q[2] - q[0]
+        center_lo = q[1] if mode == "iq" else q[0]
+        center_hi = q[1] if mode == "iq" else q[2]
+        out_cols.append((center_lo - w * iqr).alias(f"{c}_lo"))
+        out_cols.append((center_hi + w * iqr).alias(f"{c}_hi"))
+    return qdf.select(*out_cols)
+
+
+def remove_outliers(
+    df: DataFrame,
+    cols: list[str] | str,
+    method: str = "iq10",
+    keys: list[str] | str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Null out column-wise outliers (reference filters.py:230-259
+    remove_outliers): values outside the ``method`` fences become null.
+    Fences are a one-row (or per-group) frame broadcast back — same
+    broadcast-join shape as winsorize, one extra aggregate job."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    keys = [keys] if isinstance(keys, str) else list(keys or [])
+    fences = outlier_fences(df, cols, method, keys or None, exact)
+    out = df.join(F.broadcast(fences), keys) if keys else df.join(F.broadcast(fences))
+    for c in cols:
+        lo, hi = F.col(f"{c}_lo"), F.col(f"{c}_hi")
+        out = out.withColumn(
+            c, F.when(F.col(c).between(lo, hi), F.col(c))
+        )
+    return out.drop(*[f"{c}_lo" for c in cols], *[f"{c}_hi" for c in cols])

@@ -1698,6 +1698,200 @@ def cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parametric_risk_oracle_sql(alpha: float = 0.05) -> str:
+    """Gaussian VaR/ES with the z constant evaluated once on the driver
+    (stats.norm_ppf) and injected into BOTH engines as the same literal."""
+    import math as _m
+
+    from financial_data_science_spark.functions.stats import norm_ppf
+
+    z = norm_ppf(alpha)
+    es_mult = _m.exp(-0.5 * z * z) / _m.sqrt(2.0 * _m.pi) / alpha
+    return f"""
+    SELECT event_type, count(value)::BIGINT AS n,
+           round(stddev_samp(value), 6) AS sigma,
+           round(-stddev_samp(value) * {z!r}, 6) AS var,
+           round(stddev_samp(value) * {es_mult!r}, 6) AS es
+    FROM events GROUP BY event_type
+    """
+
+
+@query("parametric_risk_summary", None)
+def parametric_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric gaussian VaR/ES per event type (finance.py:309-318
+    parametric_risk): one hash aggregate; the inverse-normal constant is
+    computed driver-side (Acklam polynomial — no scipy) and shared
+    verbatim with the oracle."""
+    from financial_data_science_spark.functions.stats import parametric_risk
+
+    ev = load_table(spark, sf_dir, "events")
+    out = parametric_risk(ev, "event_type", ret="value", alpha=0.05)
+    return out.select(
+        "event_type", "n",
+        _r("sigma").alias("sigma"), _r("var").alias("var"), _r("es").alias("es"),
+    )
+
+
+ORACLE["parametric_risk_summary"] = _parametric_risk_oracle_sql()
+
+
+@query(
+    "structural_break_fstats",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 6) AS value
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, value,
+        count(*) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS i,
+        coalesce(sum(value) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs,
+        coalesce(sum(value * value) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs2,
+        count(*) OVER (PARTITION BY event_type) AS n,
+        sum(value) OVER (PARTITION BY event_type) AS s,
+        sum(value * value) OVER (PARTITION BY event_type) AS s2
+      FROM s)
+    SELECT event_type, day, value,
+      round(CASE WHEN i >= floor(n * 0.15) AND i <= floor(0.85 * n)
+        THEN ((n - 2) / 2.0)
+             * ((s2/n - (s/n)^2)
+                - ((cs2/i - (cs/i)^2) * i + ((s2-cs2)/(n-i) - ((s-cs)/(n-i))^2) * (n-i)) / n)
+             / (s2/n - (s/n)^2)
+        ELSE 0.0 END, 6) AS fstat
+    FROM w
+    """,
+)
+def structural_break_fstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow-type break-point F statistics over each event type's daily
+    value series (econs.py:267-283 fstats) — prefix/suffix variances from
+    ordered cumulative sums, one shuffle, where the reference recomputes
+    np.var per candidate split (O(n^2))."""
+    from financial_data_science_spark.functions.stats import fstats_breaks
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("value"))
+    out = fstats_breaks(s, "event_type", value="value", order="day")
+    return out.select("event_type", "day", "value", _r("fstat").alias("fstat"))
+
+
+@query(
+    "outlier_fences_tukey",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_discount, [0.25, 0.5, 0.75]) AS qd,
+             quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qq
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           round(qd[1] - 1.5 * (qd[3] - qd[1]), 6) AS l_discount_lo,
+           round(qd[3] + 1.5 * (qd[3] - qd[1]), 6) AS l_discount_hi,
+           round(qq[1] - 1.5 * (qq[3] - qq[1]), 6) AS l_quantity_lo,
+           round(qq[3] + 1.5 * (qq[3] - qq[1]), 6) AS l_quantity_hi
+    FROM q
+    """,
+)
+def outlier_fences_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey outlier fences per group (filters.py:161-206 is_outlier with
+    fences=True): quartiles in one aggregate, fences as pure arithmetic —
+    the remove_outliers null-out reuses these via a broadcast join."""
+    from financial_data_science_spark.operators.fractiles import outlier_fences
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = outlier_fences(
+        li, ["l_discount", "l_quantity"], method="tukey", keys="l_returnflag"
+    )
+    return out.select(
+        "l_returnflag",
+        *[
+            _r(c).alias(c)
+            for c in [
+                "l_discount_lo", "l_discount_hi",
+                "l_quantity_lo", "l_quantity_hi",
+            ]
+        ],
+    )
+
+
+@query(
+    "cosupply_graph_info",
+    """
+    WITH RECURSIVE ce AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS a,
+             greatest(a.l_suppkey, b.l_suppkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey),
+    deg AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+             SELECT a AS id FROM ce UNION ALL SELECT b FROM ce)
+           GROUP BY id),
+    base AS (SELECT count(*)::BIGINT AS nodes,
+                    (sum(deg) / 2)::BIGINT AS edges,
+                    sum(deg * (deg - 1) / 2) AS wedges
+             FROM deg),
+    tri AS MATERIALIZED (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM ce ab JOIN ce bc ON ab.b = bc.a
+      JOIN ce ac ON ac.a = ab.a AND ac.b = bc.b),
+    pn AS (SELECT id, count(*) AS t FROM (
+             SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY id),
+    clus AS (SELECT avg(CASE WHEN d.deg >= 2
+                    THEN 2.0 * coalesce(pn.t, 0) / (d.deg * (d.deg - 1))
+                    ELSE 0.0 END) AS average_clustering,
+                    sum(coalesce(pn.t, 0)) / 3 AS tri_total
+             FROM deg d LEFT JOIN pn ON pn.id = d.id),
+    ue AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+    reach AS (
+      SELECT id, id AS r FROM (SELECT DISTINCT a AS id FROM ue)
+      UNION
+      SELECT re.id, ue.b AS r FROM reach re JOIN ue ON ue.a = re.r),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+    cstat AS (SELECT count(DISTINCT c)::BIGINT AS n_components,
+                     max(sz)::BIGINT AS largest_component
+              FROM (SELECT c, count(*) AS sz FROM comp GROUP BY c))
+    SELECT nodes, edges,
+           round(2.0 * edges / (nodes * (nodes - 1)), 6) AS density,
+           round(CASE WHEN wedges > 0 THEN 3.0 * tri_total / wedges
+                 ELSE 0.0 END, 6) AS transitivity,
+           round(average_clustering, 6) AS average_clustering,
+           n_components, largest_component
+    FROM base, clus, cstat
+    """,
+)
+def cosupply_graph_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph summary of the co-supply network (recipes/graph.py:
+    45-95 graph_info): density, transitivity, average clustering,
+    connected components — reusing the distributed triangle and
+    min-label-propagation kernels."""
+    from financial_data_science_spark.functions.graph import graph_info
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.least("a.l_suppkey", "b.l_suppkey").alias("src"),
+            F.greatest("a.l_suppkey", "b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    out = graph_info(edges)
+    return out.select(
+        "nodes", "edges",
+        _r("density").alias("density"),
+        _r("transitivity").alias("transitivity"),
+        _r("average_clustering").alias("average_clustering"),
+        F.col("n_components").cast("long").alias("n_components"),
+        F.col("largest_component").cast("long").alias("largest_component"),
+    )
+
+
 # jaccard >= 0.5 pair generation shared with the jaccard_near_dups oracle
 _JACCARD_PAIRS_CTE = """
     toks AS (

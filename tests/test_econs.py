@@ -311,3 +311,71 @@ def test_long_only_kkt_certificate():
         # free assets share the marginal variance; clamped ones exceed it
         assert np.abs(grad[free] - lam_half).max() < 1e-8
         assert (grad[~free] >= lam_half - 1e-8).all()
+
+
+def test_fstats_breaks_vs_reference_loop(spark):
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.stats import fstats_breaks
+
+    rng = np.random.default_rng(9)
+    x = np.concatenate([rng.normal(0, 1, 40), rng.normal(2, 1, 40)])
+    pdf = pd.DataFrame({"g": "s", "t": np.arange(80), "value": x})
+    got = (
+        fstats_breaks(spark.createDataFrame(pdf), "g", value="value", order="t")
+        .toPandas().sort_values("t")["fstat"].to_numpy()
+    )
+    # reference formula (econs.py:267-283), O(n^2) loop
+    n = len(x)
+    rse = np.var(x)
+    sse = np.ones(n) * rse
+    for i in range(int(n * 0.15), int(0.85 * n) + 1):
+        sse[i] = (np.var(x[:i]) * i + np.var(x[i:]) * (n - i)) / n
+    want = ((n - 2) / 2) * (rse - sse) / rse
+    want[: int(n * 0.15)] = 0.0
+    want[int(0.85 * n) + 1:] = 0.0
+    assert np.allclose(got, want, atol=1e-8)
+    # the planted break at t=40 is detected
+    assert abs(int(pdf["t"][np.argmax(got)]) - 40) <= 3
+
+
+def test_marginal_rsq_and_select_baing(spark):
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.econs import (
+        marginal_rsq,
+        select_baing,
+    )
+
+    rng = np.random.default_rng(21)
+    t_, n_, k_true = 200, 60, 2
+    f = rng.normal(size=(t_, k_true))
+    lam = rng.normal(size=(k_true, n_)) * 3
+    X = f @ lam + rng.normal(size=(t_, n_)) * 2.0
+    long = pd.DataFrame({
+        "date": np.repeat(np.arange(t_), n_),
+        "series_id": np.tile([f"s{i}" for i in range(n_)], t_),
+        "value": X.ravel(),
+    })
+    df = spark.createDataFrame(long)
+    assert select_baing(df, kmax=10) == k_true
+    mr = marginal_rsq(df, kmax=5)
+    assert mr.shape == (n_, 5)
+    # first two factors dominate: their shares dwarf the rest
+    assert mr[["f1", "f2"]].to_numpy().sum() > 0.9 * mr.to_numpy().sum()
+    assert ((mr >= -1e-9) & (mr <= 1 + 1e-9)).all().all()
+
+
+def test_norm_ppf_and_halflife():
+    from financial_data_science_spark.functions.finance import halflife
+    from financial_data_science_spark.functions.stats import norm_ppf
+
+    # classical z values
+    assert norm_ppf(0.05) == pytest.approx(-1.6448536269514722, abs=1e-8)
+    assert norm_ppf(0.5) == pytest.approx(0.0, abs=1e-12)
+    assert norm_ppf(0.975) == pytest.approx(1.959963984540054, abs=1e-8)
+    assert halflife(0.5) == pytest.approx(1.0)
+    assert halflife(0.06) == pytest.approx(-np.log(2) / np.log(0.94))
+    assert halflife(0) == 0 and halflife(1.5) == float("inf")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from financial_data_science_spark.operators import fractile_split, winsorize
@@ -40,3 +41,49 @@ def test_winsorize_bounds_match_numpy(spark, daily):
     n_clip = int(((raw < lo) | (raw > hi)).sum())
     got_clip = int(((p1["ret"] == lo) | (p1["ret"] == hi)).sum())
     assert abs(got_clip - n_clip) <= 2  # interpolated edges may land on data
+
+
+def test_remove_outliers_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.operators.fractiles import (
+        outlier_fences,
+        remove_outliers,
+    )
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 200),
+        "x": np.concatenate([rng.normal(0, 1, 200), rng.normal(5, 2, 200)]),
+    })
+    pdf.loc[[3, 7, 250], "x"] = [40.0, -35.0, 99.0]  # plant outliers
+    df = spark.createDataFrame(pdf)
+
+    for method in ["tukey", "farout", "iq10"]:
+        got_f = (
+            outlier_fences(df, "x", method=method, keys="g")
+            .toPandas().set_index("g").sort_index()
+        )
+        for g, sub in pdf.groupby("g"):
+            q1, q2, q3 = np.percentile(sub["x"], [25, 50, 75])
+            iqr = q3 - q1
+            if method == "tukey":
+                lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+            elif method == "farout":
+                lo, hi = q1 - 3 * iqr, q3 + 3 * iqr
+            else:
+                lo, hi = q2 - 10 * iqr, q2 + 10 * iqr
+            assert got_f.loc[g, "x_lo"] == pytest.approx(lo), (method, g)
+            assert got_f.loc[g, "x_hi"] == pytest.approx(hi), (method, g)
+
+    got = remove_outliers(df, "x", method="tukey", keys="g").toPandas()
+    kept = got["x"].notna().sum()
+    # pandas oracle
+    want_kept = 0
+    for g, sub in pdf.groupby("g"):
+        q1, q3 = np.percentile(sub["x"], [25, 75])
+        iqr = q3 - q1
+        want_kept += sub["x"].between(q1 - 1.5 * iqr, q3 + 1.5 * iqr).sum()
+    assert kept == want_kept
+    assert len(got) == len(pdf)  # rows survive, values nulled
