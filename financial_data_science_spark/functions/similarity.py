@@ -503,3 +503,154 @@ def exact_dedup(
         )
         .drop("__key__")
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: Lloyd's iterations with
+    cosine assignment.
+
+    Init = the ``nlist`` lowest-id corpus vectors; each sweep assigns every
+    vector to its max-cosine centroid (ties to the lowest cluster id) and
+    re-estimates centroids as the coordinate mean of members, rounded to
+    ``round_dp`` so the floating sums (whose accumulation order is
+    engine/partitioning-dependent) snap to a reproducible grid — the same
+    determinism discipline as the breakpoint operators.  Assignment scores
+    are rounded likewise before the argmax.  Fixed iteration count, no RNG:
+    the DuckDB oracle replays the training bit-for-bit.
+
+    Scale shape: centroids are a broadcast nlist-row frame; assignment is
+    a map-side cross join + window; the update is one posexplode +
+    two-level aggregation (dim x nlist partial cells, map-side combinable).
+    Nothing is driver-side but the loop control.
+    """
+    v = F.col(vec_col)
+    init = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
+            F.transform(v, lambda x: F.round(x.cast("double"), round_dp)).alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = init
+    for _ in range(iters):
+        asg = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                vec_col,
+                "cluster",
+                F.round(cosine(v, F.col("cv")), round_dp).alias("s"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("s").desc(), F.col("cluster").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        cells = (
+            asg.select("cluster", F.posexplode(v).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("cavg"))
+        )
+        cents = (
+            cells.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cavg"))),
+                    lambda st: st["cavg"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: train the coarse quantizer, bin
+    the corpus once, probe only ``nprobe`` inverted lists per query.
+
+    The scale path for similarity search when hyperplane-LSH recall is not
+    enough: scoring cost drops from |Q| x |C| (cosine_topk) to
+    |Q| x (nprobe/nlist) x |C| with the corpus-side bin join shuffling on
+    the (small-cardinality) cluster key.  Recall depends on nprobe/nlist —
+    the standard IVF tradeoff; results within the probed lists are exact.
+    """
+    cents = F.broadcast(
+        ivf_kmeans_centroids(corpus, id_col, vec_col, nlist, iters)
+    )
+    v = F.col(vec_col)
+    binned = (
+        corpus.crossJoin(cents)
+        .select(
+            id_col, vec_col, "cluster",
+            F.round(cosine(v, F.col("cv")), 6).alias("s"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("s").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
+        .crossJoin(cents)
+        .select(
+            query_id, "__qv__", "cluster",
+            F.round(cosine(F.col("__qv__"), F.col("cv")), 6).alias("s"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.col("s").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, "__qv__", "cluster")
+    )
+    scored = probes.join(binned, "cluster").filter(
+        F.col(query_id) != F.col(id_col)
+    ).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qv__"), v).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1698,6 +1698,81 @@ def cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle_sql(
+    nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
+) -> str:
+    """DuckDB replay of the ENTIRE deterministic IVF pipeline: k-means
+    init from lowest ids, cosine-argmax assignment with rounded scores,
+    rounded coordinate-mean updates, corpus binning, nprobe probing, and
+    exact within-list top-k.  MATERIALIZED per sweep (CTE inlining would
+    double the tree per iteration)."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {nlist}))"""
+    step = f""",
+    a{{k}} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e, c{{prev}} c) WHERE rn = 1),
+    c{{k}} AS MATERIALIZED (
+      SELECT cluster, list(av ORDER BY i) AS cv FROM (
+        SELECT a.cluster, i, round(avg(e.v[i]), 6) AS av
+        FROM a{{k}} a JOIN e ON e.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
+        GROUP BY a.cluster, i) GROUP BY cluster)"""
+    body = "".join(step.format(k=i, prev=i - 1) for i in range(1, iters + 1))
+    return head + body + f""",
+    binned AS MATERIALIZED (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e, c{iters} c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e, c{iters} c WHERE e.vec_id < 20) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, b.v) AS s
+      FROM probes p JOIN binned b ON b.cluster = p.cluster
+      WHERE b.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, round(s, 4) AS score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}"""
+
+
+@query("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the coarse-quantizer scale path
+    for similarity search (complements the hyperplane-LSH variant):
+    deterministic cosine k-means (no RNG, rounded grids) so the oracle
+    replays training, binning, probing and within-list exact top-k
+    value-for-value.  Scoring cost |Q| x (nprobe/nlist) x |C| instead of
+    cosine_topk's |Q| x |C|."""
+    from financial_data_science_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=3, nlist=8, nprobe=2, iters=3
+    )
+    return out.select("query_id", "neighbor_id", _r("score", 4).alias("score"))
+
+
+ORACLE["ann_ivf_topk"] = _ivf_oracle_sql()
+
+
 def _parametric_risk_oracle_sql(alpha: float = 0.05) -> str:
     """Gaussian VaR/ES with the z constant evaluated once on the driver
     (stats.norm_ppf) and injected into BOTH engines as the same literal."""

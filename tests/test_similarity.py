@@ -99,3 +99,34 @@ def test_hyperplane_bucket_locality(spark):
         .set_index("vec_id")["b"]
     )
     assert out[0] == out[1]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions.similarity import (
+        cosine_topk,
+        ivf_kmeans_centroids,
+        ivf_topk,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(queries, emb, k=3).toPandas()
+    approx = ivf_topk(queries, emb, k=3, nlist=8, nprobe=2, iters=3).toPandas()
+
+    # within-list results are exact: every IVF hit that the brute-force
+    # top-3 also contains must carry the identical score
+    m = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (abs(m["score_a"] - m["score_e"]) < 1e-12).all()
+
+    # recall@3 with nprobe=2/nlist=8 on clustered synthetic data
+    hits = len(m)
+    total = len(exact)
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+    # quantizer sanity: every centroid row is a finite dim-64 vector
+    cents = ivf_kmeans_centroids(emb, nlist=8, iters=3).toPandas()
+    assert len(cents) <= 8 and cents["cluster"].is_unique
+    assert all(len(c) == 64 for c in cents["cv"])
