@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "minhash_lsh_production",
     "simhash_production",
     "cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
 ]
 

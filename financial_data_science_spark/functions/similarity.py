@@ -639,7 +639,10 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(query_id, "__qv__", "cluster")
     )
-    scored = probes.join(binned, "cluster").filter(
+    # probes is |Q| x nprobe rows — broadcast it so the corpus-side bin
+    # join is map-side; a hash shuffle on the nlist-value cluster key
+    # would cap parallelism at nlist and skew on popular lists
+    scored = F.broadcast(probes).join(binned, "cluster").filter(
         F.col(query_id) != F.col(id_col)
     ).select(
         query_id,

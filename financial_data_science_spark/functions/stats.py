@@ -281,6 +281,12 @@ def fstats_breaks(
     x^2 over an ordered window, suffix variances from the group totals
     minus the prefix — one shuffle on the group key, no per-split scan
     (the reference recomputes np.var per candidate, O(n^2)).
+
+    Scale note: each group's ordered series rides one window partition,
+    the standard Spark time-series tradeoff (same class as the tcode /
+    cumulative operators); break testing is per-series by definition, so
+    pre-aggregate to the analysis frequency (as the catalog query does
+    daily) before calling.
     """
     from pyspark.sql import Window
 
