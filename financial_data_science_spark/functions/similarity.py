@@ -374,6 +374,11 @@ def jaccard_pairs(
     flat-frequency corpora its candidate set degenerates.
     """
     if strategy == "lsh":
+        # NOTE (measured, sf0.1): the shingling lineage runs 3x here (sig +
+        # both verify sides) and that is the FASTER shape — materializing
+        # the shingle arrays once via localCheckpoint and sharing them was
+        # ~10% slower warm (eager barrier + 30MB write/read beats three
+        # codegen-fused recomputes).  Don't "deduplicate" this work.
         cand = band_candidates(
             docs, id_col, text_col, shingle_k=k, num_hashes=64, bands=32
         )
