@@ -1,5 +1,6 @@
 from financial_data_science_spark.backtesting.backtest import (
     bivariate_sorts,
+    performance_attribution,
     portfolio_returns,
     smooth_holdings,
     turnover,
@@ -13,7 +14,7 @@ from financial_data_science_spark.backtesting.eventstudy import (
 )
 
 __all__ = [
-    "bivariate_sorts",
+    "bivariate_sorts", "performance_attribution",
     "portfolio_returns", "smooth_holdings", "turnover", "univariate_sorts",
     "abnormal_returns", "car_bhar", "event_study", "portfolio_stats",
 ]

@@ -13,6 +13,8 @@ interval-compounded join.  Two shuffle-bounded jobs replace
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -238,3 +240,78 @@ def smooth_holdings(holdings: DataFrame, k: int) -> DataFrame:
         )
         .select("rebaldate", "permno", "weight")
     )
+
+
+def performance_attribution(
+    perf: DataFrame,
+    bench: DataFrame,
+    mult: float = 12.0,
+    split: int | str | None = None,
+    date_col: str = "date",
+    excess_col: str = "excess",
+    bench_col: str = "ret",
+) -> DataFrame:
+    """Annualized backtest attribution vs one benchmark (reference
+    backtest.py:223-282 BackTest.fit): annualized excess return, Sharpe,
+    OLS alpha and appraisal ratio, and the Welch t-test between the
+    sub-periods before/after ``split``.
+
+    One inner join on date + one hash aggregate: alpha/appraisal come
+    from the simple-OLS normal equations (appraisal denominator is the
+    population residual std = sqrt(var_y * (1 - r2))), Welch from
+    conditional moment sums.  ``mult`` is the periods-per-year
+    annualization factor the reference derives from the riskfree
+    calendar; the Welch p-value uses the normal approximation to the
+    t distribution (no scipy in this stack — exact for the hundreds of
+    periods a real backtest has; documented deviation for tiny samples).
+    """
+    from financial_data_science_spark.functions.stats import _erf_approx
+
+    j = perf.select(
+        F.col(date_col).alias("__d__"), F.col(excess_col).alias("__y__")
+    ).join(
+        bench.select(F.col(date_col).alias("__d__"), F.col(bench_col).alias("__x__")),
+        "__d__",
+    )
+    y, x = F.col("__y__"), F.col("__x__")
+    pre = split is not None and F.col("__d__") < F.lit(split)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(y).alias("my"),
+        F.stddev_samp(y).alias("sy"),
+        F.var_pop(y).alias("vy"),
+        F.avg(x).alias("mx"),
+        F.covar_pop(y, x).alias("cxy"),
+        F.var_pop(x).alias("vx"),
+        F.corr(y, x).alias("r"),
+        *(
+            [
+                F.count(F.when(pre, 1)).alias("n1"),
+                F.avg(F.when(pre, y)).alias("m1"),
+                F.var_samp(F.when(pre, y)).alias("v1"),
+                F.count(F.when(~pre, 1)).alias("n2"),
+                F.avg(F.when(~pre, y)).alias("m2"),
+                F.var_samp(F.when(~pre, y)).alias("v2"),
+            ]
+            if split is not None
+            else []
+        ),
+    )
+    beta = F.col("cxy") / F.col("vx")
+    alpha = F.col("my") - beta * F.col("mx")
+    resid_sd = F.sqrt(F.col("vy") * (1 - F.col("r") * F.col("r")))
+    out = [
+        F.col("n").cast("long").alias("n"),
+        (F.lit(mult) * F.col("my")).alias("excess"),
+        (F.sqrt(F.lit(mult)) * F.col("my") / F.col("sy")).alias("sharpe"),
+        (F.lit(mult) * alpha).alias("alpha"),
+        beta.alias("beta"),
+        (F.sqrt(F.lit(mult)) * alpha / resid_sd).alias("appraisal"),
+    ]
+    if split is not None:
+        se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+        t = (F.col("m2") - F.col("m1")) / se
+        # two-sided p under the normal approximation: erfc(|t|/sqrt(2))
+        p = 1.0 - _erf_approx(F.abs(t) / F.lit(math.sqrt(2.0)))
+        out += [t.alias("welch_t"), p.alias("welch_p")]
+    return agg.select(*out)

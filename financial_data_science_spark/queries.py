@@ -1698,6 +1698,86 @@ def cosupply_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "backtest_attribution",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS mo,
+             sum(l_extendedprice) AS mkt,
+             sum(CASE WHEN l_suppkey % 2 = 1 THEN l_extendedprice ELSE 0 END) AS port
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT mo,
+             port / lag(port) OVER (ORDER BY mo) - 1
+               - (mkt / lag(mkt) OVER (ORDER BY mo) - 1) AS y,
+             mkt / lag(mkt) OVER (ORDER BY mo) - 1 AS x
+      FROM m),
+    d AS (SELECT mo, y, x FROM r WHERE y IS NOT NULL),
+    agg AS (
+      SELECT count(*)::BIGINT AS n, avg(y) AS my, stddev_samp(y) AS sy,
+             var_pop(y) AS vy, avg(x) AS mx,
+             covar_pop(y, x) AS cxy, var_pop(x) AS vx, corr(y, x) AS r,
+             count(CASE WHEN mo <  TIMESTAMP '1997-01-01' THEN 1 END)::BIGINT AS n1,
+             avg(CASE WHEN mo <  TIMESTAMP '1997-01-01' THEN y END) AS m1,
+             var_samp(CASE WHEN mo <  TIMESTAMP '1997-01-01' THEN y END) AS v1,
+             count(CASE WHEN mo >= TIMESTAMP '1997-01-01' THEN 1 END)::BIGINT AS n2,
+             avg(CASE WHEN mo >= TIMESTAMP '1997-01-01' THEN y END) AS m2,
+             var_samp(CASE WHEN mo >= TIMESTAMP '1997-01-01' THEN y END) AS v2
+      FROM d),
+    calc AS (
+      SELECT n, 12 * my AS excess, sqrt(12) * my / sy AS sharpe,
+             12 * (my - (cxy / vx) * mx) AS alpha,
+             cxy / vx AS beta,
+             sqrt(12) * (my - (cxy / vx) * mx) / sqrt(vy * (1 - r * r)) AS appraisal,
+             (m2 - m1) / sqrt(v1 / n1 + v2 / n2) AS welch_t
+      FROM agg),
+    erf AS (SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(welch_t) / sqrt(2))) AS tt
+            FROM calc)
+    SELECT n, round(excess, 6) AS excess, round(sharpe, 6) AS sharpe,
+           round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+           round(appraisal, 6) AS appraisal, round(welch_t, 6) AS welch_t,
+           round(tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+                 + tt * (-1.453152027 + tt * 1.061405429))))
+                 * exp(-(welch_t * welch_t) / 2), 6) AS welch_p
+    FROM erf
+    """,
+)
+def backtest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized backtest attribution (backtest.py:223-282 BackTest.fit):
+    excess, Sharpe, OLS alpha/beta vs the market benchmark, appraisal
+    ratio, Welch sub-period t — one join + one aggregate over the monthly
+    return panel (the reference runs statsmodels per call)."""
+    from financial_data_science_spark.backtesting.backtest import (
+        performance_attribution,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mo")).agg(
+        F.sum("l_extendedprice").alias("mkt"),
+        F.sum(
+            F.when(F.col("l_suppkey") % 2 == 1, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("port"),
+    )
+    w = Window.orderBy("mo")
+    r = m.select(
+        "mo",
+        (F.col("port") / F.lag("port").over(w) - 1).alias("pret"),
+        (F.col("mkt") / F.lag("mkt").over(w) - 1).alias("mret"),
+    ).dropna()
+    perf = r.select("mo", (F.col("pret") - F.col("mret")).alias("excess"))
+    bench = r.select("mo", F.col("mret").alias("ret"))
+    out = performance_attribution(
+        perf, bench, mult=12.0, split="1997-01-01", date_col="mo",
+    )
+    return out.select(
+        "n",
+        _r("excess").alias("excess"), _r("sharpe").alias("sharpe"),
+        _r("alpha").alias("alpha"), _r("beta").alias("beta"),
+        _r("appraisal").alias("appraisal"),
+        _r("welch_t").alias("welch_t"), _r("welch_p").alias("welch_p"),
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:

@@ -221,3 +221,43 @@ def test_bivariate_sorts_bruteforce(spark):
     # spread sides are self-financing per rebalance: weights sum to ~0
     assert abs(got.loc["hml", "weight"].sum()) < 1e-9
     assert abs(got.loc["smb", "weight"].sum()) < 1e-9
+
+
+def test_performance_attribution_vs_numpy(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.backtesting.backtest import (
+        performance_attribution,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 120
+    x = rng.normal(0.01, 0.04, n)
+    y = 0.002 + 0.8 * x + rng.normal(0, 0.02, n)
+    dates = np.arange(n)
+    perf = spark.createDataFrame(pd.DataFrame({"date": dates, "excess": y}))
+    bench = spark.createDataFrame(pd.DataFrame({"date": dates, "ret": x}))
+    got = performance_attribution(
+        perf, bench, mult=12.0, split=60
+    ).toPandas().iloc[0]
+
+    beta = np.cov(y, x, ddof=0)[0, 1] / np.var(x)
+    alpha = y.mean() - beta * x.mean()
+    r = np.corrcoef(y, x)[0, 1]
+    resid_sd = math.sqrt(np.var(y) * (1 - r * r))
+    assert got["n"] == n
+    assert got["excess"] == pytest.approx(12 * y.mean())
+    assert got["sharpe"] == pytest.approx(math.sqrt(12) * y.mean() / y.std(ddof=1))
+    assert got["beta"] == pytest.approx(beta)
+    assert got["alpha"] == pytest.approx(12 * alpha)
+    assert got["appraisal"] == pytest.approx(math.sqrt(12) * alpha / resid_sd)
+    y1, y2 = y[:60], y[60:]
+    t = (y2.mean() - y1.mean()) / math.sqrt(
+        y1.var(ddof=1) / 60 + y2.var(ddof=1) / 60
+    )
+    assert got["welch_t"] == pytest.approx(t)
+    p_normal = math.erfc(abs(t) / math.sqrt(2))
+    assert got["welch_p"] == pytest.approx(p_normal, abs=2e-7)  # A&S polynomial
