@@ -188,3 +188,60 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     j.collect()
     plan = _plan(j)
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    """The IVF probe->bin join must be map-side (broadcast): a hash
+    shuffle on the nlist-value cluster key would cap parallelism at
+    nlist and skew on popular lists."""
+    from financial_data_science_spark.functions.similarity import ivf_topk
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=2, nlist=4, iters=1)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_plan_has_no_cartesian(spark):
+    """Triangle enumeration is equi-joins on shared vertices, never a
+    per-node neighborhood cross product."""
+    import pandas as pd
+
+    from financial_data_science_spark.functions.graph import (
+        clustering_coefficient,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], columns=["src", "dst"])
+    )
+    plan = _plan(clustering_coefficient(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parametric_risk_is_single_aggregation(spark):
+    """Gaussian VaR/ES is one hash aggregate over the scan — no window,
+    no join, no second shuffle."""
+    from financial_data_science_spark.functions.stats import parametric_risk
+    from financial_data_science_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = _plan(parametric_risk(ev, "event_type", ret="value"))
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read) only
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_fstats_single_shuffle_window_chain(spark):
+    """Break-point F-stats ride ordered windows over ONE shuffle on the
+    group key — no join back, no per-split re-scan."""
+    from financial_data_science_spark.functions.stats import fstats_breaks
+    from financial_data_science_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    s = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("value")
+    )
+    plan = _plan(fstats_breaks(s, "event_type", value="value", order="day"))
+    assert "Join" not in plan
