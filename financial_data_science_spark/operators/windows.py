@@ -152,3 +152,58 @@ def reverse_cumprod(
     ).rowsBetween(Window.unboundedPreceding, -1)
     prod = F.coalesce(F.product(F.col(col)).over(w), F.lit(1.0))
     return df.withColumn(out, prod)
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str] | str | None,
+    order: list[str] | str,
+    col: str,
+    alpha: float,
+    adjust: bool = True,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per group, pandas `ewm`
+    semantics (the reference pairs finance.halflife with pandas ewm in
+    its RiskMetrics workflows).
+
+    Expressed as pure window cumsums — NO per-group pandas UDF.  With
+    lam = 1-alpha and i the 0-based row index:
+      adjust=True:  y_t = cumsum(x_i lam^-i) / cumsum(lam^-i)
+      adjust=False: y_t = lam^t * cumsum(i=0 ? x_0 : alpha x_i lam^-i)
+    One shuffle on the group key; stays in whole-stage codegen.
+
+    Numerical bound: lam^-i overflows double past i ~ 709/-ln(lam)
+    (e.g. ~11,500 rows at alpha=0.06, ~7,000 at 0.10).  That covers
+    decades of daily data per entity; for longer series split into
+    blocks below the bound and carry y across blocks with the
+    adjust=False recursion (one tiny per-block frame) — the in-block
+    math is this same operator.
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys or [])
+    order_l = [order] if isinstance(order, str) else list(order)
+    lam = 1.0 - alpha
+    wo = (
+        Window.partitionBy(*keys_l).orderBy(*order_l)
+        if keys_l
+        else Window.orderBy(*order_l)
+    )
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    i = F.row_number().over(wo) - 1
+    x = F.col(col).cast("double")
+    d = df.withColumn("__i__", i)
+    lam_neg_i = F.pow(F.lit(lam), -F.col("__i__"))
+    if adjust:
+        num = F.sum(
+            F.when(x.isNotNull(), x * lam_neg_i)
+        ).over(wc)
+        den = F.sum(F.when(x.isNotNull(), lam_neg_i)).over(wc)
+        y = num / den
+    else:
+        cs = F.sum(
+            F.when(
+                F.col("__i__") == 0, x
+            ).otherwise(F.lit(alpha) * x * lam_neg_i)
+        ).over(wc)
+        y = F.pow(F.lit(lam), F.col("__i__")) * cs
+    return d.withColumn(out, y).drop("__i__")

@@ -1778,6 +1778,58 @@ def backtest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ewma_riskmetrics_vol",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day,
+             v / lag(v) OVER (PARTITION BY event_type ORDER BY day) - 1 AS ret
+      FROM s),
+    d AS (
+      SELECT event_type, day, ret, ret * ret AS r2,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+      FROM r WHERE ret IS NOT NULL),
+    w AS (
+      SELECT event_type, day, ret, i,
+             sum(CASE WHEN i = 0 THEN r2
+                      ELSE 0.06 * r2 * power(0.94, -i) END)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM d)
+    SELECT event_type, day, round(ret, 6) AS ret,
+           round(sqrt(power(0.94, i) * cs), 6) AS ewma_vol
+    FROM w
+    """,
+)
+def ewma_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility (lambda=0.94) of each event type's
+    daily return series — the pandas-ewm workflow the reference pairs
+    with finance.halflife, as pure window cumsums (operators.windows.ewma,
+    adjust=False on squared returns); no pandas UDF, one shuffle."""
+    from financial_data_science_spark.operators.windows import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = s.select(
+        "event_type", "day",
+        (F.col("v") / F.lag("v").over(w) - 1).alias("ret"),
+    ).dropna()
+    d = r.withColumn("r2", F.col("ret") * F.col("ret"))
+    out = ewma(d, "event_type", "day", "r2", alpha=0.06, adjust=False,
+               out="ewvar")
+    return out.select(
+        "event_type", "day", _r("ret").alias("ret"),
+        _r(F.sqrt("ewvar")).alias("ewma_vol"),
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:

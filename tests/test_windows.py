@@ -112,3 +112,30 @@ def test_sessionize_gap(spark):
         .sort_values("ts")
     )
     assert out["session_id"].tolist() == [1, 1, 2, 2, 3]
+
+
+def test_ewma_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.operators.windows import ewma
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 300),
+        "t": np.tile(np.arange(300), 2),
+        "x": rng.normal(0, 1, 600),
+    })
+    df = spark.createDataFrame(pdf)
+    for adjust in (True, False):
+        got = (
+            ewma(df, "g", "t", "x", alpha=0.06, adjust=adjust)
+            .toPandas().sort_values(["g", "t"])["ewma"].to_numpy()
+        )
+        want = (
+            pdf.sort_values(["g", "t"])
+            .groupby("g")["x"]
+            .transform(lambda s: s.ewm(alpha=0.06, adjust=adjust).mean())
+            .to_numpy()
+        )
+        assert np.allclose(got, want, atol=1e-10), adjust
