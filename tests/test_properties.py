@@ -103,3 +103,73 @@ def test_winsorize_contract(spark, v):
     # order preservation: ranks of clipped data never invert
     order = np.argsort(arr, kind="stable")
     assert (np.diff(got[order]) >= -eps).all()
+
+
+vals = st.lists(
+    st.floats(min_value=-100, max_value=100, width=32),
+    min_size=3,
+    max_size=40,
+)
+
+
+@given(v=vals, alpha=st.floats(min_value=0.01, max_value=0.9))
+@SLOW
+def test_ewma_is_convex_combination(spark, v, alpha):
+    """adjust=True EWMA is a convex combination of the history: every
+    output lies within [running min, running max], and the first output
+    equals the first input."""
+    from financial_data_science_spark.operators.windows import ewma
+
+    pdf = pd.DataFrame({"t": range(len(v)), "x": v})
+    got = (
+        ewma(spark.createDataFrame(pdf), None, "t", "x", alpha=alpha)
+        .toPandas().sort_values("t")["ewma"].to_numpy()
+    )
+    run_min = np.minimum.accumulate(v)
+    run_max = np.maximum.accumulate(v)
+    assert got[0] == pytest.approx(v[0], rel=1e-9, abs=1e-9)
+    assert (got >= run_min - 1e-9).all() and (got <= run_max + 1e-9).all()
+
+
+@given(v=st.lists(st.floats(min_value=-1e6, max_value=1e6, width=32),
+                  min_size=5, max_size=60))
+@SLOW
+def test_outlier_fences_contract(spark, v):
+    """lo <= hi always; every in-sample quartile midpoint survives
+    remove_outliers (the fences contain [Q1, Q3] by construction)."""
+    from financial_data_science_spark.operators.fractiles import (
+        outlier_fences,
+        remove_outliers,
+    )
+
+    pdf = pd.DataFrame({"x": v})
+    df = spark.createDataFrame(pdf)
+    for method in ("tukey", "farout", "iq10"):
+        f = outlier_fences(df, "x", method=method).toPandas().iloc[0]
+        assert f["x_lo"] <= f["x_hi"] + 1e-12
+        q1, q3 = np.percentile(v, [25, 75])
+        assert f["x_lo"] <= q1 + 1e-6 and f["x_hi"] >= q3 - 1e-6
+        out = remove_outliers(df, "x", method=method).toPandas()
+        # survivors are exactly the in-fence values
+        want = pdf["x"].between(f["x_lo"], f["x_hi"]).sum()
+        assert out["x"].notna().sum() == want
+
+
+@given(
+    n=st.integers(min_value=2, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SLOW
+def test_long_only_gmv_is_feasible_and_no_worse_than_equal_weight(n, seed):
+    from financial_data_science_spark.functions.econs import (
+        long_only_min_variance,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n + 2, n))
+    cov = a.T @ a / (n + 2) + np.eye(n) * 1e-4
+    w = long_only_min_variance(cov)
+    assert w.sum() == pytest.approx(1.0, abs=1e-9)
+    assert (w >= -1e-10).all()
+    ew = np.full(n, 1.0 / n)
+    assert w @ cov @ w <= ew @ cov @ ew + 1e-12
