@@ -207,3 +207,59 @@ def ewma(
         ).over(wc)
         y = F.pow(F.lit(lam), F.col("__i__")) * cs
     return d.withColumn(out, y).drop("__i__")
+
+
+def max_drawdown_window(
+    df: DataFrame,
+    keys: list[str] | str | None,
+    order: str,
+    ret_col: str,
+) -> DataFrame:
+    """Maximum-drawdown window per group (reference finance.py:285-307
+    maximum_drawdown): the (peak date, trough date) pair with levels and
+    MDD = trough/peak - 1, from the log-compounded return path.
+
+    Trough = argmax of (running max - running cumsum of log(1+r)), ties
+    to the earliest date (pandas idxmax); peak = argmax of the cumsum at
+    or before the trough.  Two ordered-window passes + one broadcast-able
+    per-key join — no driver iteration.  Cumsums are rounded to 9dp
+    before the argmax comparisons so cross-engine log/sum ulp noise can't
+    flip a tie.
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys or [])
+    wo = (
+        Window.partitionBy(*keys_l).orderBy(order)
+        if keys_l
+        else Window.orderBy(order)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    d = df.withColumn("__cum__", F.round(F.sum(F.log1p(ret_col)).over(wo), 9))
+    d = d.withColumn("__peakcum__", F.max("__cum__").over(wo))
+    d = d.withColumn("__dd__", F.round(F.col("__peakcum__") - F.col("__cum__"), 9))
+    gb = d.groupBy(*keys_l) if keys_l else d.groupBy()
+    end = gb.agg(
+        F.min_by(
+            F.struct(F.col(order).alias("end_date"),
+                     F.col("__cum__").alias("end_cum")),
+            F.struct(-F.col("__dd__"), F.col(order)),
+        ).alias("__e__")
+    ).select(*keys_l, "__e__.end_date", "__e__.end_cum")
+    j = d.join(F.broadcast(end), keys_l) if keys_l else d.crossJoin(F.broadcast(end))
+    pre = j.filter(F.col(order) <= F.col("end_date"))
+    gb2 = pre.groupBy(*keys_l) if keys_l else pre.groupBy()
+    out = gb2.agg(
+        F.min_by(
+            F.struct(F.col(order).alias("beg_date"),
+                     F.col("__cum__").alias("beg_cum")),
+            F.struct(-F.col("__cum__"), F.col(order)),
+        ).alias("__b__"),
+        F.first("end_date").alias("end_date"),
+        F.first("end_cum").alias("end_cum"),
+    )
+    return out.select(
+        *keys_l,
+        F.col("__b__.beg_date").alias("peak_date"),
+        F.col("end_date").alias("trough_date"),
+        F.exp("__b__.beg_cum").alias("peak_level"),
+        F.exp("end_cum").alias("trough_level"),
+        (F.exp(F.col("end_cum") - F.col("__b__.beg_cum")) - 1).alias("mdd"),
+    )

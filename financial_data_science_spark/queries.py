@@ -1830,6 +1830,72 @@ def ewma_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "max_drawdown_windows",
+    """
+    WITH s AS (
+      SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day,
+             v / lag(v) OVER (PARTITION BY event_type ORDER BY day) - 1 AS ret
+      FROM s),
+    c AS (
+      SELECT event_type, day,
+             round(sum(ln(1 + ret)) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS cum
+      FROM r WHERE ret IS NOT NULL),
+    p AS (
+      SELECT *, max(cum) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peakcum
+      FROM c),
+    dd AS (SELECT *, round(peakcum - cum, 9) AS dd FROM p),
+    e AS (
+      SELECT event_type, day AS trough_date, cum AS end_cum FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY dd DESC, day) AS rn FROM dd) WHERE rn = 1),
+    b AS (
+      SELECT event_type, day AS peak_date, cum AS beg_cum, trough_date, end_cum
+      FROM (
+        SELECT d.*, e.trough_date, e.end_cum,
+               row_number() OVER (PARTITION BY d.event_type
+                 ORDER BY d.cum DESC, d.day) AS rn
+        FROM dd d JOIN e ON e.event_type = d.event_type
+        WHERE d.day <= e.trough_date) WHERE rn = 1)
+    SELECT event_type, peak_date, trough_date,
+           round(exp(beg_cum), 6) AS peak_level,
+           round(exp(end_cum), 6) AS trough_level,
+           round(exp(end_cum - beg_cum) - 1, 6) AS mdd
+    FROM b
+    """,
+)
+def max_drawdown_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-drawdown window per event type (finance.py:285-307
+    maximum_drawdown): peak/trough dates and exp-levels of the
+    log-compounded path, MDD = trough/peak - 1 — two window passes + one
+    per-key argmax, where the reference runs pandas idxmax per series."""
+    from financial_data_science_spark.operators.windows import (
+        max_drawdown_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = s.select(
+        "event_type", "day",
+        (F.col("v") / F.lag("v").over(w) - 1).alias("ret"),
+    ).dropna()
+    out = max_drawdown_window(r, "event_type", "day", "ret")
+    return out.select(
+        "event_type", "peak_date", "trough_date",
+        _r("peak_level").alias("peak_level"),
+        _r("trough_level").alias("trough_level"),
+        _r("mdd").alias("mdd"),
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:

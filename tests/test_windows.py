@@ -139,3 +139,37 @@ def test_ewma_matches_pandas(spark):
             .to_numpy()
         )
         assert np.allclose(got, want, atol=1e-10), adjust
+
+
+def test_max_drawdown_window_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from financial_data_science_spark.operators.windows import (
+        max_drawdown_window,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for g in ["a", "b", "c"]:
+        r = rng.normal(0, 0.03, 120)
+        frames.append(pd.DataFrame({"g": g, "t": np.arange(120), "ret": r}))
+    pdf = pd.concat(frames, ignore_index=True)
+    got = (
+        max_drawdown_window(spark.createDataFrame(pdf), "g", "t", "ret")
+        .toPandas().set_index("g").sort_index()
+    )
+    for g, sub in pdf.groupby("g"):
+        x = pd.Series(sub["ret"].values, index=sub["t"].values)
+        cumsum = np.log(1 + x).cumsum()
+        cummax = cumsum.cummax()
+        end = (cummax - cumsum).idxmax()
+        beg = cumsum[cumsum.index <= end].idxmax()
+        assert got.loc[g, "peak_date"] == beg, g
+        assert got.loc[g, "trough_date"] == end, g
+        assert got.loc[g, "peak_level"] == pytest.approx(np.exp(cumsum[beg]))
+        assert got.loc[g, "trough_level"] == pytest.approx(np.exp(cumsum[end]))
+        assert got.loc[g, "mdd"] == pytest.approx(
+            np.exp(cumsum[end] - cumsum[beg]) - 1
+        )
