@@ -145,3 +145,84 @@ def stream_align_candidates(
         ),
         "inner",
     ).drop("qkey")
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+# state: recursion carriers — (num, den) for adjust=True where
+# y = num/den, num <- lam*num + x, den <- lam*den + 1; for adjust=False
+# den stays 0 and num IS the running y
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("num", DoubleType()), StructField("den", DoubleType())]
+)
+
+
+def _make_ewma_fn(alpha: float, adjust: bool):
+    lam = 1.0 - alpha
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+        if state.exists:
+            num, den = state.get
+        else:
+            num, den = None, 0.0
+        out = []
+        for ts, val in zip(rows["ts_us"], rows["value"]):
+            x = float(val)
+            if adjust:
+                num = x if num is None else lam * num + x
+                den = lam * den + 1.0
+                y = num / den
+            else:
+                num = x if num is None else lam * num + alpha * x
+                y = num
+            out.append((key[0], int(ts), x, y))
+        state.update((num, den))
+        yield pd.DataFrame(out, columns=["key", "ts_us", "value", "ewma"])
+
+    return fn
+
+
+def stream_ewma(
+    ticks: DataFrame,
+    alpha: float,
+    adjust: bool = True,
+    key_col: str = "key",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming EWMA per key — the recursive form of
+    operators.windows.ewma, pandas-ewm semantics for both adjust modes.
+
+    The recursion y_t = f(y_{t-1}, x_t) is exactly the carried-state
+    shape: two doubles per key in the state store
+    (``applyInPandasWithState``), O(keys) memory, horizontally
+    partitioned.  Unlike the batch window's lam^-i cumsum identity, the
+    recursion never exponentiates, so there is no series-length bound.
+    Batch parity (vs operators.windows.ewma) is the test oracle.
+    """
+    from pyspark.sql import functions as F
+
+    src = ticks.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _make_ewma_fn(alpha, adjust),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -142,3 +142,61 @@ def test_stream_stream_range_join_parity(spark):
     )
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_stream_ewma_parity_across_batches(spark, tmp_path):
+    from financial_data_science_spark.operators.windows import ewma as batch_ewma
+    from financial_data_science_spark.streaming.stateful import stream_ewma
+    from financial_data_science_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    ticks = load_table(spark, SF, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    pdf = ticks.toPandas().sort_values("ts_us").reset_index(drop=True)
+    cut = len(pdf) // 2
+    d = str(tmp_path / "ewma_ticks")
+    os.makedirs(d)
+    f0, f1 = f"{d}/b0.parquet", f"{d}/b1.parquet"
+    spark.createDataFrame(pdf.iloc[:cut], TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f0)
+    spark.createDataFrame(pdf.iloc[cut:], TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f1)
+    now = 1_700_000_000
+    os.utime(f0, (now, now))
+    os.utime(f1, (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{d}/*.parquet")
+    )
+    for adjust in (True, False):
+        got = (
+            run_stream_to_memory(
+                spark, stream_ewma(stream, alpha=0.1, adjust=adjust),
+                f"ewma_parity_{adjust}",
+            )
+            .toPandas()
+            .sort_values(["key", "ts_us"])
+            .reset_index(drop=True)
+        )
+        want = (
+            batch_ewma(
+                spark.createDataFrame(pdf, TICK_SCHEMA),
+                "key", "ts_us", "value", alpha=0.1, adjust=adjust,
+            )
+            .toPandas()
+            .sort_values(["key", "ts_us"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        pd.testing.assert_series_equal(
+            got["ewma"], want["ewma"], check_names=False, atol=1e-9, rtol=1e-9
+        )
