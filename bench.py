@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ann_ivf_topk",
     "text_quality",
+    "tfidf_top_terms",
+    "supply_graph_pagerank",
 ]
 
 # correctness-oracle variants (portable arithmetic hash; deliberately

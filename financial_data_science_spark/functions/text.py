@@ -11,7 +11,7 @@ which excludes HOFs, but still vectorized columnar eval).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -127,4 +127,75 @@ def fingerprint(text: str | Column, base: int = 31, mod: int = 2**31 - 1) -> Col
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(base) + tokhash31(t) % m) % m,
+    )
+
+
+def tf_idf_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — keyword extraction for a
+    training-data pipeline (salience-based filtering/labeling at corpus
+    scale).
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    scikit-learn convention, never negative).  Physical shape: explode
+    tokens -> one (doc, term) count aggregate -> term-level df aggregate
+    joined back on term (shuffle on the term key; skewed head terms are
+    exactly what AQE skew handling is for) -> per-doc top-k window.  The
+    N scalar rides a one-row broadcast, not a driver round trip.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n__"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+#: data-cleaning pattern census — conservative regexes with identical
+#: semantics in Spark (Java regex) and DuckDB (RE2): no lookarounds.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": "https?://[^ \\t\\n\\r]+",  # explicit class: java \\s != RE2 \\s
+    "long_digits": r"[0-9]{9,}",
+}
+
+
+def pii_pattern_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document counts of scrub-relevant patterns (emails, URLs,
+    long digit runs) — the triage pass before masking/filtering in a
+    training-data pipeline.  Pure regexp_extract_all column expressions,
+    one map stage, no UDF."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ],
     )

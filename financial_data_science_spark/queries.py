@@ -1896,6 +1896,67 @@ def max_drawdown_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                w -> w != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * (ln(((SELECT nd FROM n) + 1) / (dfreq.df + 1)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq ON dfreq.term = tf.term)
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction for pipeline
+    filtering/labeling): explode -> two aggregates -> term join -> top-k
+    window; smoothed scikit-style idf, N as a one-row broadcast."""
+    from financial_data_science_spark.functions.text import tf_idf_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tf_idf_terms(docs, top_k=5)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        _r("tfidf").alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "pii_pattern_census",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS emails,
+           len(regexp_extract_all(text, 'https?://[^ \\t\\n\\r]+'))::BIGINT AS urls,
+           len(regexp_extract_all(text, '[0-9]{9,}'))::BIGINT AS long_digits
+    FROM documents
+    """,
+)
+def pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub-triage pattern counts per document (emails, URLs, long digit
+    runs) — pure regexp column expressions, one map stage, no UDF."""
+    from financial_data_science_spark.functions.text import pii_pattern_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pii_pattern_counts(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in ["emails", "urls", "long_digits"]],
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:

@@ -98,3 +98,69 @@ def test_upsert_append_insert_ignore(spark):
     out = upsert_append(old, new, ["k"]).toPandas().sort_values("k")
     assert out["k"].tolist() == [1, 2, 3]
     assert out.set_index("k")["v"][2] == 20  # existing wins (INSERT IGNORE)
+
+
+def test_tfidf_top_terms_vs_pandas(spark):
+    import math
+    import pytest
+
+    import pandas as pd
+
+    from financial_data_science_spark.functions.text import tf_idf_terms
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple elderberry elderberry elderberry",
+        ],
+    })
+    got = (
+        tf_idf_terms(spark.createDataFrame(pdf), top_k=2)
+        .toPandas().set_index(["doc_id", "rank"]).sort_index()
+    )
+    # pandas oracle with the same smoothed idf
+    from collections import Counter
+
+    tfs = {r.doc_id: Counter(r.text.lower().split()) for r in pdf.itertuples()}
+    df_counts = Counter(t for c in tfs.values() for t in c)
+    n = len(pdf)
+    want = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            ((tf * (math.log((n + 1) / (df_counts[t] + 1)) + 1), t)
+             for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        want[d] = scored[:2]
+    for d, terms in want.items():
+        for rank, (score, term) in enumerate(terms, 1):
+            assert got.loc[(d, rank), "term"] == term, (d, rank)
+            assert got.loc[(d, rank), "tfidf"] == pytest.approx(score)
+
+
+def test_pii_pattern_counts_vs_re(spark):
+    import re
+
+    import pandas as pd
+
+    from financial_data_science_spark.functions.text import (
+        PII_PATTERNS,
+        pii_pattern_counts,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "mail a@b.co and c.d+x@e-f.org see https://x.y/z?q=1 id 1234567890",
+            "no patterns here just words 12345678",
+        ],
+    })
+    got = pii_pattern_counts(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    for name, pat in PII_PATTERNS.items():
+        py = pat.replace("\\\\", "\\")
+        for r in pdf.itertuples():
+            assert got.loc[r.doc_id, name] == len(re.findall(pat, r.text)), (name, r.doc_id)
+    assert got.loc[1, "emails"] == 2 and got.loc[1, "urls"] == 1
+    assert got.loc[1, "long_digits"] == 1 and got.loc[2, "long_digits"] == 0
