@@ -199,3 +199,54 @@ def pii_pattern_counts(
             for name, pat in PII_PATTERNS.items()
         ],
     )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals for quality filtering (the
+    duplicate-n-gram family of heuristics popularized by the Gopher/
+    MassiveText filtering rules): duplicate word fraction, duplicate
+    word-trigram fraction, and the share of all bigrams taken by the
+    most frequent bigram.
+
+    The distinct-ratio features are pure array expressions; the
+    top-bigram share explodes bigrams through one (doc, gram) aggregate
+    and a per-doc max — two shuffles on the doc key, no UDF.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # guard short docs with CASE so the transform never indexes past the
+    # array (DuckDB's range(1, 1) is empty; the oracle needs no guard)
+    grams3 = F.expr(
+        "CASE WHEN size(_toks_) > 2 THEN transform(sequence(1, size(_toks_) - 2), "
+        "i -> concat_ws(' ', _toks_[i-1], _toks_[i], _toks_[i+1])) "
+        "ELSE array() END"
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks_"))
+    feats = base.select(
+        id_col,
+        F.when(
+            F.size("_toks_") > 0,
+            1.0 - F.size(F.array_distinct("_toks_")) / F.size("_toks_"),
+        ).otherwise(0.0).alias("dup_word_frac"),
+        F.when(
+            F.size("_toks_") > 2,
+            1.0 - F.size(F.array_distinct(grams3)) / (F.size("_toks_") - 2),
+        ).otherwise(0.0).alias("dup_3gram_frac"),
+    )
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks_) > 1 THEN transform(sequence(1, size(_toks_) - 1), "
+                "i -> concat_ws(' ', _toks_[i-1], _toks_[i])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    counts = bi.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("top_2gram_share")
+    )
+    return feats.join(top, id_col, "left").fillna(0.0, subset=["top_2gram_share"])

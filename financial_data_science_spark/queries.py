@@ -1957,6 +1957,58 @@ def pii_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w != '') AS w
+      FROM documents),
+    f AS (
+      SELECT doc_id, w, len(w) AS nw,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - len(list_distinct(w)) / len(w)::DOUBLE
+                  ELSE 0.0 END AS dup_word_frac,
+             CASE WHEN len(w) > 2
+                  THEN 1.0 - len(list_distinct(list_transform(
+                         range(1, len(w) - 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))
+                       / (len(w) - 2)::DOUBLE
+                  ELSE 0.0 END AS dup_3gram_frac
+      FROM toks),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w), 1)),
+               i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM toks WHERE len(w) > 1),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) / sum(c)::DOUBLE AS top_2gram_share
+            FROM bc GROUP BY 1)
+    SELECT f.doc_id, round(dup_word_frac, 6) AS dup_word_frac,
+           round(dup_3gram_frac, 6) AS dup_3gram_frac,
+           round(coalesce(top.top_2gram_share, 0.0), 6) AS top_2gram_share
+    FROM f LEFT JOIN top ON top.doc_id = f.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (duplicate word /
+    trigram fractions, top-bigram share — the Gopher-style filtering
+    family): array expressions + one (doc, gram) aggregate, no UDF."""
+    from financial_data_science_spark.functions.text import (
+        repetition_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_features(docs)
+    return out.select(
+        "doc_id",
+        _r("dup_word_frac").alias("dup_word_frac"),
+        _r("dup_3gram_frac").alias("dup_3gram_frac"),
+        _r("top_2gram_share").alias("top_2gram_share"),
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:

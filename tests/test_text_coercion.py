@@ -164,3 +164,30 @@ def test_pii_pattern_counts_vs_re(spark):
             assert got.loc[r.doc_id, name] == len(re.findall(pat, r.text)), (name, r.doc_id)
     assert got.loc[1, "emails"] == 2 and got.loc[1, "urls"] == 1
     assert got.loc[1, "long_digits"] == 1 and got.loc[2, "long_digits"] == 0
+
+
+def test_repetition_features_hand_case(spark):
+    import pandas as pd
+    import pytest
+
+    from financial_data_science_spark.functions.text import (
+        repetition_features,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b a b a b",        # 6 words, 2 distinct; bigrams: ab x3, ba x2
+            "unique words only here",
+            "x",                   # degenerate: no bigrams/trigrams
+        ],
+    })
+    got = repetition_features(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert got.loc[1, "dup_word_frac"] == pytest.approx(1 - 2 / 6)
+    # trigrams of doc1: aba, bab, aba, bab -> 2 distinct of 4
+    assert got.loc[1, "dup_3gram_frac"] == pytest.approx(1 - 2 / 4)
+    assert got.loc[1, "top_2gram_share"] == pytest.approx(3 / 5)
+    assert got.loc[2, "dup_word_frac"] == 0.0
+    assert got.loc[2, "dup_3gram_frac"] == 0.0
+    assert got.loc[2, "top_2gram_share"] == pytest.approx(1 / 3)
+    assert (got.loc[3] == 0.0).all()
