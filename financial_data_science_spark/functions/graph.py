@@ -654,3 +654,57 @@ def graph_info(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
             "largest_component",
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Vertices of the undirected k-core (iterative peeling: repeatedly
+    drop vertices with degree < k until a fixpoint) — the standard
+    subgraph-quality filter for dense-community extraction.
+
+    Each sweep is one degree aggregate + one semi-join on the surviving
+    edge set, localCheckpoint'ed; convergence test is the (monotone
+    decreasing) surviving-vertex count, a join-free scalar.  Converges in
+    O(peeling-depth) sweeps.
+    """
+    ue = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = None
+    for _ in range(max_iter):
+        deg = ue.groupBy(F.col("a").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        n = keep.count()
+        if n == 0:
+            return keep
+        if n_prev is not None and n == n_prev:
+            break
+        n_prev = n
+        ue = (
+            ue.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return ue.select(F.col("a").alias("id")).distinct()
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph: the
+    Pearson correlation of endpoint degrees over the directed edge list
+    (Newman 2002) — one degree aggregate, two joins, one corr()."""
+    ue = _undirected(edges, src, dst)
+    deg = ue.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    return ue.join(da, "a").join(db, "b").agg(
+        F.corr("da", "db").alias("assortativity")
+    )

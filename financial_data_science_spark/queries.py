@@ -2278,6 +2278,55 @@ def cosupply_graph_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle_sql(k: int = 12, sweeps: int = 10) -> str:
+    """Fixed-sweep peel: drop degree<k vertices each sweep; enough sweeps
+    to reach the fixpoint on this graph (peel depth << 10)."""
+    head = f"""
+    WITH {_SUPPLY_UE_CTE},
+    s0 AS MATERIALIZED (SELECT a, b FROM ue)"""
+    step = f""",
+    d{{i}} AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM s{{prev}} GROUP BY a),
+    v{{i}} AS MATERIALIZED (SELECT id FROM d{{i}} WHERE deg >= {k}),
+    s{{i}} AS MATERIALIZED (
+      SELECT s.a, s.b FROM s{{prev}} s
+      JOIN v{{i}} x ON x.id = s.a JOIN v{{i}} y ON y.id = s.b)"""
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, sweeps + 1))
+    return head + body + f"\n    SELECT DISTINCT a AS id FROM s{sweeps}"
+
+
+@query("supply_kcore", None)
+def supply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the supply network (iterative peeling, k=12): the
+    dense-subgraph quality filter; oracle replays the peel as a
+    fixed-sweep CTE chain."""
+    from financial_data_science_spark.functions.graph import k_core
+
+    return k_core(_supply_edges(spark, sf_dir), k=12)
+
+
+ORACLE["supply_kcore"] = _kcore_oracle_sql()
+
+
+@query(
+    "supply_assortativity",
+    f"""
+    WITH {_SUPPLY_UE_CTE},
+    deg AS (SELECT a AS id, count(*) AS deg FROM ue GROUP BY a)
+    SELECT round(corr(da.deg, db.deg), 6) AS assortativity
+    FROM ue JOIN deg da ON da.id = ue.a JOIN deg db ON db.id = ue.b
+    """,
+)
+def supply_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the supply network: Pearson
+    correlation of endpoint degrees over the symmetric edge list."""
+    from financial_data_science_spark.functions.graph import (
+        degree_assortativity,
+    )
+
+    out = degree_assortativity(_supply_edges(spark, sf_dir))
+    return out.select(_r("assortativity").alias("assortativity"))
+
+
 # jaccard >= 0.5 pair generation shared with the jaccard_near_dups oracle
 _JACCARD_PAIRS_CTE = """
     toks AS (

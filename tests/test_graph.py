@@ -237,3 +237,38 @@ def test_triangles_and_clustering_bruteforce(spark, edges_df):
         d = len(nbrs[n])
         want_c = 2 * t / (d * (d - 1)) if d >= 2 else 0.0
         assert got.loc[n, "clustering"] == pytest.approx(want_c), n
+
+
+def test_k_core_peels_to_clique(spark):
+    from financial_data_science_spark.functions.graph import k_core
+
+    # 4-clique {1..4} + chain 4-5-6 + pendant 7 on the clique
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 7)]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    core3 = set(r.id for r in k_core(df, k=3).collect())
+    assert core3 == {1, 2, 3, 4}
+    core1 = set(r.id for r in k_core(df, k=1).collect())
+    assert core1 == {1, 2, 3, 4, 5, 6, 7}
+    core5 = k_core(df, k=5).count()
+    assert core5 == 0
+
+
+def test_degree_assortativity_vs_numpy(spark, edges_df):
+    import numpy as np
+
+    from financial_data_science_spark.functions.graph import (
+        degree_assortativity,
+    )
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in EDGES:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    da, db = [], []
+    for a, ns in nbrs.items():
+        for b in ns:
+            da.append(len(nbrs[a]))
+            db.append(len(nbrs[b]))
+    want = np.corrcoef(da, db)[0, 1]
+    got = degree_assortativity(edges_df).collect()[0]["assortativity"]
+    assert got == pytest.approx(want)
