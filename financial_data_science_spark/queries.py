@@ -2376,6 +2376,113 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_canonical_keep",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    ue AS (SELECT left_id AS a, right_id AS b FROM pr
+           UNION SELECT right_id, left_id FROM pr),
+    nodes AS (SELECT DISTINCT a AS id FROM ue),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT re.id, ue.b AS r FROM reach re JOIN ue ON ue.a = re.r),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.comp, c.id,
+             len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+                             w -> w != '')) AS ntok
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY comp
+                  ORDER BY ntok DESC, id) AS rn
+      FROM scored),
+    agg AS (SELECT comp, count(*)::BIGINT AS members,
+                   max(ntok)::BIGINT AS keep_tokens
+            FROM scored GROUP BY comp)
+    SELECT a.comp, a.members, r.id AS keep_id, a.keep_tokens
+    FROM agg a JOIN ranked r ON r.comp = a.comp AND r.rn = 1
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the near-dup pipeline: per duplicate cluster,
+    elect the canonical representative (most tokens, ties to the lowest
+    doc_id) — everything else is the drop list.  One argmax aggregate
+    over the cluster frame joined back to the documents."""
+    from financial_data_science_spark.functions.graph import (
+        connected_components,
+    )
+    from financial_data_science_spark.functions.text import n_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = SIM.jaccard_pairs(docs, threshold=0.5).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    comp = connected_components(pairs)
+    scored = comp.join(
+        docs.select(F.col("doc_id").alias("id"), n_tokens("text").alias("ntok")),
+        "id",
+    )
+    return scored.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("members"),
+        F.min_by("id", F.struct(-F.col("ntok"), F.col("id"))).alias("keep_id"),
+        F.max("ntok").cast("long").alias("keep_tokens"),
+    )
+
+
+@query(
+    "document_filter_gate",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w != '') AS w
+      FROM documents),
+    feat AS (
+      SELECT doc_id, len(w) AS ntok,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - len(list_distinct(w)) / len(w)::DOUBLE
+                  ELSE 0.0 END AS dup_word_frac,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / len(text)
+                  ELSE 0.0 END AS alpha_frac
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN ntok < 5 THEN 'too_short'
+                WHEN dup_word_frac > 0.6 THEN 'repetitive'
+                WHEN alpha_frac < 0.5 THEN 'low_alpha'
+                ELSE 'keep' END AS verdict
+    FROM feat
+    """,
+)
+def document_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A composed quality gate over documents: first-failing-rule verdict
+    (too_short / repetitive / low_alpha / keep) from token count, dup-word
+    fraction, and alphabetic-character fraction — the shape of a real
+    pretraining filter pass, entirely in column expressions."""
+    from financial_data_science_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    ntok = F.size(toks)
+    dup = F.when(
+        ntok > 0, 1.0 - F.size(F.array_distinct(toks)) / ntok
+    ).otherwise(0.0)
+    alpha = F.when(
+        F.length("text") > 0,
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), F.lit(0)))
+        / F.length("text"),
+    ).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        F.when(ntok < 5, "too_short")
+        .when(dup > 0.6, "repetitive")
+        .when(alpha < 0.5, "low_alpha")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+@query(
     "tw_value_5min",
     """
     WITH d AS (

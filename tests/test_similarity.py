@@ -130,3 +130,25 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     cents = ivf_kmeans_centroids(emb, nlist=8, iters=3).toPandas()
     assert len(cents) <= 8 and cents["cluster"].is_unique
     assert all(len(c) == 64 for c in cents["cv"])
+
+
+def test_dedup_canonical_keep_structure(spark):
+    from financial_data_science_spark.queries import Q
+
+    out = Q["dedup_canonical_keep"](spark, "/root/testdata/sf0.001").toPandas()
+    assert (out["members"] >= 2).all()          # singletons are not clusters
+    assert out["keep_id"].is_unique
+    # the representative belongs to its own cluster: comp is the min id,
+    # so keep_id >= comp always
+    assert (out["keep_id"] >= out["comp"]).all()
+
+
+def test_document_filter_gate_verdicts(spark):
+    import pandas as pd
+
+    from financial_data_science_spark.functions.text import tokens  # noqa: F401
+    from financial_data_science_spark.queries import Q
+
+    out = Q["document_filter_gate"](spark, "/root/testdata/sf0.001").toPandas()
+    assert set(out["verdict"]) <= {"keep", "too_short", "repetitive", "low_alpha"}
+    assert (out["verdict"] == "keep").mean() > 0.5  # synthetic corpus is mostly clean
