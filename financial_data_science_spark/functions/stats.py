@@ -319,3 +319,50 @@ def fstats_breaks(
     fstat = F.when(in_window, ((n - 2) / 2.0) * (rse - sse) / rse).otherwise(0.0)
     return d.select(*keys, order, F.col("__x__").alias(value),
                     fstat.alias("fstat"))
+
+
+def rolling_ols(
+    df: DataFrame,
+    keys: list[str] | str | None,
+    order: str,
+    y: str,
+    x: str,
+    window: int,
+) -> DataFrame:
+    """Trailing-window simple OLS per row (rolling beta/alpha — the
+    rolling form of group_ols, reference econs.py:238-265 least_squares):
+    slope/intercept/r2 over the last ``window`` observations, from the
+    same normal-equation sums evaluated over a rowsBetween frame.
+
+    One shuffle on the group key; every statistic is a windowed sum —
+    no per-row refit, no UDF.  Rows with fewer than ``window`` prior
+    observations get nulls (pandas rolling min_periods=window).
+    """
+    from pyspark.sql import Window
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys or [])
+    w = (
+        Window.partitionBy(*keys_l).orderBy(order)
+        if keys_l
+        else Window.orderBy(order)
+    ).rowsBetween(-(window - 1), 0)
+    yc, xc = F.col(y).cast("double"), F.col(x).cast("double")
+    both = yc.isNotNull() & xc.isNotNull()
+    yv, xv = F.when(both, yc), F.when(both, xc)
+    n = F.count(xv).over(w).cast("double")
+    sx, sy = F.sum(xv).over(w), F.sum(yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    r_denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = F.when(r_denom > 0, F.pow(n * sxy - sx * sy, 2) / r_denom)
+    full = n >= float(window)
+    return df.select(
+        *keys_l, order, y, x,
+        F.when(full, slope).alias("slope"),
+        F.when(full, intercept).alias("intercept"),
+        F.when(full, r2).alias("r2"),
+    )

@@ -2009,6 +2009,70 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_beta_12m",
+    """
+    WITH m AS (
+      SELECT l_suppkey AS permno, date_trunc('month', l_shipdate) AS mo,
+             sum(l_extendedprice) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    mk AS (SELECT mo, sum(rev) AS mrev FROM m GROUP BY 1),
+    r AS (
+      SELECT m.permno, m.mo,
+             m.rev / lag(m.rev) OVER (PARTITION BY m.permno ORDER BY m.mo) - 1 AS y,
+             mk.mrev / lag(mk.mrev) OVER (PARTITION BY m.permno ORDER BY m.mo) - 1 AS x
+      FROM m JOIN mk ON mk.mo = m.mo),
+    d AS (SELECT * FROM r WHERE y IS NOT NULL AND x IS NOT NULL),
+    wsum AS (
+      SELECT permno, mo, y, x,
+        count(*) OVER wrol AS n,
+        sum(x) OVER wrol AS sx, sum(y) OVER wrol AS sy,
+        sum(x*x) OVER wrol AS sxx, sum(y*y) OVER wrol AS syy,
+        sum(x*y) OVER wrol AS sxy
+      FROM d
+      WINDOW wrol AS (PARTITION BY permno ORDER BY mo
+                      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+    SELECT permno, mo,
+      round(CASE WHEN n >= 12
+        THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+      round(CASE WHEN n >= 12
+        THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END, 6) AS intercept,
+      round(CASE WHEN n >= 12 AND (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+        THEN pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+    FROM wsum
+    """,
+)
+def rolling_beta_12m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 12-month market beta per supplier (the rolling form of
+    per-group OLS, econs.py:238-265): windowed normal-equation sums, one
+    shuffle, no per-row refit."""
+    from financial_data_science_spark.functions.stats import rolling_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.col("l_suppkey").alias("permno"),
+        F.date_trunc("month", "l_shipdate").alias("mo"),
+    ).agg(F.sum("l_extendedprice").alias("rev"))
+    mk = m.groupBy("mo").agg(F.sum("rev").alias("mrev"))
+    w = Window.partitionBy("permno").orderBy("mo")
+    r = (
+        m.join(mk, "mo")
+        .select(
+            "permno", "mo",
+            (F.col("rev") / F.lag("rev").over(w) - 1).alias("y"),
+            (F.col("mrev") / F.lag("mrev").over(w) - 1).alias("x"),
+        )
+        .dropna()
+    )
+    out = rolling_ols(r, "permno", "mo", "y", "x", window=12)
+    return out.select(
+        "permno", "mo",
+        _r("slope").alias("slope"),
+        _r("intercept").alias("intercept"),
+        _r("r2").alias("r2"),
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:

@@ -379,3 +379,29 @@ def test_norm_ppf_and_halflife():
     assert halflife(0.5) == pytest.approx(1.0)
     assert halflife(0.06) == pytest.approx(-np.log(2) / np.log(0.94))
     assert halflife(0) == 0 and halflife(1.5) == float("inf")
+
+
+def test_rolling_ols_vs_pandas(spark):
+    import pandas as pd
+
+    from financial_data_science_spark.functions.stats import rolling_ols
+
+    rng = np.random.default_rng(31)
+    n = 80
+    x = rng.normal(0, 1, n)
+    y = 1.5 * x + 0.3 + rng.normal(0, 0.5, n)
+    pdf = pd.DataFrame({"g": "a", "t": np.arange(n), "y": y, "x": x})
+    got = (
+        rolling_ols(spark.createDataFrame(pdf), "g", "t", "y", "x", window=20)
+        .toPandas().sort_values("t").reset_index(drop=True)
+    )
+    for t in [5, 19, 20, 50, 79]:
+        if t < 19:
+            assert pd.isna(got.loc[t, "slope"])
+            continue
+        seg = pdf.iloc[t - 19 : t + 1]
+        sl, ic = np.polyfit(seg["x"], seg["y"], 1)
+        assert got.loc[t, "slope"] == pytest.approx(sl, rel=1e-9), t
+        assert got.loc[t, "intercept"] == pytest.approx(ic, rel=1e-9), t
+        r = np.corrcoef(seg["x"], seg["y"])[0, 1]
+        assert got.loc[t, "r2"] == pytest.approx(r * r, rel=1e-9), t
