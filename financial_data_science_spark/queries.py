@@ -2073,6 +2073,165 @@ def rolling_beta_12m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "upsert_insert_ignore",
+    """
+    WITH existing AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 3 != 0),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT * FROM existing
+      UNION ALL
+      SELECT n.* FROM new n
+      WHERE NOT EXISTS (SELECT 1 FROM existing e
+                        WHERE e.o_orderkey = n.o_orderkey))
+    """,
+)
+def upsert_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 under the gate: INSERT IGNORE upsert — existing rows win on PK
+    conflict, only absent keys append (left-anti + union,
+    sources/coercion.py upsert_append; reference sql.py:251-266 temp
+    table + INSERT IGNORE).  The doubled prices on the conflicting new
+    rows prove the existing side wins."""
+    from financial_data_science_spark.sources.coercion import upsert_append
+
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    out = upsert_append(existing, new, ["o_orderkey"])
+    return out.select(
+        "o_orderkey", "o_custkey", _r("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "ohlc_volatility",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', l_shipdate) AS day,
+             date_trunc('month', l_shipdate) AS mo,
+             avg(l_extendedprice) AS p
+      FROM lineitem GROUP BY 1, 2),
+    ohlc AS (
+      SELECT mo, arg_min(p, day) AS o, max(p) AS h, min(p) AS l,
+             arg_max(p, day) AS c
+      FROM daily GROUP BY mo)
+    SELECT mo,
+           round(pow(ln(h / l), 2) / (4 * ln(2)), 6) AS parkinson_var,
+           round(0.5 * pow(ln(h / l), 2)
+                 - (2 * ln(2) - 1) * pow(ln(c / o), 2), 6) AS garman_klass_var,
+           round(ln(h / c) * ln(h / o) + ln(l / c) * ln(l / o), 6)
+             AS rogers_satchell_var
+    FROM ohlc
+    """,
+)
+def ohlc_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC volatility estimators (Parkinson / Garman-Klass /
+    Rogers-Satchell, reference finance.py:230-276) over monthly bars of
+    the daily average price — pure column arithmetic on one argmin/argmax
+    aggregate; upgrades the §2.8 volatility row from pytest-only to
+    oracle-checked."""
+    from financial_data_science_spark.functions.finance import (
+        garman_klass_var,
+        parkinson_var,
+        rogers_satchell_var,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day"),
+        F.date_trunc("month", "l_shipdate").alias("mo"),
+    ).agg(F.avg("l_extendedprice").alias("p"))
+    ohlc = daily.groupBy("mo").agg(
+        F.min_by("p", "day").alias("o"),
+        F.max("p").alias("h"),
+        F.min("p").alias("l"),
+        F.max_by("p", "day").alias("c"),
+    )
+    return ohlc.select(
+        "mo",
+        _r(parkinson_var("h", "l")).alias("parkinson_var"),
+        _r(garman_klass_var("o", "h", "l", "c")).alias("garman_klass_var"),
+        _r(rogers_satchell_var("o", "h", "l", "c")).alias("rogers_satchell_var"),
+    )
+
+
+@query(
+    "coercion_roundtrip",
+    """
+    WITH dirty AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS odate,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+                  ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+             CASE WHEN o_orderkey % 89 = 0 THEN ''
+                  ELSE CAST(o_custkey AS VARCHAR) END AS ship,
+             o_orderpriority || CASE WHEN o_orderkey % 7 = 0
+                                     THEN 'é' ELSE '' END AS priority
+      FROM orders),
+    clean AS (
+      SELECT o_orderkey,
+             CASE WHEN trim(replace(odate, '-', '')) = '' THEN 0
+                  ELSE coalesce(try_cast(replace(odate, '-', '') AS INTEGER), 0)
+             END AS odate,
+             try_cast(price AS DOUBLE) AS price,
+             CASE WHEN trim(replace(ship, '-', '')) = '' THEN 0
+                  ELSE coalesce(try_cast(replace(ship, '-', '') AS INTEGER), 0)
+             END AS ship,
+             trim(regexp_replace(priority, '[^\\x00-\\x7F]', '', 'g')) AS priority
+      FROM dirty)
+    SELECT o_orderkey, odate, round(price, 2) AS price, ship, priority
+    FROM clean
+    """,
+)
+def coercion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 under the gate: the dtype-coercion kernel on deliberately dirty
+    strings derived from orders — dashed date strings -> int YYYYMMDD,
+    'N/A' prices -> null (to_numeric errors='coerce'), blank ints -> 0,
+    non-ascii stripped from strings (sql.py:17-71 as_dtypes rules)."""
+    from pyspark.sql import types as T
+
+    from financial_data_science_spark.sources.coercion import as_dtypes
+
+    o = load_table(spark, sf_dir, "orders")
+    dirty = o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.when(F.col("o_orderkey") % 97 == 0, "N/A")
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 89 == 0, "")
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("ship"),
+        F.concat(
+            F.col("o_orderpriority"),
+            F.when(F.col("o_orderkey") % 7 == 0, "é").otherwise(""),
+        ).alias("priority"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("odate", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("ship", T.IntegerType()),
+            T.StructField("priority", T.StringType()),
+        ]
+    )
+    out = as_dtypes(dirty, schema)
+    return out.select(
+        "o_orderkey", "odate", _r("price", 2).alias("price"), "ship", "priority"
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:
