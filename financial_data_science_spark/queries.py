@@ -2232,6 +2232,40 @@ def coercion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ff_scale_sentinels",
+    """
+    WITH raw AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 101 = 0 THEN -99.99
+                  WHEN l_orderkey % 103 = 0 THEN -999.0
+                  ELSE round(l_discount * 100, 2) END AS pct
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           round(CASE WHEN pct IN (-99.99, -999.0) THEN NULL
+                 ELSE pct / 100.0 END, 6) AS ret
+    FROM raw
+    """,
+)
+def ff_scale_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 under the gate: Fama-French value cleaning — the -99.99/-999
+    missing sentinels to null, percent to decimal (ffreader.py:166-171) —
+    on a percent series with planted sentinels."""
+    from financial_data_science_spark.sources.readers import ff_scale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_orderkey") % 101 == 0, -99.99)
+        .when(F.col("l_orderkey") % 103 == 0, -999.0)
+        .otherwise(F.round(F.col("l_discount") * 100, 2))
+        .alias("pct"),
+    )
+    return raw.select(
+        "l_orderkey", "l_linenumber", _r(ff_scale("pct")).alias("ret")
+    )
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:
