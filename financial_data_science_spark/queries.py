@@ -2266,6 +2266,52 @@ def ff_scale_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "permno_links_asof",
+    """
+    WITH links AS (
+      SELECT s_suppkey AS gvkey,
+             19900101 + (s_suppkey % 5) * 10000 AS linkdt,
+             CASE WHEN s_suppkey % 3 = 0 THEN 0 ELSE 19951231 END AS linkenddt,
+             s_suppkey + 10000 AS lpermno,
+             CASE WHEN s_suppkey % 2 = 0 THEN 'LU' ELSE 'XX' END AS linktype
+      FROM supplier),
+    valid AS (
+      SELECT * FROM links WHERE linktype IN ('LC', 'LU') AND lpermno > 0),
+    best AS (
+      SELECT gvkey, lpermno, linkenddt,
+             row_number() OVER (PARTITION BY gvkey
+               ORDER BY linkdt DESC, lpermno DESC) AS rn
+      FROM valid WHERE linkdt <= 19970101),
+    resolved AS (
+      SELECT k.s_suppkey AS gvkey,
+             CASE WHEN b.linkenddt = 0 OR b.linkenddt >= 19970101
+                  THEN b.lpermno END AS lpermno
+      FROM supplier k LEFT JOIN best b ON b.gvkey = k.s_suppkey AND b.rn = 1)
+    SELECT gvkey, coalesce(lpermno, 0)::BIGINT AS lpermno FROM resolved
+    """,
+)
+def permno_links_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 under the gate: prevailing lpermno at one fixed date for a key
+    list (structured.py:230-272 get_permnos) over a synthetic link table —
+    linktype screen, max(linkdt) <= date with linkenddt validity, missing
+    -> 0.  Half the links carry an invalid linktype and a third expire
+    before the as-of date, so every screen is exercised."""
+    from financial_data_science_spark.datasets.links import get_permnos
+
+    sup = load_table(spark, sf_dir, "supplier")
+    links = sup.select(
+        F.col("s_suppkey").alias("gvkey"),
+        (19900101 + (F.col("s_suppkey") % 5) * 10000).alias("linkdt"),
+        F.when(F.col("s_suppkey") % 3 == 0, 0).otherwise(19951231).alias("linkenddt"),
+        (F.col("s_suppkey") + 10000).alias("lpermno"),
+        F.when(F.col("s_suppkey") % 2 == 0, "LU").otherwise("XX").alias("linktype"),
+    )
+    keys = sup.select(F.col("s_suppkey").alias("gvkey"))
+    out = get_permnos(keys, links, date=19970101)
+    return out.select("gvkey", F.col("lpermno").cast("long").alias("lpermno"))
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:
