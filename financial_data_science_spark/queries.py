@@ -2312,6 +2312,53 @@ def permno_links_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gvkey", F.col("lpermno").cast("long").alias("lpermno"))
 
 
+@query(
+    "coercion_keep_drop_replace",
+    """
+    WITH typed AS (
+      SELECT o_orderkey,
+             CASE WHEN trim(o_orderstatus) = 'P' THEN 'O'
+                  ELSE trim(o_orderstatus) END AS status,
+             CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+      FROM orders)
+    SELECT o_orderkey, status, price FROM typed
+    WHERE status IN ('O', 'F') AND o_orderkey % 11 != 0
+    """,
+)
+def coercion_keep_drop_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 under the gate: the keep/drop/replace value filters of the
+    ingestion pipeline (structured.py:177-201) — replace maps 'P'->'O',
+    keep restricts status to {O, F}, drop removes an orderkey residue
+    class — applied through as_dtypes so the declared-schema path is the
+    thing tested."""
+    from pyspark.sql import types as T
+
+    from financial_data_science_spark.sources.coercion import as_dtypes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+        (F.col("o_orderkey") % 11).alias("resid"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("resid", T.IntegerType()),
+        ]
+    )
+    out = as_dtypes(
+        o,
+        schema,
+        replace={"status": {"P": "O"}},
+        keep={"status": ["O", "F"]},
+        drop={"resid": [0]},
+    )
+    return out.select("o_orderkey", "status", "price")
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:
