@@ -2359,6 +2359,62 @@ def coercion_keep_drop_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "status", "price")
 
 
+@query(
+    "dated_lookup_apply",
+    """
+    WITH dim AS (
+      SELECT n_nationkey AS key,
+             19900101 + v * 20000 AS vdate,
+             n_name || '_' || v AS val
+      FROM nation, range(0, 3) t(v)),
+    ev AS (
+      SELECT event_id, user_id % 25 AS key,
+             year(ts) * 10000 + month(ts) * 100 + day(ts) AS d
+      FROM events),
+    prev AS (
+      SELECT e.event_id, e.key, e.d, dm.val,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY dm.vdate DESC, dm.val DESC) AS rn
+      FROM ev e JOIN dim dm ON dm.key = e.key AND dm.vdate <= e.d),
+    firsts AS (
+      SELECT key, val AS fval FROM (
+        SELECT key, val, row_number() OVER (PARTITION BY key
+                 ORDER BY vdate) AS rn FROM dim) WHERE rn = 1)
+    SELECT e.event_id, e.key, coalesce(a.val, f.fval) AS val
+    FROM ev e
+    LEFT JOIN (SELECT event_id, val FROM prev WHERE rn = 1) a USING (event_id)
+    LEFT JOIN firsts f ON f.key = e.key
+    """,
+)
+def dated_lookup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 under the gate: the broadcast dated-dimension Lookup applied
+    set-at-a-time — prevailing value per (key, date), rows earlier than
+    every dim date fall back to the group's first record
+    (structured.py:366-368)."""
+    from financial_data_science_spark.datasets.lookup import Lookup
+
+    nation = load_table(spark, sf_dir, "nation")
+    dim = nation.crossJoin(
+        F.broadcast(
+            load_table(spark, sf_dir, "region").select(
+                F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v")
+            ).distinct()
+        )
+    ).select(
+        F.col("n_nationkey").alias("key"),
+        (19900101 + F.col("v") * 20000).alias("vdate"),
+        F.concat("n_name", F.lit("_"), F.col("v")).alias("val"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 25).alias("key"),
+        (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts")).alias("d"),
+    )
+    lk = Lookup(dim, key="key", date_col="vdate", target="val")
+    out = lk.apply(ev, key_col="key", date_col="d")
+    return out.select("event_id", "key", "val")
+
+
 def _ivf_oracle_sql(
     nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
 ) -> str:
