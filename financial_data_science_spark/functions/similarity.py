@@ -512,6 +512,90 @@ def exact_dedup(
 
 # ---------------------------------------------------------------- IVF ANN
 
+def _centroid_literal(cent_rows: list) -> Column:
+    """``array<struct<cluster,cv>>`` literal built from collected centroid
+    rows — the broadcast-to-every-task form of the nlist-row centroid
+    table.  nlist x dim doubles, a few KB: cheaper to inline than to
+    broadcast-join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for c, cv in cent_rows
+        ]
+    )
+
+
+def _assign_clusters(
+    df: DataFrame, vec_col: str, cent_rows: list, round_dp: int = 6
+) -> DataFrame:
+    """Map-side cosine argmax against the centroid literal: one projection,
+    zero Exchange — replaces the crossJoin + per-id ``row_number`` argmax
+    (a |C| x nlist-row shuffle per sweep).  Scores are rounded to
+    ``round_dp`` before the max and ties break to the lowest cluster id
+    (struct-max on ``(s, -cluster)``), identical to the window ordering it
+    replaces, so the DuckDB oracle replay is unchanged."""
+    v = F.col(vec_col)
+    best = F.array_max(
+        F.transform(
+            _centroid_literal(cent_rows),
+            lambda c: F.struct(
+                F.round(cosine(v, c["cv"]), round_dp).alias("s"),
+                (-c["cluster"]).alias("negc"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return df.withColumn("cluster", best["cluster"])
+
+
+def _ivf_train_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> list:
+    """Lloyd training loop returning the centroids as collected rows
+    ``[(cluster, cv), ...]`` — the form the map-side assignment literal
+    wants.  Each sweep: map-side argmax assignment (no shuffle), then one
+    posexplode + two-level aggregation (dim x nlist partial cells,
+    map-side combinable) for the coordinate means.  Only the nlist-row
+    centroid frame is ever collected."""
+    v = F.col(vec_col)
+    init = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
+            F.transform(v, lambda x: F.round(x.cast("double"), round_dp)).alias("cv"),
+        )
+    )
+    cent_rows = sorted((r["cluster"], list(r["cv"])) for r in init.collect())
+    for _ in range(iters):
+        asg = _assign_clusters(corpus.select(vec_col), vec_col, cent_rows, round_dp)
+        cells = (
+            asg.select("cluster", F.posexplode(v).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("cavg"))
+        )
+        rows = (
+            cells.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cavg"))),
+                    lambda st: st["cavg"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        cent_rows = sorted((r["cluster"], list(r["cv"])) for r in rows)
+    return cent_rows
+
+
 def ivf_kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -532,57 +616,15 @@ def ivf_kmeans_centroids(
     are rounded likewise before the argmax.  Fixed iteration count, no RNG:
     the DuckDB oracle replays the training bit-for-bit.
 
-    Scale shape: centroids are a broadcast nlist-row frame; assignment is
-    a map-side cross join + window; the update is one posexplode +
-    two-level aggregation (dim x nlist partial cells, map-side combinable).
-    Nothing is driver-side but the loop control.
+    Scale shape: assignment is a map-side argmax against an inlined
+    centroid literal (zero Exchange); the update is one posexplode +
+    two-level aggregation.  Nothing is driver-side but the loop control
+    and the nlist-row centroid collect between sweeps.
     """
-    v = F.col(vec_col)
-    init = (
-        corpus.orderBy(id_col)
-        .limit(nlist)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
-            F.transform(v, lambda x: F.round(x.cast("double"), round_dp)).alias("cv"),
-        )
-        .localCheckpoint(eager=True)
+    cent_rows = _ivf_train_rows(corpus, id_col, vec_col, nlist, iters, round_dp)
+    return corpus.sparkSession.createDataFrame(
+        [(c, list(cv)) for c, cv in cent_rows], "cluster int, cv array<double>"
     )
-    cents = init
-    for _ in range(iters):
-        asg = (
-            corpus.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                vec_col,
-                "cluster",
-                F.round(cosine(v, F.col("cv")), round_dp).alias("s"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.col("s").desc(), F.col("cluster").asc()
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
-        cells = (
-            asg.select("cluster", F.posexplode(v).alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("cavg"))
-        )
-        cents = (
-            cells.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cavg"))),
-                    lambda st: st["cavg"],
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cents
 
 
 def ivf_topk(
@@ -601,47 +643,38 @@ def ivf_topk(
 
     The scale path for similarity search when hyperplane-LSH recall is not
     enough: scoring cost drops from |Q| x |C| (cosine_topk) to
-    |Q| x (nprobe/nlist) x |C| with the corpus-side bin join shuffling on
-    the (small-cardinality) cluster key.  Recall depends on nprobe/nlist —
-    the standard IVF tradeoff; results within the probed lists are exact.
+    |Q| x (nprobe/nlist) x |C|.  Both the corpus binning and the query
+    probing are map-side argmax/top-nprobe against the inlined centroid
+    literal — no Exchange anywhere before the final top-k window.  Recall
+    depends on nprobe/nlist — the standard IVF tradeoff; results within
+    the probed lists are exact.
     """
-    cents = F.broadcast(
-        ivf_kmeans_centroids(corpus, id_col, vec_col, nlist, iters)
-    )
+    cent_rows = _ivf_train_rows(corpus, id_col, vec_col, nlist, iters)
     v = F.col(vec_col)
-    binned = (
-        corpus.crossJoin(cents)
-        .select(
-            id_col, vec_col, "cluster",
-            F.round(cosine(v, F.col("cv")), 6).alias("s"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("s").desc(), F.col("cluster").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cluster")
+    binned = _assign_clusters(
+        corpus.select(id_col, vec_col), vec_col, cent_rows, 6
+    )
+    # top-nprobe clusters per query, map-side: sort the scored centroid
+    # array ascending on (-s, cluster) — s desc, ties to lowest cluster,
+    # same ordering as the row_number it replaces — slice nprobe, explode
+    probe_arr = F.transform(
+        _centroid_literal(cent_rows),
+        lambda c: F.struct(
+            (-F.round(cosine(F.col("__qv__"), c["cv"]), 6)).alias("negs"),
+            c["cluster"].alias("cluster"),
+        ),
     )
     probes = (
         queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
-        .crossJoin(cents)
-        .select(
-            query_id, "__qv__", "cluster",
-            F.round(cosine(F.col("__qv__"), F.col("cv")), 6).alias("s"),
-        )
         .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(
-                    F.col("s").desc(), F.col("cluster").asc()
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_arr), 1, nprobe),
+                    lambda s: s["cluster"],
                 )
             ),
         )
-        .filter(F.col("rn") <= nprobe)
         .select(query_id, "__qv__", "cluster")
     )
     # probes is |Q| x nprobe rows — broadcast it so the corpus-side bin
@@ -652,7 +685,10 @@ def ivf_topk(
     ).select(
         query_id,
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__qv__"), v).alias("score"),
+        # rounded to the 6dp grid BEFORE the top-k ordering so a
+        # cross-engine ulp difference near a rank boundary cannot flip
+        # membership vs the oracle (same discipline as the assignment)
+        F.round(cosine(F.col("__qv__"), v), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

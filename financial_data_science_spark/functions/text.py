@@ -161,8 +161,14 @@ def tf_idf_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.col("tf")
-            * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + 1.0),
+            # rounded to the 6dp output grid BEFORE the top-k ordering so
+            # a cross-engine ulp difference (Spark vs oracle ln) near a
+            # rank boundary cannot flip top-k membership
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n__") + 1) / (F.col("df") + 1)) + 1.0),
+                6,
+            ),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

@@ -1909,7 +1909,8 @@ def max_drawdown_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             tf.tf * (ln(((SELECT nd FROM n) + 1) / (dfreq.df + 1)) + 1.0) AS tfidf
+             round(tf.tf * (ln(((SELECT nd FROM n) + 1) / (dfreq.df + 1)) + 1.0),
+                   6) AS tfidf
       FROM tf JOIN dfreq ON dfreq.term = tf.term)
     SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -2461,7 +2462,7 @@ def _ivf_oracle_sql(
         FROM e, c{iters} c WHERE e.vec_id < 20) WHERE rn <= {nprobe}),
     scored AS (
       SELECT p.query_id, b.vec_id AS neighbor_id,
-             list_cosine_similarity(p.qv, b.v) AS s
+             round(list_cosine_similarity(p.qv, b.v), 6) AS s
       FROM probes p JOIN binned b ON b.cluster = p.cluster
       WHERE b.vec_id != p.query_id)
     SELECT query_id, neighbor_id, round(s, 4) AS score FROM (

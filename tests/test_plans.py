@@ -204,6 +204,24 @@ def test_ivf_probe_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """Corpus->cluster assignment is a map-side argmax against the inlined
+    centroid literal: no Exchange between the scan and the cluster column
+    (the round-4 audit flagged the old crossJoin+row_number argmax as an
+    avoidable |C| x nlist shuffle)."""
+    from financial_data_science_spark.functions.similarity import (
+        _assign_clusters,
+        _ivf_train_rows,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = _ivf_train_rows(emb, nlist=4, iters=1)
+    plan = _plan(_assign_clusters(emb, "embedding", rows))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_triangles_plan_has_no_cartesian(spark):
     """Triangle enumeration is equi-joins on shared vertices, never a
     per-node neighborhood cross product."""

@@ -116,10 +116,12 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     exact = cosine_topk(queries, emb, k=3).toPandas()
     approx = ivf_topk(queries, emb, k=3, nlist=8, nprobe=2, iters=3).toPandas()
 
-    # within-list results are exact: every IVF hit that the brute-force
-    # top-3 also contains must carry the identical score
+    # within-list results are exact up to ivf_topk's deliberate pre-rank
+    # rounding of the score to the 6dp output grid (round-before-argmax
+    # discipline): every IVF hit that the brute-force top-3 also contains
+    # must carry the same score on that grid
     m = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
-    assert (abs(m["score_a"] - m["score_e"]) < 1e-12).all()
+    assert (abs(m["score_a"] - m["score_e"]) <= 5e-7).all()
 
     # recall@3 with nprobe=2/nlist=8 on clustered synthetic data
     hits = len(m)
