@@ -2417,20 +2417,24 @@ def dated_lookup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle_sql(
-    nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64
+    nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64,
+    train_mod: int = 4,
 ) -> str:
     """DuckDB replay of the ENTIRE deterministic IVF pipeline: k-means
-    init from lowest ids, cosine-argmax assignment with rounded scores,
-    rounded coordinate-mean updates, corpus binning, nprobe probing, and
-    exact within-list top-k.  MATERIALIZED per sweep (CTE inlining would
-    double the tree per iteration)."""
+    init from lowest TRAINING-SAMPLE ids (the 1-in-mod id subset — a
+    coarse quantizer trains on a sample, assignment covers everything),
+    cosine-argmax assignment with rounded scores, rounded coordinate-mean
+    updates, full-corpus binning, nprobe probing, and exact within-list
+    top-k.  MATERIALIZED per sweep (CTE inlining would double the tree
+    per iteration)."""
     head = f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    et AS MATERIALIZED (SELECT * FROM e WHERE vec_id % {train_mod} = 0),
     c0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
              list_transform(v, x -> round(x, 6)) AS cv
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {nlist}))"""
+      FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT {nlist}))"""
     step = f""",
     a{{k}} AS MATERIALIZED (
       SELECT vec_id, cluster FROM (
@@ -2438,11 +2442,11 @@ def _ivf_oracle_sql(
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
                           c.cluster) AS rn
-        FROM e, c{{prev}} c) WHERE rn = 1),
+        FROM et e, c{{prev}} c) WHERE rn = 1),
     c{{k}} AS MATERIALIZED (
       SELECT cluster, list(av ORDER BY i) AS cv FROM (
         SELECT a.cluster, i, round(avg(e.v[i]), 6) AS av
-        FROM a{{k}} a JOIN e ON e.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
+        FROM a{{k}} a JOIN et e ON e.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
         GROUP BY a.cluster, i) GROUP BY cluster)"""
     body = "".join(step.format(k=i, prev=i - 1) for i in range(1, iters + 1))
     return head + body + f""",
@@ -2483,7 +2487,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=3, nlist=8, nprobe=2, iters=3
+        emb.filter(F.col("vec_id") < 20), emb, k=3, nlist=8, nprobe=2, iters=3,
+        train_mod=4,
     )
     return out.select("query_id", "neighbor_id", _r("score", 4).alias("score"))
 
