@@ -9,12 +9,13 @@ shape that scales to billions of edges (networkx does not).
 Coverage vs reference nodes_centrality (recipes/graph.py:185-231):
 degree, eigenvector, pagerank, hub/authority (HITS), closeness (for a
 queried source subset; all-vertex closeness is O(V*E*diam) — at cluster
-scale run it on the vertices you need or landmark-sample).  EXCLUDED by
-design: exact all-pairs betweenness — Brandes' algorithm needs a
-per-source shortest-path DAG plus reverse-order dependency accumulation,
-which distributes as V synchronized BFS+backprop rounds; at 100 TB scale
-that is a dedicated system (or a sampled approximation whose error bars
-the reference's networkx call doesn't model), not a query operator.
+scale run it on the vertices you need or landmark-sample), and
+betweenness via source-sampled Brandes (``betweenness_sampled``: exact
+when given every vertex as a source, the standard unbiased (n/k)
+landmark estimate otherwise).  Exact ALL-pairs betweenness stays out of
+reach by design — V synchronized BFS+backprop rounds is a dedicated
+system at 100 TB — but the sampled form covers the realistic use and
+degrades gracefully: cost is k-sources x diameter join+agg rounds.
 """
 
 from __future__ import annotations
@@ -707,4 +708,109 @@ def degree_assortativity(
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
     return ue.join(da, "a").join(db, "b").agg(
         F.corr("da", "db").alias("assortativity")
+    )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "id",
+    hops: int = 8,
+    normalized: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Source-sampled Brandes betweenness centrality on the undirected
+    graph (reference recipes/graph.py:224 ``nx.betweenness_centrality`` —
+    the one centrality the module previously excluded; this is the
+    landmark-sampled approximation the module notes called for).
+
+    Brandes (2001) per source s: a level-synchronous BFS accumulates
+    shortest-path counts sigma, then dependencies back-propagate level by
+    level: delta(v) = sum over successors w of sigma_v/sigma_w *
+    (1 + delta(w)).  Estimator: bc(v) = (n/k) * sum_s delta_s(v), halved
+    for the undirected double-count, normalized by (n-1)(n-2)/2 — with
+    ``sources`` = all vertices this is EXACT nx betweenness; with a fixed
+    k-subset it is the standard unbiased source-sampling estimate.
+
+    Scale shape: all k sources share every sweep's joins (the same
+    multi-source amortization as closeness_centrality); each BFS level
+    and each backprop level is one equi-join + one aggregation on the
+    (s, node) key — diameter-many rounds, never all-pairs.  Sources are
+    caller-fixed (deterministic), so the oracle replays the identical
+    computation; per-level deltas are rounded to ``round_dp`` to keep the
+    cross-engine float sums on a comparable grid.
+    """
+    ue = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    n_nodes = ue.select(F.col("a").alias("id")).distinct().count()
+    seed = sources.select(F.col(source_col).alias("s")).distinct()
+    k_sources = seed.count()
+    level = seed.select(
+        "s", F.col("s").alias("node"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [level]
+    visited = level.select("s", "node")
+    for _ in range(1, hops + 1):
+        # candidates via one frontier x edges join; sigma of a new node =
+        # sum of parent sigmas (all frontier parents are on shortest paths)
+        cand = level.join(ue, level.node == ue.a).select(
+            "s", F.col("b").alias("node"), "sigma"
+        )
+        nxt = (
+            cand.join(visited, ["s", "node"], "left_anti")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "node"))
+        level = nxt
+    # dependency back-propagation, deepest level first (delta there = 0)
+    delta = levels[-1].select("s", "node", F.lit(0.0).alias("delta"))
+    acc = [delta] if len(levels) > 1 else []
+    for L in range(len(levels) - 2, 0, -1):
+        deeper = levels[L + 1].join(delta, ["s", "node"]).select(
+            "s",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        vlev = levels[L]
+        nb = vlev.join(ue, vlev.node == ue.a).select(
+            "s", "node", "sigma", F.col("b").alias("w")
+        )
+        contrib = (
+            nb.join(deeper, ["s", "w"])
+            .groupBy("s", "node")
+            .agg(
+                F.round(
+                    F.sum(F.col("sigma") / F.col("sigma_w") * (1 + F.col("delta_w"))),
+                    round_dp,
+                ).alias("delta")
+            )
+        )
+        delta = (
+            vlev.select("s", "node")
+            .join(contrib, ["s", "node"], "left")
+            .withColumn("delta", F.coalesce(F.col("delta"), F.lit(0.0)))
+            .localCheckpoint(eager=True)
+        )
+        acc.append(delta)
+    if not acc:
+        return ue.sparkSession.createDataFrame([], "id long, betweenness double")
+    from functools import reduce
+
+    raw = (
+        reduce(lambda a, b: a.unionByName(b), acc)
+        .groupBy(F.col("node").alias("id"))
+        .agg(F.sum("delta").alias("raw"))
+    )
+    scale = float(n_nodes) / float(k_sources) / 2.0
+    if normalized:
+        scale = scale / ((n_nodes - 1) * (n_nodes - 2) / 2.0)
+    return raw.select(
+        "id", F.round(F.col("raw") * F.lit(scale), round_dp).alias("betweenness")
     )

@@ -1554,6 +1554,76 @@ def supply_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["supply_closeness"] = _closeness_oracle_sql()
 
 
+def _betweenness_oracle_sql(hops: int = 8, n_sources: int = 16) -> str:
+    """Fixed-level replay of source-sampled Brandes: BFS levels with
+    path-count sigma (NOT EXISTS keeps first-reach semantics), then the
+    dependency back-propagation chain deepest-level-first, with the same
+    per-level 6dp rounding and the same (n/k)-scaled normalization as
+    graph.betweenness_sampled."""
+    head = f"""
+    WITH {_SUPPLY_UE_CTE},
+    verts AS (SELECT DISTINCT a AS id FROM ue),
+    srcs AS MATERIALIZED (SELECT DISTINCT src AS s FROM e0 ORDER BY s LIMIT {n_sources}),
+    l0 AS MATERIALIZED (SELECT s, s AS node, 1.0::DOUBLE AS sigma FROM srcs),
+    vis0 AS MATERIALIZED (SELECT s, node FROM l0)"""
+    bfs = """,
+    l{k} AS MATERIALIZED (
+      SELECT p.s, ue.b AS node, sum(p.sigma) AS sigma
+      FROM l{prev} p JOIN ue ON ue.a = p.node
+      WHERE NOT EXISTS (SELECT 1 FROM vis{prev} v
+                        WHERE v.s = p.s AND v.node = ue.b)
+      GROUP BY 1, 2),
+    vis{k} AS MATERIALIZED (
+      SELECT s, node FROM vis{prev} UNION ALL SELECT s, node FROM l{k})"""
+    body = "".join(bfs.format(k=k, prev=k - 1) for k in range(1, hops + 1))
+    back = f""",
+    d{hops} AS MATERIALIZED (SELECT s, node, 0.0::DOUBLE AS delta FROM l{hops})"""
+    bstep = """,
+    d{L} AS MATERIALIZED (
+      SELECT v.s, v.node,
+             coalesce(round(sum(v.sigma / wd.sigma * (1 + wd.delta)), 6),
+                      0.0) AS delta
+      FROM l{L} v
+      LEFT JOIN ue ON ue.a = v.node
+      LEFT JOIN (SELECT l.s, l.node, l.sigma, d.delta
+                 FROM l{Lp1} l JOIN d{Lp1} d
+                   ON d.s = l.s AND d.node = l.node) wd
+        ON wd.s = v.s AND wd.node = ue.b
+      GROUP BY 1, 2)"""
+    back += "".join(bstep.format(L=L, Lp1=L + 1) for L in range(hops - 1, 0, -1))
+    union = " UNION ALL ".join(f"SELECT * FROM d{L}" for L in range(1, hops + 1))
+    return head + body + back + f"""
+    SELECT id,
+           round(raw * (((SELECT count(*)::DOUBLE FROM verts)
+                          / (SELECT count(*)::DOUBLE FROM srcs) / 2.0)
+                        / (((SELECT count(*)::DOUBLE FROM verts) - 1)
+                           * ((SELECT count(*)::DOUBLE FROM verts) - 2) / 2.0)),
+                 6) AS betweenness
+    FROM (SELECT node AS id, sum(delta) AS raw FROM ({union}) GROUP BY 1)"""
+
+
+@query("supply_betweenness_sampled", None)
+def supply_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled Brandes betweenness for the supply network
+    (recipes/graph.py:224 nx.betweenness_centrality — previously an
+    excluded row): 16 fixed landmark sources, level-synchronous BFS with
+    path counts, then dependency back-propagation — every round one
+    equi-join + one aggregation shared by all sources."""
+    from financial_data_science_spark.functions.graph import (
+        betweenness_sampled,
+    )
+
+    edges = _supply_edges(spark, sf_dir)
+    sources = (
+        edges.select(F.col("src").alias("id")).distinct().orderBy("id").limit(16)
+    )
+    out = betweenness_sampled(edges, sources, hops=8)
+    return out.select("id", _r("betweenness").alias("betweenness"))
+
+
+ORACLE["supply_betweenness_sampled"] = _betweenness_oracle_sql()
+
+
 @query(
     "bivariate_spread_holdings",
     """
@@ -4116,6 +4186,93 @@ def universe_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("cap", 2).alias("cap"),
         _r("capco", 2).alias("capco"),
         F.col("decile").cast("long").alias("decile"),
+    )
+
+
+# ------------------------------------------------------------ streaming gate
+
+#: memory-sink names must be fresh per run (bench repeats queries)
+_STREAM_SEQ = iter(range(10**9))
+
+
+@query(
+    "stream_tick_bins_5min",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS bin,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tick_bins_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 gate evidence: the STREAMING tumbling-bin expression graph
+    (streaming/windows.py::stream_bin_aggregate under readStream) driven
+    to completion over the static events source and hash-compared to the
+    batch oracle — the same parity the pytest suite asserts, now visible
+    to the correctness gate."""
+    from financial_data_science_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_bin_aggregate,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    res = stream_bin_aggregate(
+        stream, "ts", "5 minutes", keys=["event_type"],
+        aggs={"n": F.count(F.lit(1)), "sum_value": _r(F.sum("value"), 6)},
+    )
+    out = run_stream_to_memory(
+        spark, res, f"gate_stream_bins_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+    return out.select(
+        "bin", "event_type", F.col("n").cast("long").alias("n"), "sum_value"
+    )
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0
+             END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id, count(*) AS n
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 gate evidence: streaming session windows
+    (streaming/windows.py::stream_session_counts, ``F.session_window``)
+    driven to completion over the static source.  Oracle replays
+    session-window semantics exactly: a session CLOSES when the next gap
+    is >= the 30-minute window (end-exclusive), and session_end = last
+    event + gap — note the strict-gt batch sessionize uses > instead."""
+    from financial_data_science_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_session_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    res = stream_session_counts(
+        stream, "ts", "30 minutes", keys="user_id", watermark=None
+    )
+    out = run_stream_to_memory(
+        spark, res, f"gate_stream_sessions_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    )
+    return out.select(
+        "session_start", "session_end", "user_id",
+        F.col("n").cast("long").alias("n"),
     )
 
 

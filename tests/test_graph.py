@@ -272,3 +272,84 @@ def test_degree_assortativity_vs_numpy(spark, edges_df):
     want = np.corrcoef(da, db)[0, 1]
     got = degree_assortativity(edges_df).collect()[0]["assortativity"]
     assert got == pytest.approx(want)
+
+
+def test_betweenness_exact_on_path_and_star(spark):
+    """With sources = ALL vertices the sampled estimator is exact Brandes:
+    check against closed-form networkx values for P5 and a 4-star."""
+    import pandas as pd
+
+    from financial_data_science_spark.functions.graph import betweenness_sampled
+
+    # path 0-1-2-3-4: normalized betweenness [0, .5, 2/3, .5, 0]
+    p5 = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], columns=["src", "dst"])
+    )
+    allv = spark.createDataFrame(pd.DataFrame({"id": [0, 1, 2, 3, 4]}))
+    out = (
+        betweenness_sampled(p5, allv, hops=6)
+        .toPandas().set_index("id")["betweenness"].sort_index()
+    )
+    assert abs(out[0]) < 1e-9 and abs(out[4]) < 1e-9
+    assert abs(out[1] - 0.5) < 1e-5 and abs(out[3] - 0.5) < 1e-5
+    assert abs(out[2] - 2.0 / 3.0) < 1e-5
+
+    # star K1,4: hub carries all 6 leaf pairs -> normalized 1.0, leaves 0
+    star = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2), (0, 3), (0, 4)], columns=["src", "dst"])
+    )
+    out = (
+        betweenness_sampled(star, allv, hops=4)
+        .toPandas().set_index("id")["betweenness"]
+    )
+    assert abs(out[0] - 1.0) < 1e-5
+    assert (out.drop(0).abs() < 1e-9).all()
+
+
+def test_betweenness_sigma_multiplicity(spark):
+    """4-cycle 0-1-3-2-0 (two equal shortest paths between each opposite
+    pair): every vertex mediates one opposite pair with weight 1/2, so
+    exact nx betweenness is 0.5/3 = 1/6 everywhere — exercises the sigma
+    path-count split (sigma=2 at the far vertex)."""
+    import pandas as pd
+
+    from financial_data_science_spark.functions.graph import betweenness_sampled
+
+    g = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], columns=["src", "dst"])
+    )
+    allv = spark.createDataFrame(pd.DataFrame({"id": [0, 1, 2, 3]}))
+    out = (
+        betweenness_sampled(g, allv, hops=4)
+        .toPandas().set_index("id")["betweenness"]
+    )
+    assert (abs(out - 1.0 / 6.0) < 1e-5).all()
+
+
+def test_betweenness_sampled_sources_scale_up(spark):
+    """Cycle C6: exact betweenness (all sources) is 0.2 at every vertex;
+    with a half source subset the (n/k)-scaled estimator is unbiased —
+    the vertex MEAN stays 0.2 even though per-vertex estimates split by
+    parity of distance to the sampled sources."""
+    import pandas as pd
+
+    from financial_data_science_spark.functions.graph import betweenness_sampled
+
+    c6 = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, (i + 1) % 6) for i in range(6)], columns=["src", "dst"]
+        )
+    )
+    allv = spark.createDataFrame(pd.DataFrame({"id": list(range(6))}))
+    exact = (
+        betweenness_sampled(c6, allv, hops=6)
+        .toPandas().set_index("id")["betweenness"]
+    )
+    assert (abs(exact - 0.2) < 1e-5).all()
+
+    srcs = spark.createDataFrame(pd.DataFrame({"id": [0, 2, 4]}))
+    est = (
+        betweenness_sampled(c6, srcs, hops=6)
+        .toPandas().set_index("id")["betweenness"]
+    )
+    assert abs(est.mean() - 0.2) < 1e-5
