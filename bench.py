@@ -187,6 +187,12 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_queries_total",
+        # query-set version: bump whenever BENCH_QUERIES changes so
+        # cross-round totals are explicitly comparable only within a
+        # version.  v1 = rounds 1-3 (17 queries); v2 = round 4+ (adds
+        # production LSH/SimHash, IVF ANN, TF-IDF, PageRank; moves the
+        # portable-hash oracle variants to "oracle_path").
+        "bench_set_version": 2,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -157,8 +157,11 @@ EWMA_SCHEMA = StructType(
 )
 
 # state: recursion carriers — (num, den) for adjust=True where
-# y = num/den, num <- lam*num + x, den <- lam*den + 1; for adjust=False
-# den stays 0 and num IS the running y
+# y = num/den, num <- lam*num + x, den <- lam*den + 1 at an observation
+# and num <- lam*num, den <- lam*den over a NaN row (position-based
+# decay, pandas ignore_na=False); for adjust=False num IS the running y
+# and den is pandas' old_wt (decays by lam each row, renormalizes the
+# carried value at the first observation after a gap, then resets to 1)
 _EWMA_STATE_SCHEMA = StructType(
     [StructField("num", DoubleType()), StructField("den", DoubleType())]
 )
@@ -166,6 +169,7 @@ _EWMA_STATE_SCHEMA = StructType(
 
 def _make_ewma_fn(alpha: float, adjust: bool):
     lam = 1.0 - alpha
+    nan = float("nan")
 
     def fn(
         key: tuple[Any, ...],
@@ -179,14 +183,25 @@ def _make_ewma_fn(alpha: float, adjust: bool):
             num, den = None, 0.0
         out = []
         for ts, val in zip(rows["ts_us"], rows["value"]):
-            x = float(val)
+            x = float(val) if val is not None else nan
+            obs = x == x  # not NaN; NaN rows carry, decaying weights
             if adjust:
-                num = x if num is None else lam * num + x
-                den = lam * den + 1.0
-                y = num / den
+                if obs:
+                    num = x if num is None else lam * num + x
+                    den = lam * den + 1.0
+                elif num is not None:
+                    num, den = lam * num, lam * den
+                y = nan if num is None else num / den
             else:
-                num = x if num is None else lam * num + alpha * x
-                y = num
+                if num is None:  # pandas seeds at the FIRST NON-NULL: y=x
+                    if obs:
+                        num, den = x, 1.0
+                else:
+                    den *= lam
+                    if obs:
+                        num = (den * num + alpha * x) / (den + alpha)
+                        den = 1.0
+                y = nan if num is None else num
             out.append((key[0], int(ts), x, y))
         state.update((num, den))
         yield pd.DataFrame(out, columns=["key", "ts_us", "value", "ewma"])
@@ -208,9 +223,16 @@ def stream_ewma(
     The recursion y_t = f(y_{t-1}, x_t) is exactly the carried-state
     shape: two doubles per key in the state store
     (``applyInPandasWithState``), O(keys) memory, horizontally
-    partitioned.  Unlike the batch window's lam^-i cumsum identity, the
+    partitioned.  Unlike the batch window's lam^-j cumsum identity, the
     recursion never exponentiates, so there is no series-length bound.
-    Batch parity (vs operators.windows.ewma) is the test oracle.
+
+    Null handling is EXACT pandas (ignore_na=False) in both modes,
+    including the adjust=False gap renormalization that the batch closed
+    form cannot express (see operators.windows.ewma docstring): NaN rows
+    emit the carried value while weights decay; the recursion seeds at
+    the first non-NaN observation.  Batch parity (vs
+    operators.windows.ewma) is the test oracle on gap-free series;
+    pandas itself is the oracle for the null cases.
     """
     from pyspark.sql import functions as F
 

@@ -200,3 +200,39 @@ def test_stream_ewma_parity_across_batches(spark, tmp_path):
         pd.testing.assert_series_equal(
             got["ewma"], want["ewma"], check_names=False, atol=1e-9, rtol=1e-9
         )
+
+
+def test_stream_ewma_recursion_matches_pandas_with_nans():
+    """The carried recursion itself (no Spark needed) vs pandas ewm with
+    leading AND internal NaN, both adjust modes, ignore_na=False —
+    including the adjust=False gap renormalization the batch closed form
+    documents as inexpressible."""
+    import numpy as np
+
+    from financial_data_science_spark.streaming.stateful import _make_ewma_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    x = [np.nan, np.nan, 2.0, 3.0, np.nan, np.nan, 5.0, 1.0, np.nan, 4.0]
+    s = pd.Series(x)
+    for adjust in (True, False):
+        want = s.ewm(alpha=0.3, adjust=adjust, ignore_na=False).mean()
+        fn = _make_ewma_fn(0.3, adjust)
+        state = FakeState()
+        # feed in two chunks to exercise the carried state
+        outs = []
+        for lo, hi in ((0, 6), (6, 10)):
+            pdf = pd.DataFrame(
+                {"ts_us": range(lo, hi), "value": x[lo:hi]}
+            )
+            outs.append(next(fn(("k",), iter([pdf]), state)))
+        got = pd.concat(outs, ignore_index=True)["ewma"].to_numpy()
+        assert np.allclose(got, want.to_numpy(), atol=1e-12, equal_nan=True), adjust

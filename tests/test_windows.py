@@ -141,6 +141,101 @@ def test_ewma_matches_pandas(spark):
         assert np.allclose(got, want, atol=1e-10), adjust
 
 
+def test_ewma_null_seeding_matches_pandas(spark):
+    """Leading nulls: pandas seeds adjust=False at the first non-null
+    (y=x, not alpha*x); internal nulls carry the value forward.
+    adjust=True is exact pandas for any null pattern."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.operators.windows import ewma, ewma_chunked
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 8 + ["b"] * 6,
+        "t": list(range(8)) + list(range(6)),
+        "x": [None, None, 2.0, 3.0, None, 5.0, 1.0, None,
+              None, 4.0, 4.5, 2.5, 3.5, 1.5],
+    })
+    df = spark.createDataFrame(pdf)
+    want_t = (
+        pdf.sort_values(["g", "t"]).groupby("g")["x"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=True).mean()).to_numpy()
+    )
+    for fn in (ewma, ewma_chunked):
+        got = (
+            fn(df, "g", "t", "x", alpha=0.3, adjust=True)
+            .toPandas().sort_values(["g", "t"])["ewma"].to_numpy()
+        )
+        assert np.allclose(got, want_t, atol=1e-12, equal_nan=True), fn
+    # adjust=False: exact pandas for leading nulls; internal-gap rows
+    # carry (check the seed and the first rows after leading nulls)
+    got_f = (
+        ewma(df, "g", "t", "x", alpha=0.3, adjust=False)
+        .toPandas().sort_values(["g", "t"])["ewma"].to_numpy()
+    )
+    want_f = (
+        pdf.sort_values(["g", "t"]).groupby("g")["x"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean()).to_numpy()
+    )
+    # group b is gap-free after its leading null: exact everywhere
+    assert np.allclose(got_f[8:], want_f[8:], atol=1e-12, equal_nan=True)
+    # group a: exact at seed and up to the internal gap
+    assert np.isnan(got_f[0]) and np.isnan(got_f[1])
+    assert np.allclose(got_f[2:4], want_f[2:4], atol=1e-12)
+
+
+def test_ewma_chunked_long_series(spark):
+    """30k rows at alpha=0.06 — far past the ~11.3k-row double bound the
+    plain identity dies at; the chunk-rescaled form must match pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.operators.windows import ewma_chunked
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    pdf = pd.DataFrame({
+        "g": np.repeat(["a", "b"], n),
+        "t": np.tile(np.arange(n), 2),
+        "x": rng.normal(0, 1, 2 * n),
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    for adjust in (True, False):
+        got = (
+            ewma_chunked(df, "g", "t", "x", alpha=0.06, adjust=adjust)
+            .toPandas().sort_values(["g", "t"])["ewma"].to_numpy()
+        )
+        want = (
+            pdf.sort_values(["g", "t"]).groupby("g")["x"]
+            .transform(lambda s: s.ewm(alpha=0.06, adjust=adjust).mean())
+            .to_numpy()
+        )
+        assert np.all(np.isfinite(got)), adjust
+        assert np.allclose(got, want, atol=1e-9, rtol=1e-9), adjust
+
+
+def test_ewma_overflow_guard_raises(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from financial_data_science_spark.operators.windows import ewma
+
+    n = 13_000  # > 700/-ln(0.94) ~ 11.3k
+    pdf = pd.DataFrame({"t": np.arange(n), "x": np.ones(n)})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="ewma_chunked"):
+        ewma(df, None, "t", "x", alpha=0.06, on_overflow="error").agg(
+            {"ewma": "max"}
+        ).collect()
+    # "null" mode: no raise, out-of-bound rows nulled
+    out = (
+        ewma(df, None, "t", "x", alpha=0.06, on_overflow="null")
+        .toPandas().sort_values("t")["ewma"]
+    )
+    assert out.iloc[:100].notna().all() and out.iloc[-1:].isna().all()
+
+
 def test_max_drawdown_window_vs_pandas(spark):
     import numpy as np
     import pandas as pd
