@@ -63,6 +63,9 @@ def main() -> None:
         .limit(3000)
     )
 
+    # warmup: spin the JVM/codegen so k=1 isn't charged first-job cost
+    fact.limit(10).join(fact.limit(10), "permno").count()
+
     print("== J4 event_window: events-side blowup, window [-5,+5] ==")
     for k in (1, 10, 50):
         ev = base_ev.withColumn("copy", F.explode(F.sequence(F.lit(1), F.lit(k))))
@@ -106,7 +109,11 @@ def main() -> None:
             lt, quotes, by="key", left_on="tts", right_on="qts",
             direction="backward", strategy="union",
         )
-        n = out.count()
+        # force the matched payload (a bare count could let Catalyst prune
+        # the window-carried quote column)
+        n = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.hash("quote")).alias("h")
+        ).collect()[0]["n"]
         print(f"left={n_left:>8} matched_rows={n:>9} wall={time.time()-t0:.2f}s")
         lt.unpersist()
 
