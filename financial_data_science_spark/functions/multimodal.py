@@ -4,11 +4,13 @@ Design (BASELINE.json north star): image/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` operators so a
 100 TB corpus streams through Python in columnar batches, never row at a
-time.  The actual codec calls are STUBBED (Pillow/librosa/av are not in
-this container): ``decode_stub=True`` produces deterministic fake features
-from the payload bytes so the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested; a deployment swaps
-``_decode_image_real`` in.
+time.  The image codec is capability-gated: ``decode_stub=False`` runs a
+real Pillow decode (width/height/mean-luma/aHash), imported at call time;
+``decode_stub=True`` produces deterministic fake features from a sha256
+of the payload bytes (what the oracle gate recomputes); ``None``
+auto-detects.  Either way the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is identical and tested.
+Audio/video (librosa/av) remain fake-only in this container.
 """
 
 from __future__ import annotations
@@ -43,11 +45,51 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_image_real(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "image codecs not available in this environment; deploy with Pillow "
-        "and replace decode_stub=False path"
-    )
+    """Real decode via Pillow, imported at call time (capability-gated:
+    the library is optional and absent in some environments).  Features
+    mirror the fake path's schema: dimensions, mean luma in [0,1], and a
+    64-bit average-hash (aHash: 8x8 grayscale thumbnail thresholded at
+    its own mean — the standard near-dup perceptual hash)."""
+    import io
+
+    try:
+        import numpy as np
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "Pillow is required for decode_stub=False; install it or use "
+            "decode_stub=True (deterministic fake) / decode_stub=None "
+            "(auto-detect)"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        gray = im.convert("L")
+        arr = np.asarray(gray, dtype=np.float64)
+        small = np.asarray(
+            gray.resize((8, 8), Image.Resampling.LANCZOS), dtype=np.float64
+        )
+    bits = (small > small.mean()).flatten()
+    phash = 0
+    for b in bits:
+        phash = (phash << 1) | int(b)
+    if phash >= 1 << 63:  # two's-complement into LongType
+        phash -= 1 << 64
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_luma": float(arr.mean() / 255.0),
+        "phash": phash,
+    }
 
 
 def _decode_image_fake(payload: bytes) -> dict:
@@ -80,15 +122,24 @@ def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> Data
 
 def extract_image_features(
     media: DataFrame,
-    decode_stub: bool = True,
+    decode_stub: bool | None = True,
     batch_repartition: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
+
+    ``decode_stub``: True = deterministic fake features (what the oracle
+    gate recomputes); False = real Pillow decode (ImportError with
+    guidance if Pillow is absent); None = auto-detect — real decode when
+    Pillow imports, fake otherwise.  The detection runs on the DRIVER so
+    the chosen path is fixed before tasks ship (mixed executor installs
+    would otherwise give split-brain features).
 
     ``batch_repartition`` spreads large payload rows before the Python
     stage (payload skew — a few huge videos — otherwise serializes one
     task); at scale pass ~2-3x cores.
     """
+    if decode_stub is None:
+        decode_stub = not _pillow_available()
     decode = _decode_image_fake if decode_stub else _decode_image_real
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

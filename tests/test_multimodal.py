@@ -51,3 +51,69 @@ def test_decode_stub_deterministic(spark):
     # identical payloads -> identical features
     assert f1[f1.media_id == 1]["phash"].iloc[0] == f1[f1.media_id == 3]["phash"].iloc[0]
     assert f1["width"].between(64, 64 + 255).all()
+
+
+def test_decode_auto_detect_falls_back_to_fake(spark):
+    """decode_stub=None resolves on the driver: real Pillow decode when
+    importable, deterministic fake otherwise — same schema either way."""
+    from financial_data_science_spark.functions.multimodal import (
+        _pillow_available,
+    )
+
+    m = _media(spark)
+    auto = extract_image_features(m, decode_stub=None).toPandas()
+    assert list(auto.columns) == [
+        "media_id", "format", "n_bytes", "width", "height", "mean_luma", "phash",
+    ]
+    if not _pillow_available():
+        fake = extract_image_features(m, decode_stub=True).toPandas()
+        pd.testing.assert_frame_equal(
+            auto.sort_values("media_id").reset_index(drop=True),
+            fake.sort_values("media_id").reset_index(drop=True),
+        )
+
+
+def test_decode_real_requires_pillow():
+    """decode_stub=False on a text payload: ImportError with guidance if
+    Pillow is absent, a real decode failure (not NotImplementedError) if
+    present."""
+    import pytest
+
+    from financial_data_science_spark.functions.multimodal import (
+        _decode_image_real,
+        _pillow_available,
+    )
+
+    if _pillow_available():
+        with pytest.raises(Exception):  # text bytes are not an image
+            _decode_image_real(b"not an image")
+    else:
+        with pytest.raises(ImportError, match="Pillow"):
+            _decode_image_real(b"not an image")
+
+
+def test_decode_real_pillow_parity():
+    """Real-decode features on a synthetic PNG (skipped without Pillow):
+    known dimensions, luma in range, stable aHash."""
+    import pytest
+
+    from financial_data_science_spark.functions.multimodal import (
+        _decode_image_real,
+        _pillow_available,
+    )
+
+    if not _pillow_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((8, 16), dtype=np.uint8)
+    arr[:, 8:] = 255  # left half black, right half white
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    feats = _decode_image_real(buf.getvalue())
+    assert (feats["width"], feats["height"]) == (16, 8)
+    assert abs(feats["mean_luma"] - 0.5) < 0.01
+    assert feats == _decode_image_real(buf.getvalue())  # deterministic
