@@ -1,0 +1,153 @@
+"""Training-data pipeline operators: deterministic splits/samples,
+token-budget shard packing, benchmark-contamination screening.
+
+These are the corpus-management steps a 100 TB LLM training pipeline
+runs after cleaning/dedup (SURVEY §2 extensions; no reference
+counterpart — the reference stops at document storage and NLP prep,
+unstructured/unstructured.py + vocab.py):
+
+- **split/sample** must be a pure function of a stable key, NOT of RNG
+  state or row order: re-runs, backfills, and late-arriving shards must
+  land rows in the same split.  `hash_split`/`hash_sample` are per-row
+  arithmetic on porthash.keyhash — no shuffle, no seed to lose, and the
+  driver's DuckDB oracle recomputes the assignment value-for-value.
+- **shard packing** assigns documents to fixed-token-budget training
+  shards in a stable order — a global running sum.  A bare
+  `Window.orderBy` collapses to ONE partition at scale, so
+  `operators.windows.global_cumsum` does the classic two-phase
+  distributed scan instead (per-range-partition cumsum + tiny offset
+  join).
+- **contamination** screens training docs for n-gram overlap with an
+  eval/benchmark set: distinct n-gram hashes on both sides, broadcast
+  the (small) benchmark side, count hits per training doc.  Shuffle is
+  |train n-grams| rows once; the benchmark side rides the broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions.porthash import MOD, keyhash
+from financial_data_science_spark.functions.text import word_shingles
+
+
+def split_assign(
+    key: Column,
+    weights: dict[str, float],
+    salt: int = 0,
+    out_scale: int = 10_000,
+) -> Column:
+    """Split label ('train'/'val'/...) as a pure column expression.
+
+    ``weights`` maps label -> fraction (must sum to ~1); a row lands in
+    label L iff keyhash(key) scaled to [0, out_scale) falls in L's
+    half-open bucket range, cumulative in dict order.  Deterministic per
+    key: the same key always gets the same label, across engines, runs,
+    and partitionings.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    # floor of an exact double division (numerator < 2^45): [0, out_scale)
+    bucket = F.floor((keyhash(key, salt) * out_scale) / F.lit(float(MOD)))
+    expr = None
+    hi = 0
+    labels = list(weights)
+    for lab in labels[:-1]:
+        hi += round(weights[lab] * out_scale)
+        cond = bucket < hi
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label column (train/val/test...)."""
+    return df.withColumn(out, split_assign(F.col(key_col), weights, salt))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose keyhash bucket
+    falls below the threshold.  Unlike ``df.sample``, membership is a
+    property of the KEY — stable across reruns and unions of shards."""
+    thresh = round(fraction * 10_000)
+    bucket = F.floor((keyhash(F.col(key_col), salt) * 10_000) / F.lit(float(MOD)))
+    return df.filter(bucket < thresh)
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    order: list[str] | str,
+    tokens_col: str,
+    budget: int,
+    out: str = "shard",
+    num_blocks: int = 32,
+) -> DataFrame:
+    """Assign each doc to a training shard so cumulative tokens per shard
+    stay ~budget: shard = floor((running_sum - own_tokens) / budget) in
+    the stable ``order``.  Uses the distributed two-phase prefix sum
+    (operators.windows.global_cumsum) — no single-partition window."""
+    from financial_data_science_spark.operators.windows import global_cumsum
+
+    d = global_cumsum(
+        docs, order, tokens_col, out="__cum__", num_blocks=num_blocks
+    )
+    return d.withColumn(
+        out,
+        F.floor(
+            (F.col("__cum__") - F.col(tokens_col)) / F.lit(float(budget))
+        ).cast("long"),
+    ).drop("__cum__")
+
+
+def ngram_hashes(text: Column, n: int = 8) -> Column:
+    """Distinct portable 31-bit hashes of the word n-grams of ``text`` —
+    the contamination-screen unit (n=8..13 is the published
+    deduplication/decontamination convention, e.g. GPT-3 appendix C uses
+    13-gram overlap)."""
+    from financial_data_science_spark.functions.porthash import tokhash31
+
+    grams = word_shingles(text, k=n)
+    return F.array_distinct(F.transform(grams, lambda g: tokhash31(g)))
+
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-doc benchmark contamination: how many of its distinct
+    n-grams appear anywhere in the benchmark set.
+
+    Returns (id, n_ngrams, n_contaminated, contamination_rate).  The
+    benchmark n-gram set is broadcast (eval suites are tiny next to a
+    training corpus); the train side explodes once and aggregates back on
+    the id — one shuffle on the id key.
+    """
+    t = train.select(
+        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("__h__")
+    )
+    b = F.broadcast(
+        bench.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("__h__"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    j = t.join(b, "__h__", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.coalesce(F.sum("__hit__"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.sum("__hit__"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
+    )

@@ -66,6 +66,16 @@ def tokhash62(token: Column) -> Column:
     return hi * F.lit(1 << 31) + lo
 
 
+def keyhash(key: Column, salt: int = 0) -> Column:
+    """Portable integer-key hash in [0, MOD): multiplicative spread +
+    xor-shift over a long key.  The deterministic-sampling primitive —
+    split/sample decisions become pure per-row arithmetic (no shuffle, no
+    RNG state), reproducible across engines and reruns."""
+    h = ((key.cast("long") + 1 + F.lit(salt * LCG_A)) % F.lit(MOD)) * F.lit(FIN1) % F.lit(MOD)
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    return (h * F.lit(FIN2)) % F.lit(MOD)
+
+
 def plane_sign(p: int, i: Column) -> Column:
     """Deterministic ±1 sign of component ``i`` of pseudo-hyperplane ``p``
     from an LCG + xor-shift mix — balanced per plane, no string hashing."""
@@ -96,6 +106,12 @@ def sql_tokhash31(tok: str, base: int = 131) -> str:
 
 def sql_tokhash62(tok: str) -> str:
     return f"({sql_tokhash31(tok, 131)}) * {1 << 31} + ({sql_tokhash31(tok, 137)})"
+
+
+def sql_keyhash(key: str, salt: int = 0) -> str:
+    h0 = f"((({key})::BIGINT + 1 + {salt * LCG_A}) % {MOD}) * {FIN1} % {MOD}"
+    h1 = f"xor(({h0}), ({h0}) >> 15)"
+    return f"(({h1}) * {FIN2}) % {MOD}"
 
 
 def sql_plane_sign(p: str, i: str) -> str:

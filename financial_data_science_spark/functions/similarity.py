@@ -94,7 +94,9 @@ def cosine_pairs(
     return out.filter(F.col("score") >= threshold)
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 12) -> Column:
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 12, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id for cosine ANN at scale.
 
     Deterministic pseudo-hyperplanes: component i of plane p weighs ±1
@@ -102,13 +104,15 @@ def hyperplane_bucket(vec: Column, n_planes: int = 12) -> Column:
     recomputable in any SQL engine — the driver's DuckDB oracle re-derives
     the buckets); bucket = sign bits packed to an int.  Collisions
     preserve cosine locality; search only within a bucket (and optionally
-    neighboring buckets by flipping one bit).
+    neighboring buckets by flipping one bit).  ``plane_offset`` selects a
+    disjoint slice of the plane family — table t of a multi-table LSH
+    index uses planes [t*n_planes, (t+1)*n_planes).
     """
     from financial_data_science_spark.functions.porthash import plane_sign
 
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec, idx, lambda v, i: v.cast("double") * plane_sign(p, i)
@@ -118,6 +122,62 @@ def hyperplane_bucket(vec: Column, n_planes: int = 12) -> Column:
         )
         bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
     return bucket
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale: multi-table
+    hyperplane-LSH blocking, then exact cosine only on bucket-collision
+    candidates (the embedding-space sibling of MinHash near-dup dedup).
+
+    Each of the ``n_tables`` independent tables hashes with its own
+    disjoint slice of the plane family; a pair is a candidate if it
+    collides in ANY table (recall grows with tables, the standard
+    OR-amplification).  Physical shape: per-table self equi-join on the
+    bucket id (shuffle = rows x tables, linear), distinct on the pair
+    key, then one join back to fetch vectors for the exact score —
+    never an all-pairs product.  At 100 TB tune n_planes up (smaller
+    buckets) and n_tables for the recall target.
+    """
+    ids = F.col(id_col)
+    b = emb.select(
+        ids,
+        F.col(vec_col),
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), n_planes, plane_offset=t * n_planes
+            ).alias(f"__b{t}__")
+            for t in range(n_tables)
+        ],
+    )
+    cands = None
+    for t in range(n_tables):
+        lhs = b.select(ids.alias("left_id"), F.col(f"__b{t}__").alias("__bk__"))
+        rhs = b.select(ids.alias("right_id"), F.col(f"__b{t}__").alias("__bk__"))
+        c = (
+            lhs.join(rhs, "__bk__")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    lv = emb.select(ids.alias("left_id"), F.col(vec_col).alias("__lv__"))
+    rv = emb.select(ids.alias("right_id"), F.col(vec_col).alias("__rv__"))
+    scored = cands.join(lv, "left_id").join(rv, "right_id").select(
+        "left_id",
+        "right_id",
+        # rounded BEFORE the threshold compare (round-before-compare
+        # discipline: a cross-engine ulp at the boundary cannot flip
+        # pair membership against an oracle)
+        F.round(cosine(F.col("__lv__"), F.col("__rv__")), 6).alias("score"),
+    )
+    return scored.filter(F.col("score") >= threshold)
 
 
 # ---------------------------------------------------------------- minhash

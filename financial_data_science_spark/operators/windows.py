@@ -405,3 +405,66 @@ def max_drawdown_window(
         F.exp("end_cum").alias("trough_level"),
         (F.exp(F.col("end_cum") - F.col("__b__.beg_cum")) - 1).alias("mdd"),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[str] | str,
+    col: str,
+    out: str = "cumsum",
+    num_blocks: int = 32,
+) -> DataFrame:
+    """Running sum over a GLOBAL ordering without the single-partition
+    window trap.
+
+    ``Window.orderBy`` with no partition keys moves every row to one
+    task — correct at test scale, dead at 100 TB.  This is the classic
+    two-phase distributed scan: rows are assigned to ordered blocks, a
+    per-block window computes the local cumsum (ONE full-data shuffle,
+    on the block id), and each block's offset = cumsum over the tiny
+    per-block totals frame (num_blocks rows), broadcast-joined back.
+
+    Block assignment: for a single numeric order key, block boundaries
+    come from ``approxQuantile`` (one cheap aggregate pass) and the
+    block id is a map-side searchsorted over the broadcast boundary
+    literals — no range repartition, so the only full-data exchange is
+    the window's.  Otherwise falls back to ``repartitionByRange`` +
+    ``spark_partition_id`` (two full-data exchanges).  Output values
+    are block-boundary-independent; pass a UNIQUE ordering (ties make
+    any cumsum ambiguous).
+    """
+    order_l = [order] if isinstance(order, str) else list(order)
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    if (
+        len(order_l) == 1
+        and df.schema[order_l[0]].dataType.simpleString() in numeric
+        and num_blocks > 1
+    ):
+        qs = df.approxQuantile(
+            order_l[0],
+            [i / num_blocks for i in range(1, num_blocks)],
+            0.001,
+        )
+        bounds = sorted(set(qs))
+        key = F.col(order_l[0])
+        blk = F.lit(0)
+        for b in bounds:
+            blk = blk + F.when(key > F.lit(b), 1).otherwise(0)
+        d = df.withColumn("__blk__", blk)
+    else:
+        d = df.repartitionByRange(
+            num_blocks, *[F.col(c) for c in order_l]
+        ).withColumn("__blk__", F.spark_partition_id())
+    wl = Window.partitionBy("__blk__").orderBy(*order_l).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = d.withColumn(out, F.sum(F.col(col)).over(wl))
+    totals = d.groupBy("__blk__").agg(F.sum(F.col(col)).alias("__tot__"))
+    woff = Window.orderBy("__blk__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off__", F.coalesce(F.sum("__tot__").over(woff), F.lit(0))
+    ).drop("__tot__")
+    local = local.join(F.broadcast(offsets), "__blk__")
+    return local.withColumn(out, F.col(out) + F.col("__off__")).drop(
+        "__blk__", "__off__"
+    )

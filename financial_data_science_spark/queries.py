@@ -4277,6 +4277,179 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# =====================================================================
+# Training-data pipeline: deterministic splits, shard packing,
+# contamination screening, embedding near-dups (functions/pipeline.py,
+# similarity.embedding_near_dups)
+# =====================================================================
+
+def _hash_split_oracle_sql() -> str:
+    from financial_data_science_spark.functions.porthash import MOD, sql_keyhash
+
+    h = sql_keyhash("doc_id")
+    b = f"CAST(floor((({h}) * 10000) / {MOD}.0) AS BIGINT)"
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN {b} < 8000 THEN 'train'
+                WHEN {b} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@query("hash_split_assign", None)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a pure arithmetic-hash
+    function of the doc key (functions/pipeline.hash_split) — no RNG
+    state, no shuffle; reruns, backfills and late shards land every row
+    in the same split.  The DuckDB oracle recomputes the hash and the
+    bucket thresholds value-for-value."""
+    from financial_data_science_spark.functions.pipeline import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
+
+
+ORACLE["hash_split_assign"] = _hash_split_oracle_sql()
+
+
+@query(
+    "token_budget_packing",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w != '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      FROM d)
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: docs assigned to shards of
+    ~2000 tokens in stable doc_id order.  The running sum uses the
+    two-phase distributed prefix sum (operators.windows.global_cumsum) —
+    NOT a single-partition Window.orderBy — so the plan survives a
+    100 TB corpus; the oracle's plain window cumsum proves the values
+    match."""
+    from financial_data_science_spark.functions.pipeline import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TXT.n_tokens("text").cast("long").alias("n_tokens")
+    )
+    return pack_token_budget(docs, "doc_id", "n_tokens", budget=2000).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
+def _contamination_oracle_sql(n: int = 5) -> str:
+    from financial_data_science_spark.functions.porthash import sql_tokhash31
+
+    gram = "concat_ws(' ', " + ", ".join(f"w[i+{j}]" for j in range(n)) + ")"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - {n - 2}, 1)),
+               i -> {gram})) AS grams
+      FROM toks),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(grams, g -> {sql_tokhash31('g')})) AS h
+      FROM sh),
+    te AS (SELECT doc_id, unnest(h) AS h FROM hs WHERE doc_id % 17 != 0),
+    be AS (SELECT DISTINCT unnest(h) AS h FROM hs WHERE doc_id % 17 = 0),
+    j AS (
+      SELECT te.doc_id, (be.h IS NOT NULL)::BIGINT AS hit
+      FROM te LEFT JOIN be ON te.h = be.h)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated,
+           round(sum(hit) / count(*), 6) AS contamination_rate
+    FROM j GROUP BY doc_id
+    """
+
+
+@query("contamination_overlap", None)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: per training doc, how many of its
+    distinct word-5-grams appear in the (broadcast) benchmark subset —
+    the decontamination pass an LLM corpus runs before training (the
+    published convention is n-gram overlap against eval sets).  Benchmark
+    = doc_id % 17 == 0; docs shorter than 5 tokens have no 5-grams and
+    are absent, exactly as in the oracle."""
+    from financial_data_science_spark.functions.pipeline import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = contamination(train, bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long"),
+        F.col("n_contaminated").cast("long"),
+        "contamination_rate",
+    )
+
+
+ORACLE["contamination_overlap"] = _contamination_oracle_sql()
+
+
+def _embedding_near_dups_oracle_sql(
+    n_planes: int = 4, n_tables: int = 3, threshold: float = 0.4
+) -> str:
+    from financial_data_science_spark.functions.porthash import sql_plane_sign
+
+    total = n_planes * n_tables
+    sign = sql_plane_sign("p", "i - 1")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    proj AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(v, (x, i) -> x * {sign})) AS proj
+      FROM e, range(0, {total}) s(p)),
+    bk AS (
+      SELECT vec_id, p // {n_planes} AS tbl,
+             sum((CASE WHEN proj >= 0 THEN 1 ELSE 0 END)::BIGINT
+                 << ({n_planes - 1} - (p % {n_planes}))) AS bucket
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id),
+    sc AS (
+      SELECT left_id, right_id,
+             round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS score
+      FROM cand JOIN e l ON cand.left_id = l.vec_id
+                JOIN e r ON cand.right_id = r.vec_id)
+    SELECT left_id, right_id, score FROM sc WHERE score >= {threshold}
+    """
+
+
+@query("embedding_near_dups", None)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: 3-table hyperplane-LSH blocking +
+    exact cosine only on bucket collisions (similarity.embedding_near_dups)
+    — the embedding-space sibling of MinHash dedup, never an all-pairs
+    product.  The oracle re-derives every table's buckets from the same
+    arithmetic plane signs and applies the identical rounded threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(
+        emb, n_planes=4, n_tables=3, threshold=0.4
+    )
+
+
+ORACLE["embedding_near_dups"] = _embedding_near_dups_oracle_sql()
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew to 103).  Rounds 1-4 pinned the round-3 set,

@@ -1,0 +1,136 @@
+"""Training-pipeline operators: deterministic splits/samples, global
+cumsum / shard packing, contamination, embedding near-dups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions.pipeline import (
+    contamination,
+    hash_sample,
+    hash_split,
+    pack_token_budget,
+)
+from financial_data_science_spark.operators.windows import global_cumsum
+
+
+def _docs(spark, n=400):
+    rng = np.random.default_rng(11)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": np.arange(n), "tok": rng.integers(1, 300, n)}
+        )
+    )
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    d = _docs(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(d, "doc_id", w).toPandas().sort_values("doc_id")
+    b = hash_split(d.repartition(7), "doc_id", w).toPandas().sort_values("doc_id")
+    assert (a["split"].values == b["split"].values).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9  # hash is roughly uniform
+    assert set(frac.index) == {"train", "val", "test"}
+
+
+def test_hash_sample_is_nested_and_stable(spark):
+    d = _docs(spark)
+    s30 = set(hash_sample(d, "doc_id", 0.3).toPandas()["doc_id"])
+    s50 = set(hash_sample(d, "doc_id", 0.5).toPandas()["doc_id"])
+    assert s30 <= s50  # same hash, larger threshold: strictly nested
+    assert 0.2 < len(s30) / 400 < 0.4
+    # different salt reshuffles membership
+    s30b = set(hash_sample(d, "doc_id", 0.3, salt=1).toPandas()["doc_id"])
+    assert s30 != s30b
+
+
+def test_global_cumsum_matches_single_window(spark):
+    d = _docs(spark, 1000)
+    got = (
+        global_cumsum(d, "doc_id", "tok", out="c", num_blocks=16)
+        .toPandas().sort_values("doc_id")["c"].to_numpy()
+    )
+    want = (
+        d.withColumn(
+            "c",
+            F.sum("tok").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .toPandas().sort_values("doc_id")["c"].to_numpy()
+    )
+    assert (got == want).all()
+
+
+def test_pack_token_budget_properties(spark):
+    d = _docs(spark)
+    out = (
+        pack_token_budget(d, "doc_id", "tok", budget=1000)
+        .toPandas().sort_values("doc_id")
+    )
+    # shards are monotone in pack order and start at 0
+    assert out["shard"].iloc[0] == 0
+    assert (np.diff(out["shard"].values) >= 0).all()
+    # a shard never exceeds budget by more than one document's tokens
+    per = out.groupby("shard")["tok"].sum()
+    assert (per.iloc[:-1] <= 1000 + out["tok"].max()).all()
+
+
+def test_contamination_hand_example(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely unrelated words in this line here now",
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["quick brown fox jumps over"]})
+    )
+    out = (
+        contamination(train, bench, n=5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 has 5 distinct 5-grams, exactly one ("quick brown fox jumps
+    # over") present in the benchmark
+    assert out.loc[1, "n_ngrams"] == 5
+    assert out.loc[1, "n_contaminated"] == 1
+    assert out.loc[2, "n_contaminated"] == 0
+
+
+def test_embedding_near_dups_subset_of_exact(spark):
+    from financial_data_science_spark.functions.similarity import (
+        cosine,
+        embedding_near_dups,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    got = embedding_near_dups(emb, n_planes=4, n_tables=3, threshold=0.4).toPandas()
+    assert len(got) > 0
+    assert (got["left_id"] < got["right_id"]).all()
+    assert (got["score"] >= 0.4).all()
+    # LSH candidates with exact verify can only UNDER-report vs brute force
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("l"),
+            F.col("b.vec_id").alias("r"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
+        )
+        .filter(F.col("s") >= 0.4)
+        .toPandas()
+    )
+    exact_pairs = set(zip(exact["l"], exact["r"]))
+    assert set(zip(got["left_id"], got["right_id"])) <= exact_pairs

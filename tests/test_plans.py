@@ -263,3 +263,28 @@ def test_fstats_single_shuffle_window_chain(spark):
     )
     plan = _plan(fstats_breaks(s, "event_type", value="value", order="day"))
     assert "Join" not in plan
+
+
+def test_hash_split_is_pure_map(spark):
+    """Deterministic split/sample assignment must add ZERO exchanges —
+    it is per-row arithmetic on the key."""
+    from financial_data_science_spark.functions.pipeline import hash_split
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}))
+    assert "Exchange" not in plan
+
+
+def test_global_cumsum_numeric_path_has_no_single_partition_window(spark):
+    """The two-phase prefix sum must not degrade to a SinglePartition
+    window over the full data, and the numeric fast path must not range-
+    repartition (block ids are map-side searchsorted over quantile
+    boundaries; the only full-data exchange is the block-window's)."""
+    from financial_data_science_spark.operators.windows import global_cumsum
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    plan = _plan(global_cumsum(docs, "doc_id", "n_chars", num_blocks=8))
+    assert "rangepartitioning" not in plan.lower()
+    # the offsets frame (num_blocks rows) legitimately uses a single
+    # partition; the full-data window must partition by the block id
+    assert "Window [sum" in plan and "windowspecdefinition(__blk__" in plan
