@@ -130,6 +130,29 @@ def fingerprint(text: str | Column, base: int = 31, mod: int = 2**31 - 1) -> Col
     )
 
 
+def quality_verdict(text: Column) -> Column:
+    """First-failing-rule quality verdict (too_short / repetitive /
+    low_alpha / keep) — the composed pretraining filter pass, entirely in
+    column expressions (shared by the `document_filter_gate` and
+    `corpus_curation_pipeline` catalog queries)."""
+    toks = tokens(F.lower(text))
+    ntok = F.size(toks)
+    dup = F.when(
+        ntok > 0, 1.0 - F.size(F.array_distinct(toks)) / ntok
+    ).otherwise(0.0)
+    alpha = F.when(
+        F.length(text) > 0,
+        F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
+        / F.length(text),
+    ).otherwise(0.0)
+    return (
+        F.when(ntok < 5, "too_short")
+        .when(dup > 0.6, "repetitive")
+        .when(alpha < 0.5, "low_alpha")
+        .otherwise("keep")
+    )
+
+
 def tf_idf_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

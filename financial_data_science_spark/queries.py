@@ -2941,26 +2941,9 @@ def document_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (too_short / repetitive / low_alpha / keep) from token count, dup-word
     fraction, and alphabetic-character fraction — the shape of a real
     pretraining filter pass, entirely in column expressions."""
-    from financial_data_science_spark.functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    ntok = F.size(toks)
-    dup = F.when(
-        ntok > 0, 1.0 - F.size(F.array_distinct(toks)) / ntok
-    ).otherwise(0.0)
-    alpha = F.when(
-        F.length("text") > 0,
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), F.lit(0)))
-        / F.length("text"),
-    ).otherwise(0.0)
     return docs.select(
-        "doc_id",
-        F.when(ntok < 5, "too_short")
-        .when(dup > 0.6, "repetitive")
-        .when(alpha < 0.5, "low_alpha")
-        .otherwise("keep")
-        .alias("verdict"),
+        "doc_id", TXT.quality_verdict(F.col("text")).alias("verdict")
     )
 
 
@@ -4450,6 +4433,138 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embedding_near_dups"] = _embedding_near_dups_oracle_sql()
 
 
+def _curation_oracle_sql() -> str:
+    from financial_data_science_spark.functions.porthash import MOD, sql_keyhash
+
+    h = sql_keyhash("doc_id")
+    b = f"CAST(floor((({h}) * 10000) / {MOD}.0) AS BIGINT)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w != '') AS w
+      FROM documents),
+    feat AS (
+      SELECT doc_id, text, len(w) AS n_tokens,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - len(list_distinct(w)) / len(w)::DOUBLE
+                  ELSE 0.0 END AS dup_word_frac,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / len(text)
+                  ELSE 0.0 END AS alpha_frac
+      FROM toks),
+    keep AS (
+      SELECT doc_id, text, n_tokens FROM feat
+      WHERE NOT (n_tokens < 5) AND NOT (dup_word_frac > 0.6)
+        AND NOT (alpha_frac < 0.5)),
+    ded AS (
+      SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+      FROM keep GROUP BY text),
+    sp AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN {b} < 9000 THEN 'train' ELSE 'val' END AS split
+      FROM ded),
+    tr AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      FROM sp WHERE split = 'train'),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard
+      FROM tr),
+    allrows AS (
+      SELECT 'train' AS split, shard, n_tokens FROM packed
+      UNION ALL
+      SELECT 'val' AS split, CAST(-1 AS BIGINT) AS shard, n_tokens
+      FROM sp WHERE split = 'val')
+    SELECT split, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM allrows GROUP BY split, shard
+    """
+
+
+@query("corpus_curation_pipeline", None)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM corpus-curation flow as ONE fused Catalyst DAG:
+    quality gate (first-failing-rule verdict) -> exact dedup (min-id
+    canonical per identical text) -> deterministic hash split
+    (train 90 / val 10) -> token-budget shard packing of the train split
+    (distributed prefix sum) -> per-(split, shard) stats.  Every stage is
+    an operator the catalog also checks individually; this query proves
+    they COMPOSE — no materialization boundaries, one plan."""
+    from financial_data_science_spark.functions.pipeline import (
+        hash_split,
+        pack_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        TXT.n_tokens("text").cast("long").alias("n_tokens"),
+        TXT.quality_verdict(F.col("text")).alias("verdict"),
+    )
+    keep = d.filter(F.col("verdict") == "keep")
+    ded = keep.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+    ).drop("text")
+    sp = hash_split(ded, "doc_id", {"train": 0.9, "val": 0.1})
+    train = pack_token_budget(
+        sp.filter(F.col("split") == "train").select("doc_id", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        budget=2000,
+    ).withColumn("split", F.lit("train"))
+    val = (
+        sp.filter(F.col("split") == "val")
+        .select("doc_id", "n_tokens")
+        .withColumn("shard", F.lit(-1).cast("long"))
+        .withColumn("split", F.lit("val"))
+    )
+    allrows = train.select("split", "shard", "n_tokens").unionByName(
+        val.select("split", "shard", "n_tokens")
+    )
+    return allrows.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE["corpus_curation_pipeline"] = _curation_oracle_sql()
+
+
+@query(
+    "stream_dedup_distinct_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 gate evidence: the streaming keep-first-per-key dedup graph
+    (streaming/windows.py::stream_dedup, watermark + dropDuplicates)
+    driven to completion over the static source; projecting the key
+    columns makes the result deterministic (= DISTINCT keys) regardless
+    of micro-batch arrival order."""
+    from financial_data_science_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    res = stream_dedup(
+        stream, ["user_id", "event_type"], "ts", watermark="10 minutes"
+    ).select("user_id", "event_type")
+    out = run_stream_to_memory(
+        spark,
+        res,
+        f"gate_stream_dedup_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return out.select("user_id", "event_type")
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew to 103).  Rounds 1-4 pinned the round-3 set,
@@ -4496,7 +4611,6 @@ _GATE_ORDER = [
     # §2.5 windows
     "max_drawdown_windows",
     "ewma_riskmetrics_vol",
-    "seq_in_group",
     "drop_unchanged_rows",
     "smoothed_holdings",
     # §2.6 sorts / §2.7 set ops
@@ -4515,6 +4629,7 @@ _GATE_ORDER = [
     "supply_kcore",
     "supply_betweenness_sampled",
     # LLM-pipeline suite
+    "corpus_curation_pipeline",
     "dedup_canonical_keep",
     "document_filter_gate",
     "near_dup_clusters",
