@@ -57,6 +57,16 @@ ORACLE_PATH_QUERIES = [
     "simhash_near_dups",
 ]
 
+# round-5 training-pipeline operators — reported under "extended" so the
+# versioned headline total stays comparable across rounds
+EXTENDED_QUERIES = [
+    "hash_split_assign",
+    "token_budget_packing",
+    "contamination_overlap",
+    "embedding_near_dups",
+    "corpus_curation_pipeline",
+]
+
 
 def _production_minhash(spark, sf_dir):
     """xxhash64 MinHash+LSH — the production default of
@@ -179,6 +189,12 @@ def main() -> None:
         print(f"# [oracle-path] {name}: {n} rows in {oracle_times[name]:.2f}s",
               file=sys.stderr)
 
+    extended_times: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        extended_times[name], raw_runs[name], n = run(name)
+        print(f"# [extended] {name}: {n} rows in {extended_times[name]:.2f}s",
+              file=sys.stderr)
+
     wall = time.time() - wall0
     steal_jiffies = _read_steal_jiffies() - steal0
     # steal% of one-CPU time over the bench wall-clock (jiffies = 10ms)
@@ -197,6 +213,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "oracle_path": oracle_times,
+        "extended": extended_times,
         "runs": raw_runs,
         "loadavg_start": load0,
         "loadavg_end": _loadavg(),
