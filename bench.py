@@ -64,6 +64,7 @@ EXTENDED_QUERIES = [
     "token_budget_packing",
     "contamination_overlap",
     "embedding_near_dups",
+    "embedding_near_dups_production",
     "corpus_curation_pipeline",
 ]
 
@@ -127,9 +128,27 @@ def _production_simhash(spark, sf_dir):
     )
 
 
+def _production_embedding_near_dups(spark, sf_dir):
+    """Corpus-sized LSH parameters: n_planes=9 gives 512 buckets/table at
+    25k vectors (~50/bucket) vs the oracle query's 4 planes (16 buckets —
+    oracle-tractable at sf0.01 but quadratically coarse here).  At scale
+    n_planes tracks log2(corpus/target_bucket_size).  Recall note: at a
+    TRUE near-dup threshold (cosine>=0.9, collision p=0.95/plane) 9
+    planes x 3 tables retain ~95% of pairs; the 0.4 threshold used here
+    (the synthetic corpus has no real near-dups) sits far below the LSH
+    design point, so the candidate count drops vs the 4-plane oracle
+    variant — the labeled pair is the cost/recall trade, not a bug."""
+    from financial_data_science_spark.functions import similarity as SIM
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, n_planes=9, n_tables=3, threshold=0.4)
+
+
 EXTRA = {
     "minhash_lsh_production": _production_minhash,
     "simhash_production": _production_simhash,
+    "embedding_near_dups_production": _production_embedding_near_dups,
 }
 
 
