@@ -63,6 +63,7 @@ EXTENDED_QUERIES = [
     "hash_split_assign",
     "token_budget_packing",
     "contamination_overlap",
+    "contamination_production",
     "embedding_near_dups",
     "embedding_near_dups_production",
     "corpus_curation_pipeline",
@@ -145,10 +146,29 @@ def _production_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dups(emb, n_planes=9, n_tables=3, threshold=0.4)
 
 
+def _production_contamination(spark, sf_dir):
+    """xxhash64 gram hashing (one JVM intrinsic per gram) vs the oracle
+    query's per-character portable fold — same counts modulo hash
+    collisions, the production default at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions.pipeline import contamination
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=5,
+        portable=False,
+    )
+
+
 EXTRA = {
     "minhash_lsh_production": _production_minhash,
     "simhash_production": _production_simhash,
     "embedding_near_dups_production": _production_embedding_near_dups,
+    "contamination_production": _production_contamination,
 }
 
 

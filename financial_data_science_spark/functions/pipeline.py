@@ -109,15 +109,23 @@ def pack_token_budget(
     ).drop("__cum__")
 
 
-def ngram_hashes(text: Column, n: int = 8) -> Column:
-    """Distinct portable 31-bit hashes of the word n-grams of ``text`` —
-    the contamination-screen unit (n=8..13 is the published
+def ngram_hashes(
+    text: Column, n: int = 8, portable: bool = True
+) -> Column:
+    """Distinct hashes of the word n-grams of ``text`` — the
+    contamination-screen unit (n=8..13 is the published
     deduplication/decontamination convention, e.g. GPT-3 appendix C uses
-    13-gram overlap)."""
-    from financial_data_science_spark.functions.porthash import tokhash31
-
+    13-gram overlap).  ``portable=True`` uses the arithmetic 31-bit
+    polynomial (recomputable in any SQL engine — what the oracle gate
+    checks); ``portable=False`` uses JVM ``xxhash64`` — one intrinsic
+    call per gram instead of a per-character fold, the production
+    default at corpus scale (same split as the MinHash family)."""
     grams = word_shingles(text, k=n)
-    return F.array_distinct(F.transform(grams, lambda g: tokhash31(g)))
+    if portable:
+        from financial_data_science_spark.functions.porthash import tokhash31
+
+        return F.array_distinct(F.transform(grams, lambda g: tokhash31(g)))
+    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
 def contamination(
@@ -126,6 +134,7 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-training-doc benchmark contamination: how many of its distinct
     n-grams appear anywhere in the benchmark set.
@@ -136,10 +145,13 @@ def contamination(
     the id — one shuffle on the id key.
     """
     t = train.select(
-        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("__h__")
+        F.col(id_col),
+        F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("__h__"),
     )
     b = F.broadcast(
-        bench.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("__h__"))
+        bench.select(
+            F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("__h__")
+        )
         .distinct()
         .withColumn("__hit__", F.lit(1))
     )
