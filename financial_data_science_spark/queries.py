@@ -4565,6 +4565,69 @@ def stream_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+def _min_variance_oracle_sql() -> str:
+    # 3x3 inverse via the adjugate, entirely scalar SQL: w = S^-1 1 / 1'S^-1 1
+    return """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             avg(value) FILTER (event_type = 'click') AS a,
+             avg(value) FILTER (event_type = 'view') AS b,
+             avg(value) FILTER (event_type = 'purchase') AS c
+      FROM events GROUP BY 1),
+    cv AS (
+      SELECT covar_samp(a, a) AS s11, covar_samp(a, b) AS s12,
+             covar_samp(a, c) AS s13, covar_samp(b, b) AS s22,
+             covar_samp(b, c) AS s23, covar_samp(c, c) AS s33
+      FROM daily),
+    adj AS (
+      SELECT (s22*s33 - s23*s23) AS a11, (s13*s23 - s12*s33) AS a12,
+             (s12*s23 - s13*s22) AS a13, (s11*s33 - s13*s13) AS a22,
+             (s12*s13 - s11*s23) AS a23, (s11*s22 - s12*s12) AS a33
+      FROM cv),
+    x AS (
+      SELECT (a11 + a12 + a13) AS x1, (a12 + a22 + a23) AS x2,
+             (a13 + a23 + a33) AS x3
+      FROM adj)
+    SELECT asset, round(w, 6) AS weight FROM (
+      SELECT 'click' AS asset, x1 / (x1 + x2 + x3) AS w FROM x
+      UNION ALL SELECT 'view', x2 / (x1 + x2 + x3) FROM x
+      UNION ALL SELECT 'purchase', x3 / (x1 + x2 + x3) FROM x)
+    """
+
+
+@query("min_variance_weights_3", None)
+def min_variance_weights_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-variance optimization under the oracle gate: daily
+    click/view/purchase value series -> distributed covariance aggregate
+    (econs.covariance_matrix, N(N+1)/2 covar_samp expressions, only the
+    3x3 collected) -> closed-form GMV weights w = S^-1 1 / 1'S^-1 1
+    (econs.min_variance_weights; reference finance.py:24-37
+    gmv_portfolio).  The oracle inverts the same 3x3 via the adjugate in
+    scalar SQL — upgrading the QP/mean-variance family from pytest-only
+    to oracle-checked."""
+    from financial_data_science_spark.functions.econs import (
+        covariance_matrix,
+        min_variance_weights,
+    )
+
+    assets = ["click", "view", "purchase"]
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(assets))
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .pivot("event_type", assets)
+        .agg(F.avg("value"))
+    )
+    cov = covariance_matrix(daily, assets)
+    w = min_variance_weights(cov)
+    return spark.createDataFrame(
+        [(a, float(x)) for a, x in zip(assets, w)], ["asset", "weight"]
+    ).select("asset", _r("weight").alias("weight"))
+
+
+ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
+
+
 @query(
     "stream_ewma_final",
     """
