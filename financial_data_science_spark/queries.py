@@ -4629,6 +4629,60 @@ ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
 
 
 @query(
+    "fft_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             avg(value) FILTER (event_type = 'click') AS a,
+             avg(value) FILTER (event_type = 'view') AS b
+      FROM events GROUP BY 1),
+    s AS (SELECT d, a, b FROM daily WHERE a IS NOT NULL AND b IS NOT NULL),
+    z AS (
+      SELECT row_number() OVER (ORDER BY d) - 1 AS i,
+             (a - avg(a) OVER ()) / stddev_pop(a) OVER () AS za,
+             (b - avg(b) OVER ()) / stddev_pop(b) OVER () AS zb
+      FROM s),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag)
+    SELECT l.lag,
+           round(sum(x.za * y.zb) / (SELECT count(*) FROM z), 6) AS corr
+    FROM lags l, z x, z y
+    WHERE x.i = y.i + l.lag
+    GROUP BY l.lag
+    """,
+)
+def fft_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation under the oracle gate: the Spark side
+    runs econs.cross_correlations — the FFT algorithm (rfft product,
+    filters.py:31-66 semantics) on the driver over the AGGREGATED daily
+    pair (the §3.3 altitude rule: only the small post-groupBy frame
+    leaves the cluster) — while the oracle computes the same biased
+    estimator from its direct lagged-product definition in SQL.  FFT vs
+    direct summation agreeing to 6dp is exactly the check that upgrades
+    this family from pytest-only to oracle-checked."""
+    from financial_data_science_spark.functions.econs import cross_correlations
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(["click", "view"]))
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.avg("value"))
+    )
+    pdf = (
+        daily.filter(F.col("click").isNotNull() & F.col("view").isNotNull())
+        .orderBy("d")
+        .toPandas()
+    )
+    corr = cross_correlations(
+        pdf["click"].to_numpy(), pdf["view"].to_numpy(), max_lag=3
+    )
+    rows = [(int(k), float(c)) for k, c in zip(range(-3, 4), corr)]
+    return spark.createDataFrame(rows, ["lag", "corr"]).select(
+        F.col("lag").cast("long").alias("lag"), _r("corr").alias("corr")
+    )
+
+
+@query(
     "stream_ewma_final",
     """
     WITH d AS (
