@@ -84,6 +84,65 @@ def bond_convexity(
     return s / (price * m * m)
 
 
+# ------------------------------------- vectorized (Column) bond twins
+
+def bond_price_col(
+    coupon: Column, n: Column, m: int, ytm: Column, par: float = 100.0
+) -> Column:
+    """Vectorized twin of :func:`bond_price` (flat ytm): one codegen
+    stage prices an entire bond-portfolio frame — sequence+aggregate
+    over the cash-flow index, no Python per row (the scalar form stays
+    for driver-side curve work, matching the reference's usage)."""
+    c = coupon / m
+    per = 1.0 + ytm / m
+    ts = F.sequence(F.lit(1), n)
+    pv = F.aggregate(
+        ts,
+        F.lit(0.0),
+        lambda acc, t: acc + c / F.pow(per, t.cast("double")),
+    )
+    return pv + par / F.pow(per, n.cast("double"))
+
+
+def macaulay_duration_col(
+    coupon: Column, n: Column, m: int, price: Column, ytm: Column,
+    par: float = 100.0,
+) -> Column:
+    """Vectorized twin of :func:`macaulay_duration` (years)."""
+    c = coupon / m
+    per = 1.0 + ytm / m
+    ts = F.sequence(F.lit(1), n)
+    wsum = F.aggregate(
+        ts,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t.cast("double")
+        * (c + F.when(t == n, F.lit(par)).otherwise(0.0))
+        / F.pow(per, t.cast("double")),
+    )
+    return wsum / (price * m)
+
+
+def bond_convexity_col(
+    coupon: Column, n: Column, m: int, price: Column, ytm: Column,
+    par: float = 100.0,
+) -> Column:
+    """Vectorized twin of :func:`bond_convexity` (years^2)."""
+    c = coupon / m
+    per = 1.0 + ytm / m
+    ts = F.sequence(F.lit(1), n)
+    ssum = F.aggregate(
+        ts,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t.cast("double")
+        * (t.cast("double") + 1.0)
+        * (c + F.when(t == n, F.lit(par)).otherwise(0.0))
+        / F.pow(per, t.cast("double") + 2.0),
+    )
+    return ssum / (price * m * m)
+
+
 # --------------------------------------------- volatility estimators
 
 def parkinson_var(hi: str | Column, lo: str | Column) -> Column:

@@ -4629,6 +4629,79 @@ ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
 
 
 @query(
+    "bond_portfolio_pricing",
+    """
+    WITH b AS (
+      SELECT s_suppkey AS bond_id,
+             0.02 + (s_suppkey % 5) / 100.0 AS coupon,
+             4 + s_suppkey % 20 AS n,
+             0.01 + (s_suppkey % 7) / 100.0 AS ytm
+      FROM supplier),
+    p AS (
+      SELECT bond_id, coupon, n, ytm,
+             list_sum(list_transform(range(1, n + 1),
+               t -> (coupon * 100 / 2) / power(1 + ytm / 2, t)))
+               + 100 / power(1 + ytm / 2, n) AS price
+      FROM b),
+    d AS (
+      SELECT bond_id, price,
+             list_sum(list_transform(range(1, n + 1),
+               t -> t * ((coupon * 100 / 2)
+                         + CASE WHEN t = n THEN 100 ELSE 0 END)
+                    / power(1 + ytm / 2, t))) / (price * 2) AS duration,
+             list_sum(list_transform(range(1, n + 1),
+               t -> t * (t + 1) * ((coupon * 100 / 2)
+                         + CASE WHEN t = n THEN 100 ELSE 0 END)
+                    / power(1 + ytm / 2, t + 2))) / (price * 4) AS convexity
+      FROM p)
+    SELECT bond_id, round(price, 6) AS price, round(duration, 6) AS duration,
+           round(convexity, 6) AS convexity
+    FROM d
+    """,
+)
+def bond_portfolio_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond math (§2.8) as a DISTRIBUTED vectorized operator: the
+    sequence+aggregate Column twins of finance.bond_price /
+    macaulay_duration / bond_convexity price a whole portfolio frame in
+    one codegen stage (the reference prices one bond per Python call,
+    finance.py:83-110,186-221).  Coupon/maturity/yield derive
+    deterministically from supplier keys; the oracle evaluates the same
+    cash-flow sums via list_transform."""
+    from financial_data_science_spark.functions.finance import (
+        bond_convexity_col,
+        bond_price_col,
+        macaulay_duration_col,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    b = sup.select(
+        k.alias("bond_id"),
+        ((k % 5) / 100.0 + 0.02).alias("coupon"),
+        (4 + k % 20).cast("int").alias("n"),
+        ((k % 7) / 100.0 + 0.01).alias("ytm"),
+    )
+    # coupon is an annual RATE in the scalar API but the synthetic grid
+    # feeds the dollar coupon (rate * par) to match the oracle's sums
+    price = bond_price_col(F.col("coupon") * 100, F.col("n"), 2, F.col("ytm"))
+    b = b.withColumn("price", price)
+    return b.select(
+        "bond_id",
+        _r("price").alias("price"),
+        _r(
+            macaulay_duration_col(
+                F.col("coupon") * 100, F.col("n"), 2, F.col("price"), F.col("ytm")
+            )
+        ).alias("duration"),
+        _r(
+            bond_convexity_col(
+                F.col("coupon") * 100, F.col("n"), 2, F.col("price"), F.col("ytm")
+            )
+        ).alias("convexity"),
+    )
+
+
+@query(
     "fft_cross_correlation",
     """
     WITH daily AS (

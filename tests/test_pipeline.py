@@ -134,3 +134,49 @@ def test_embedding_near_dups_subset_of_exact(spark):
     )
     exact_pairs = set(zip(exact["l"], exact["r"]))
     assert set(zip(got["left_id"], got["right_id"])) <= exact_pairs
+
+
+def test_bond_column_twins_match_scalar(spark):
+    """Vectorized sequence+aggregate bond math == the scalar driver-side
+    functions, across a grid of (coupon, n, ytm)."""
+    from financial_data_science_spark.functions.finance import (
+        bond_convexity,
+        bond_convexity_col,
+        bond_price,
+        bond_price_col,
+        macaulay_duration,
+        macaulay_duration_col,
+    )
+
+    grid = [
+        (4.0, 6, 0.05),
+        (0.0, 10, 0.03),
+        (7.5, 1, 0.08),
+        (2.0, 40, 0.01),
+    ]
+    pdf = pd.DataFrame(grid, columns=["coupon", "n", "ytm"])
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.withColumn(
+            "price", bond_price_col(F.col("coupon"), F.col("n"), 2, F.col("ytm"))
+        )
+        .withColumn(
+            "dur",
+            macaulay_duration_col(
+                F.col("coupon"), F.col("n"), 2, F.col("price"), F.col("ytm")
+            ),
+        )
+        .withColumn(
+            "conv",
+            bond_convexity_col(
+                F.col("coupon"), F.col("n"), 2, F.col("price"), F.col("ytm")
+            ),
+        )
+        .toPandas()
+        .sort_values(["coupon", "n"])
+    )
+    for _, r in out.iterrows():
+        p = bond_price(r["coupon"], int(r["n"]), 2, r["ytm"])
+        assert abs(r["price"] - p) < 1e-9
+        assert abs(r["dur"] - macaulay_duration(r["coupon"], int(r["n"]), 2, p, r["ytm"])) < 1e-9
+        assert abs(r["conv"] - bond_convexity(r["coupon"], int(r["n"]), 2, p, r["ytm"])) < 1e-9
