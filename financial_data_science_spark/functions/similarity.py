@@ -156,6 +156,13 @@ def embedding_near_dups(
             for t in range(n_tables)
         ],
     )
+    # one self equi-join PER TABLE, unioned, then pair-distinct.  The
+    # single-join alternative (explode to (id, table, bucket) rows, join
+    # once on (table, bucket)) has 3x fewer exchanges but measured 2x
+    # SLOWER at sf0.1: it fuses all tables' plane folds into one
+    # projection, while the per-table branches let Catalyst prune each
+    # side to its own table's n_planes folds.  Measured anti-optimization
+    # (SCALE.md); revisit only with a one-pass multi-plane projection.
     cands = None
     for t in range(n_tables):
         lhs = b.select(ids.alias("left_id"), F.col(f"__b{t}__").alias("__bk__"))
