@@ -4629,6 +4629,61 @@ ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
 
 
 @query(
+    "csv_load_coercion",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           upper(n_name) AS name,
+           CAST(CASE WHEN n_nationkey % 4 = 0 THEN 0
+                     ELSE n_regionkey END AS BIGINT) AS regionkey
+    FROM nation
+    WHERE n_nationkey % 5 != 3
+    """,
+)
+def csv_load_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end under the gate: the nation table is serialized to an
+    actual CSV file (driver-side, 25 rows — messy on purpose: every 4th
+    regionkey blanked, names upper-cased) and re-ingested through
+    load_csv with a DECLARED schema — the read-as-string -> coercion
+    (blank int -> 0) -> typed-cast -> drop-filter path
+    (structured.py:137-207 semantics).  The oracle applies the same
+    transform to the parquet rows directly, so a match proves the CSV
+    round trip is lossless under the coercion rules (the blanked cells
+    MUST come back as 0 from the coercion itself — nothing downstream
+    re-fixes them)."""
+    import csv as _csv
+    import io
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from financial_data_science_spark.sources.coercion import load_csv
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = sorted(nat.collect(), key=lambda r: r["n_nationkey"])  # 25 rows
+    buf = io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(["nationkey", "name", "regionkey"])
+    for r in rows:
+        rk = "" if r["n_nationkey"] % 4 == 0 else str(r["n_regionkey"])
+        w.writerow([r["n_nationkey"], r["n_name"].upper(), rk])
+    fd, path = tempfile.mkstemp(suffix=".csv")
+    with os.fdopen(fd, "w") as f:
+        f.write(buf.getvalue())
+    schema = T.StructType(
+        [
+            T.StructField("nationkey", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("regionkey", T.LongType()),
+        ]
+    )
+    out = load_csv(spark, path, schema)
+    return out.filter(F.col("nationkey") % 5 != 3)
+
+
+@query(
     "bond_portfolio_pricing",
     """
     WITH b AS (
