@@ -4629,6 +4629,40 @@ ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
 
 
 @query(
+    "predicate_parser_filter",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS total
+    FROM events
+    WHERE user_id >= 50 AND user_id <= 90
+      AND event_type IN ('click', 'view', 'purchase')
+      AND value > 10
+      AND props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def predicate_parser_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 under the gate: the reference-style where-spec dict
+    (mongodb.py:51-155 / structured.py predicate grammar — _ge/_le/_in
+    suffixes, tuple = closed interval, bare string = non-null) compiled
+    to ONE Column predicate by functions/predicates.parse_where, then
+    aggregated.  The oracle states the same predicate in plain SQL."""
+    from financial_data_science_spark.functions.predicates import where
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = {
+        "user_id": (50, 90),                      # tuple -> between
+        "event_type_in": ["click", "view", "purchase"],
+        "value_gt": 10,
+    }
+    out = where(where(ev, spec), "props")  # bare string arm: non-null
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _r(F.sum("value")).alias("total"),
+    )
+
+
+@query(
     "csv_load_coercion",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
