@@ -4629,6 +4629,48 @@ ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
 
 
 @query(
+    "signals_sink_roundtrip",
+    """
+    WITH sig AS (
+      SELECT l_suppkey AS permno,
+             year(l_shipdate) * 10000 + month(l_shipdate) * 100 + 1 AS rebaldate,
+             round(avg(l_discount), 6) AS mom
+      FROM lineitem GROUP BY 1, 2),
+    clean AS (SELECT * FROM sig WHERE mom IS NOT NULL)
+    SELECT permno, CAST(count(*) AS BIGINT) AS n_dates,
+           round(sum(mom), 6) AS total
+    FROM clean GROUP BY permno
+    """,
+)
+def signals_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 end-to-end under the gate: a derived signal frame is WRITTEN
+    through Signals.write (non-finite scrub -> PK dedup keep-last ->
+    label-partitioned parquet in a temp dir) and READ BACK through
+    Signals.read before aggregating — proving the sink's clean/dedup/
+    partition cycle is lossless.  The oracle computes the same aggregate
+    from the source directly (the signal is already unique per PK, so
+    dedup must be the identity here)."""
+    import tempfile
+
+    from financial_data_science_spark.datasets.structured import Signals
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sig = li.groupBy(
+        F.col("l_suppkey").alias("permno"),
+        (F.year("l_shipdate") * 10000 + F.month("l_shipdate") * 100 + 1).alias(
+            "rebaldate"
+        ),
+    ).agg(_r(F.avg("l_discount")).alias("mom"))
+    store = Signals(tempfile.mkdtemp(prefix="signals_gate_"))
+    store.write(sig, "mom")
+    back = store.read(spark, "mom")
+    return back.groupBy("permno").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dates"),
+        _r(F.sum("value")).alias("total"),
+    )
+
+
+@query(
     "predicate_parser_filter",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
