@@ -45,7 +45,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     max_iter: int = 10,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Iterative PageRank: rank_{t+1} = (1-d)/N + d * sum(rank/outdeg).
 
@@ -53,6 +53,13 @@ def pagerank(
     contributions on dst (one shuffle).  Lineage is truncated with
     localCheckpoint every few sweeps so plans don't grow unboundedly —
     the standard iterative-algorithm discipline on Spark.
+
+    Cadence trade (measured at sf0.1, 8 sweeps): every=8 (one deep lazy
+    plan) 5.5s, every=1 (a job per sweep) 4.4s, every=2-3 ~3s — at test
+    scale Catalyst optimize/codegen time on the deep plan dominates, so
+    frequent truncation wins.  On a huge graph the rank-frame
+    materialization (O(V) per checkpoint) grows while the plan-depth
+    cost stays fixed, pushing the optimum up — hence the knob.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # localCheckpoint (not cache) on the loop-invariant sides: iterated
