@@ -4629,6 +4629,37 @@ ORACLE["min_variance_weights_3"] = _min_variance_oracle_sql()
 
 
 @query(
+    "named_store_roundtrip",
+    """
+    SELECT r_regionkey AS k, count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def named_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 under the gate: two frames dumped to the named object store
+    (parquet tables under a root dir, store.py:19-128 semantics — no
+    pickles), loaded back by name, and joined.  Matching the
+    source-direct oracle proves the dump/load cycle is lossless and the
+    store's membership check works."""
+    import tempfile
+
+    from financial_data_science_spark.datasets.lookup import Store
+
+    store = Store(tempfile.mkdtemp(prefix="store_gate_"))
+    store.dump(load_table(spark, sf_dir, "region"), "region")
+    store.dump(load_table(spark, sf_dir, "nation"), "nation")
+    assert "region" in store and "missing" not in store
+    r = store.load(spark, "region")
+    n = store.load(spark, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_regionkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
+    )
+
+
+@query(
     "signals_sink_roundtrip",
     """
     WITH sig AS (
