@@ -4918,6 +4918,52 @@ def fft_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    """
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 6) AS total
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 gate evidence for STREAM-STATIC joins: the events stream is
+    enriched against two static dimension tables (customer -> nation)
+    inside the streaming query — the standard dimension-enrichment shape
+    (the static side is re-planned per micro-batch; broadcast-able) —
+    then aggregated.  Oracle = the identical batch join+agg."""
+    from financial_data_science_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    stream = read_events_stream(spark, sf_dir)
+    enriched = (
+        stream.join(cust, cust.c_custkey == stream.user_id + 1)
+        .join(F.broadcast(nat), nat.n_nationkey == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _r(F.sum("value")).alias("total"),
+        )
+    )
+    out = run_stream_to_memory(
+        spark,
+        enriched,
+        f"gate_stream_enrich_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    )
+    return out.select("nation", "event_type", "n", "total")
+
+
+@query(
     "stream_ewma_final",
     """
     WITH d AS (
