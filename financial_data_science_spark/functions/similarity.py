@@ -610,17 +610,28 @@ def _centroid_literal(cent_rows: list) -> Column:
     (An unrolled multiply-add formulation was tried and measured 5x
     SLOWER: a dim x nlist flat Add chain explodes the expression tree and
     defeats codegen — the HOF fold over one array literal is the fast
-    shape here.)"""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-                F.lit(_fold_norm(cv)).alias("cnorm"),
-            )
-            for c, cv in cent_rows
-        ]
-    )
+    shape here.)
+
+    Built as ONE ``F.expr`` SQL string, not nested ``F.lit`` calls: the
+    lit/struct/array form costs nlist x (dim + 2) Py4J round trips
+    (~0.9s of pure driver time per call at 8x64, and the literal is
+    rebuilt every Lloyd sweep), while parsing one ~20 KB string is a
+    single gateway call.  Python ``repr`` doubles round-trip exactly
+    through the SQL parser (checked in test_similarity), so the plan is
+    bit-identical to the lit-built tree."""
+
+    def d(x: float) -> str:
+        # repr() is shortest-roundtrip; CAST guards exotic spellings
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    parts = []
+    for c, cv in cent_rows:
+        arr = ",".join(d(x) for x in cv)
+        parts.append(
+            f"named_struct('cluster',{int(c)},'cv',array({arr}),"
+            f"'cnorm',{d(_fold_norm(cv))})"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def _assign_clusters(

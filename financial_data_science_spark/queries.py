@@ -5020,6 +5020,161 @@ def stream_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Last uncovered §2 rows: P6 identifier guessing, S6 result-cache reuse,
+# J12 ticker->permno bridge (functions/predicates.py, datasets/links.py)
+# =====================================================================
+
+@query(
+    "identifier_find_dispatch",
+    """
+    WITH names AS (
+      SELECT 10000 + c_custkey AS permno,
+             lpad(CAST(c_custkey AS VARCHAR), 7, '0') || 'X' AS cusip,
+             upper(substr(c_mktsegment, 1, 4)) AS ticker,
+             c_name AS comnam
+      FROM customer)
+    SELECT * FROM (
+      SELECT 'permno' AS arm, permno, comnam FROM names WHERE permno = 10042
+      UNION ALL
+      SELECT 'cusip' AS arm, permno, comnam FROM names WHERE cusip = '0000007X'
+      UNION ALL
+      SELECT 'ticker' AS arm, permno, comnam FROM names WHERE ticker = 'HOUS'
+      UNION ALL
+      SELECT 'name' AS arm, permno, comnam FROM names
+      WHERE upper(comnam) LIKE '%CUSTOMER#0000013%')
+    ORDER BY arm, permno
+    """,
+)
+def identifier_find_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: identifier search with shape-based dispatch (finder.py:62-104) —
+    one probe per arm (5-6 digits -> permno equality, 8-9 alnum -> cusip,
+    <=5 alpha -> ticker, else LIKE on company name), each routed through
+    ``find_identifier``'s guessing, union-tagged so the oracle can verify
+    every arm's route AND result in one frame."""
+    from financial_data_science_spark.functions.predicates import find_identifier
+
+    names = load_table(spark, sf_dir, "customer").select(
+        (10000 + F.col("c_custkey")).alias("permno"),
+        F.concat(F.lpad(F.col("c_custkey").cast("string"), 7, "0"), F.lit("X")).alias(
+            "cusip"
+        ),
+        F.upper(F.substring("c_mktsegment", 1, 4)).alias("ticker"),
+        F.col("c_name").alias("comnam"),
+    )
+    arms = [
+        ("permno", 10042),        # digits, len 5 -> permno arm
+        ("cusip", "0000007X"),    # 8 alnum, not all alpha -> cusip arm
+        ("ticker", "hous"),       # alpha <=5 -> ticker arm (uppercased)
+        ("name", "Customer#0000013"),  # fallback -> LIKE comnam
+    ]
+    out = None
+    for tag, probe in arms:
+        hit = find_identifier(names, probe).select(
+            F.lit(tag).alias("arm"), "permno", "comnam"
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+@query(
+    "cached_section_reuse",
+    """
+    WITH sec AS (
+      SELECT c_nationkey AS nation,
+             round(sum(c_acctbal), 2) AS bal, count(*) AS n
+      FROM customer GROUP BY 1)
+    SELECT a.nation, a.bal, a.n,
+           round(a.bal - b.bal, 2) AS bal_vs_next,
+           CAST(a.n - b.n AS BIGINT) AS n_vs_next
+    FROM sec a JOIN sec b ON b.nation = (a.nation + 1) % 25
+    """,
+)
+def cached_section_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: result-cache semantics — the reference memoizes section frames
+    in Redis keyed by query params (redisdb.py:60-81, crsp.py:214-217);
+    in-session the Spark twin is ``persist()``: the aggregated section is
+    computed ONCE and both consumers of the self-join read the
+    InMemoryRelation (plan-asserted in test_plans.py) instead of
+    re-scanning customer twice."""
+    from pyspark.storagelevel import StorageLevel
+
+    sec = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(_r(F.sum("c_acctbal"), 2).alias("bal"), F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nxt = sec.select(
+        F.col("nation").alias("__n2__"),
+        F.col("bal").alias("__b2__"),
+        F.col("n").alias("__c2__"),
+    )
+    return (
+        sec.join(nxt, nxt["__n2__"] == (sec["nation"] + 1) % 25)
+        .select(
+            "nation", "bal", "n",
+            _r(F.col("bal") - F.col("__b2__"), 2).alias("bal_vs_next"),
+            (F.col("n") - F.col("__c2__")).alias("n_vs_next"),
+        )
+    )
+
+
+@query(
+    "ticker_bridge_join",
+    """
+    WITH names AS (
+      SELECT c_custkey AS permno,
+             'T-' || CAST(c_custkey % 97 AS VARCHAR) AS tsymbol,
+             19000000 + c_custkey AS namedt
+      FROM customer),
+    latest AS (
+      SELECT replace(tsymbol, '-', '') AS ticker,
+             arg_max(permno, namedt) AS permno
+      FROM names GROUP BY 1),
+    prices AS (
+      SELECT 'T' || CAST(s_suppkey % 97 AS VARCHAR) AS ticker,
+             s_acctbal AS price
+      FROM supplier)
+    SELECT l.ticker, l.permno,
+           count(*) AS n_prices, round(sum(p.price), 2) AS sum_price
+    FROM latest l JOIN prices p ON l.ticker = p.ticker
+    GROUP BY 1, 2
+    """,
+)
+def ticker_bridge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: ticker->permno bridge (real_time.py:167-187) — clean the
+    symbol (strip '-'), keep the LATEST name record per cleaned symbol
+    (dedup window / max_by), then inner-join the price feed on the
+    cleaned ticker; the name side is a broadcast dim."""
+    names = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("permno"),
+        F.concat(F.lit("T-"), (F.col("c_custkey") % 97).cast("string")).alias(
+            "tsymbol"
+        ),
+        (19000000 + F.col("c_custkey")).alias("namedt"),
+    )
+    latest = (
+        names.withColumn("ticker", F.regexp_replace("tsymbol", "-", ""))
+        .groupBy("ticker")
+        .agg(F.max_by("permno", "namedt").alias("permno"))
+    )
+    prices = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("T"), (F.col("s_suppkey") % 97).cast("string")).alias(
+            "ticker"
+        ),
+        F.col("s_acctbal").alias("price"),
+    )
+    return (
+        prices.join(F.broadcast(latest), "ticker")
+        .groupBy("ticker", "permno")
+        .agg(
+            F.count(F.lit(1)).alias("n_prices"),
+            _r(F.sum("price"), 2).alias("sum_price"),
+        )
+    )
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew to 103).  Rounds 1-4 pinned the round-3 set,

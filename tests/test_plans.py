@@ -288,3 +288,19 @@ def test_global_cumsum_numeric_path_has_no_single_partition_window(spark):
     # the offsets frame (num_blocks rows) legitimately uses a single
     # partition; the full-data window must partition by the block id
     assert "Window [sum" in plan and "windowspecdefinition(__blk__" in plan
+
+
+def test_cached_section_is_computed_once(spark):
+    """S6 result-cache semantics: both consumers of the self-join read
+    the persisted InMemoryRelation — the customer scan + aggregation run
+    once, not once per consumer (the reference's Redis memoization,
+    redisdb.py:60-81, realized as persist())."""
+    from financial_data_science_spark.queries import Q
+
+    df = Q["cached_section_reuse"](spark, SF)
+    try:
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "Scan parquet" not in plan.split("InMemoryTableScan")[0]
+    finally:
+        spark.catalog.clearCache()

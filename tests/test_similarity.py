@@ -154,3 +154,29 @@ def test_document_filter_gate_verdicts(spark):
     out = Q["document_filter_gate"](spark, "/root/testdata/sf0.001").toPandas()
     assert set(out["verdict"]) <= {"keep", "too_short", "repetitive", "low_alpha"}
     assert (out["verdict"] == "keep").mean() > 0.5  # synthetic corpus is mostly clean
+
+
+def test_centroid_literal_expr_matches_lit_built_tree(spark):
+    """_centroid_literal builds its array<struct> via ONE F.expr string
+    (the nested-lit form costs nlist x dim Py4J round trips per Lloyd
+    sweep); repr-doubles must round-trip the SQL parser bit-exactly,
+    including subnormals, negative-zero-sum artifacts, and DBL_MAX."""
+    vals = [
+        1e-05, -3.3306690738754696e-16, 0.1 + 0.2, 123456.789,
+        2.0 ** -1074, 1.7976931348623157e308, -0.0, 42.0,
+    ]
+    rows = [(1, vals), (2, [-v for v in vals])]
+    lit_built = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(S._fold_norm(cv)).alias("cnorm"),
+            )
+            for c, cv in rows
+        ]
+    )
+    df = spark.range(1).select(
+        lit_built.alias("o"), S._centroid_literal(rows).alias("n")
+    )
+    assert df.select((F.col("o") == F.col("n")).alias("eq")).first()["eq"]
