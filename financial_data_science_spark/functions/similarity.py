@@ -206,6 +206,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     seed: int = 42,
     portable: bool = False,
+    max_df: float | int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``h0..h{k-1}`` columns + ``__sig__`` array.
 
@@ -219,6 +220,17 @@ def minhash_signatures(
     arithmetic polynomial in porthash (recomputable in DuckDB — used by
     the oracle-checked catalog query); xxhash64 remains the production
     default (one fused JVM hash, faster at scale).
+
+    ``max_df`` drops STOP SHINGLES — shingles appearing in more than
+    ``max_df`` docs (int = absolute count, float = fraction of the
+    corpus) — before hashing.  Boilerplate n-grams (license headers,
+    nav chrome) are the LSH skew trap: one ubiquitous shingle drags
+    thousands of unrelated docs into shared buckets, and the bucket
+    self-join fans out quadratically IN THAT BUCKET.  The stop set
+    itself is tiny (only the >max_df tail), so the filter is a
+    broadcast anti-join; the df census is one combinable aggregate.
+    Docs whose every shingle is stopped drop out of the signature
+    frame (all-boilerplate docs have no dedup identity — deliberate).
     """
     import random
 
@@ -234,7 +246,19 @@ def minhash_signatures(
     )
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__")
-    ).select(
+    )
+    if max_df is not None:
+        # shingles are per-doc distinct, so count(*) per shingle IS the
+        # document frequency; threshold floor(frac * |docs|) for floats
+        limit = int(max_df if max_df >= 1 else int(max_df * docs.count()))
+        stop = (
+            exploded.groupBy("__shingle__")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > limit)
+            .select("__shingle__")
+        )
+        exploded = exploded.join(F.broadcast(stop), "__shingle__", "left_anti")
+    exploded = exploded.select(
         id_col,
         # one string hash per shingle; the k-family is affine mixes of it
         # (a_i*h+b_i mod p) — 64 multiply-adds instead of 64 string hashes
@@ -258,6 +282,7 @@ def minhash_candidates(
     bands: int = 8,
     seed: int = 42,
     portable: bool = False,
+    max_df: float | int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join on (band, hash).
 
@@ -283,7 +308,8 @@ def minhash_candidates(
         return acc
 
     sig = minhash_signatures(
-        docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable
+        docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable,
+        max_df=max_df,
     )
     banded = sig.select(
         id_col,
@@ -329,6 +355,7 @@ def band_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_df: float | int | None = None,
 ) -> DataFrame:
     """Bare LSH candidate pairs — band bucket join WITHOUT carrying the
     signature array through the shuffle.
@@ -341,7 +368,9 @@ def band_candidates(
     plan also lets Spark reuse the shuffle exchange for both sides.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes, seed)
+    sig = minhash_signatures(
+        docs, id_col, text_col, shingle_k, num_hashes, seed, max_df=max_df
+    )
     banded = sig.select(
         F.col(id_col).alias("__id__"),
         F.explode(

@@ -731,11 +731,19 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("left_id", "right_id", _r("jaccard").alias("jaccard"))
 
 
-def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 32, seed: int = 42) -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    max_df: float | None = None,
+) -> str:
     """DuckDB recompute of the ENTIRE portable MinHash+LSH pipeline:
     shingles -> polynomial base hash -> affine min-family -> band keys ->
     bucket join -> signature-match estimate.  Same affine coefficients as
-    minhash_signatures (random.Random(seed))."""
+    minhash_signatures (random.Random(seed)).  ``max_df`` replays the
+    stop-shingle census (df <= floor(frac * |docs|)) — the same double
+    product + truncation as the Spark side, so the kept-shingle set is
+    identical."""
     import random
 
     from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
@@ -748,6 +756,15 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 32, seed: int = 42) -
     )
     sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
     assert rpb == 2, "band key fold below is written for rows_per_band=2"
+    stop_ctes = ""
+    hash_src = "ex"
+    if max_df is not None:
+        stop_ctes = f""",
+    dfc AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+    exf AS (
+      SELECT e.doc_id, e.shingle FROM ex e JOIN dfc d USING (shingle)
+      WHERE d.df <= CAST(floor({max_df} * (SELECT count(*) FROM documents)) AS BIGINT))"""
+        hash_src = "exf"
     return f"""
     WITH toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
@@ -757,8 +774,8 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 32, seed: int = 42) -
              list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
       FROM toks),
-    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
-    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM ex),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh){stop_ctes},
+    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM {hash_src}),
     sig AS (SELECT doc_id,
              {mins}
             FROM h0 GROUP BY doc_id),
@@ -791,6 +808,24 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["minhash_lsh_candidates"] = _minhash_oracle_sql()
+
+
+@query("minhash_lsh_stopshingle", None)
+def minhash_lsh_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with STOP-SHINGLE filtering (max_df): shingles present
+    in more than 25% of the corpus are dropped before hashing — the
+    boilerplate-skew mitigation SCALE.md prescribes for the LSH bucket
+    join (one ubiquitous shingle otherwise drags unrelated docs into a
+    quadratic bucket).  Oracle replays the df census + the whole portable
+    pipeline; the candidate set legitimately differs from
+    minhash_lsh_candidates because boilerplate no longer votes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SIM.minhash_candidates(
+        docs, num_hashes=64, bands=32, portable=True, max_df=0.25
+    ).filter(F.col("est_jaccard") >= 0.4)
+
+
+ORACLE["minhash_lsh_stopshingle"] = _minhash_oracle_sql(max_df=0.25)
 
 
 def _simhash_oracle_sql(bits: int = 62) -> str:

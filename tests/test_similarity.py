@@ -180,3 +180,38 @@ def test_centroid_literal_expr_matches_lit_built_tree(spark):
         lit_built.alias("o"), S._centroid_literal(rows).alias("n")
     )
     assert df.select((F.col("o") == F.col("n")).alias("eq")).first()["eq"]
+
+
+def test_stop_shingle_filter_kills_boilerplate_buckets(spark):
+    """max_df drops ubiquitous shingles BEFORE hashing: with a license
+    header planted on every doc, the unfiltered LSH floods with spurious
+    candidates (every doc shares the header's shingles); with max_df the
+    planted true near-dups survive and the spurious mass is gone."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    header = "copyright notice all rights reserved by the example corp"
+    base = [
+        header + " " + " ".join(rng.choice(vocab, 40)) for _ in range(40)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    for j, i in enumerate([0, 7]):  # planted near-dups (one word edited)
+        words = base[i].split()
+        words[-1] = "edited"
+        rows.append((100 + j, " ".join(words)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    noisy = S.minhash_candidates(docs, num_hashes=64, bands=32).toPandas()
+    clean = S.minhash_candidates(
+        docs, num_hashes=64, bands=32, max_df=0.5
+    ).toPandas()
+    planted = {(0, 100), (7, 101)}
+    got = {tuple(sorted(p)) for p in clean[["left_id", "right_id"]].to_numpy()}
+    assert planted <= got
+    # the header shingles collide every doc pair in the unfiltered run;
+    # the df filter must collapse that candidate mass
+    assert len(clean) < len(noisy) / 4, (len(clean), len(noisy))
+    # absolute-count form agrees with the fraction form
+    clean_abs = S.minhash_candidates(
+        docs, num_hashes=64, bands=32, max_df=21
+    ).toPandas()
+    assert len(clean_abs) == len(clean)
