@@ -183,25 +183,33 @@ def corrected_stats(
             F.stddev_samp(F.col("__vp__") - F.col("__vr__")).alias("__sp__"),
         )
     )
-    # average pairwise overlap of post windows, in trading days
+    # average pairwise overlap of post windows, in trading days.  The
+    # pairwise definition avg_{i<j} max(D - (d_j - d_i), 0) / D is
+    # computed WITHOUT the O(n^2) theta self-join (which plans as a
+    # CartesianProduct): only predecessors within D-1 days of d_j
+    # contribute, and their sum telescopes to cnt*(D - d_j) + sum(d_i)
+    # over a rangeBetween(-(D-1), -1) window on the sorted day numbers —
+    # O(n log n), FP-identical (integer contributions, same division
+    # order as avg/D).  The single-partition window is fine: didx is the
+    # aggregated distinct-announce-date frame, driver-scale by
+    # construction (SURVEY §3.3).
     didx = adj.join(
         port.select(F.col("__adate__").alias("__a2__")).distinct(),
         adj["__adate__"] == F.col("__a2__"),
     ).select("day_num").distinct()
-    tau = (
-        didx.alias("a")
-        .join(didx.alias("b"), F.col("b.day_num") > F.col("a.day_num"))
-        .agg(
-            (
-                F.avg(
-                    F.greatest(
-                        F.lit(D) - (F.col("b.day_num") - F.col("a.day_num")),
-                        F.lit(0),
-                    )
-                )
-                / F.lit(float(D))
-            ).alias("tau")
-        )
+    wtau = Window.orderBy("day_num").rangeBetween(-(D - 1), -1)
+    contrib = didx.select(
+        F.col("day_num"),
+        (
+            F.count(F.lit(1)).over(wtau) * (F.lit(D) - F.col("day_num"))
+            + F.coalesce(F.sum("day_num").over(wtau), F.lit(0))
+        ).alias("__c__"),
+    )
+    npairs = (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2.0)
+    tau = contrib.agg(
+        (
+            (F.sum("__c__").cast("double") / npairs) / F.lit(float(D))
+        ).alias("tau")
     )
     nev = cb.select(*event_keys).distinct().agg(
         F.count(F.lit(1)).alias("n_events")
@@ -209,9 +217,11 @@ def corrected_stats(
     md = F.col("n_dates").cast("double")
     eff = md / (1 + F.lit(rho) * F.col("tau") * (md - 1))
     return (
-        win.crossJoin(seg)
-        .crossJoin(tau)
-        .crossJoin(nev)
+        # broadcast the 1-row sides so the combine plans as a broadcast
+        # nested-loop over single rows, not a CartesianProduct node
+        win.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(nev))
         .select(
             F.col("__mw__").alias("window_mean"),
             (F.col("__mw__") / (F.col("__sw__") / F.sqrt(eff))).alias("window_t"),

@@ -304,3 +304,31 @@ def test_cached_section_is_computed_once(spark):
         assert "Scan parquet" not in plan.split("InMemoryTableScan")[0]
     finally:
         spark.catalog.clearCache()
+
+
+def test_no_slow_paths_anywhere_in_catalog(spark):
+    """Catalog-wide physical-plan audit: NO query may plan a
+    CartesianProduct / BroadcastNestedLoopJoin on a data path or a
+    row-at-a-time Python UDF (BatchEvalPython) anywhere.  Arrow paths
+    (ArrowEvalPython, mapInPandas, FlatMapGroupsInPandas[WithState]) are
+    the sanctioned Python escapes.  Streaming queries execute during
+    construction, so this sweeps the batch catalog only."""
+    from financial_data_science_spark.queries import Q
+
+    skip = {n for n in Q if n.startswith("stream_")}
+    bad: dict[str, list[str]] = {}
+    for name, fn in Q.items():
+        if name in skip:
+            continue
+        try:
+            plan = _plan(fn(spark, SF))
+        finally:
+            spark.catalog.clearCache()
+        hits = [
+            pat
+            for pat in ("CartesianProduct", "BatchEvalPython")
+            if pat in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
