@@ -163,3 +163,87 @@ def contamination(
             F.coalesce(F.sum("__hit__"), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("contamination_rate"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    chunk_col: str = "chunk_id",
+    out: str = "chunk_text",
+) -> DataFrame:
+    """Tokenizer-aware document chunking: split each doc into windows of
+    at most ``max_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens — the context-window prep step between cleaning
+    and packing in an LLM pipeline.
+
+    Chunk i covers tokens [i*step, i*step + max_tokens), step =
+    max_tokens - overlap; the last chunk is the first window reaching the
+    end (short docs yield exactly one chunk, possibly empty for empty
+    text).  Entirely JVM column expressions — sequence/explode/slice/
+    array_join, no UDF — so the fan-out is the explode of a
+    per-row-computed chunk count, never a join, and a SQL oracle can
+    replay every chunk boundary.
+    """
+    from financial_data_science_spark.functions.text import tokens
+
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunks at starts 0, step, 2*step, ...; last start is the smallest
+    # with start + max_tokens >= n -> ceil((n - max_tokens)/step) (>=0)
+    n_chunks = (
+        F.greatest(
+            F.ceil((n - F.lit(max_tokens)) / F.lit(float(step))).cast("int"),
+            F.lit(0),
+        )
+        + 1
+    )
+    d = docs.select(
+        F.col(id_col),
+        toks.alias("__toks__"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias(chunk_col),
+    )
+    sliced = F.slice(
+        F.col("__toks__"), F.col(chunk_col) * step + 1, max_tokens
+    )
+    return d.select(
+        id_col,
+        chunk_col,
+        F.array_join(sliced, " ").alias(out),
+        F.size(sliced).alias("n_tokens"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-source sampling for a training-data mixture:
+    keep each row with its source's rate (sources absent from ``rates``
+    drop entirely).  The up/down-weighting step that turns raw corpus
+    proportions into the target training mix.
+
+    Membership is a pure function of (key, salt) — the same
+    porthash.keyhash bucket arithmetic as hash_sample — so the mix is
+    reproducible across reruns, engines, and late shards, and
+    subset-monotone in the rate: raising a source's rate only ADDS docs
+    (the kept set at 20% is a superset of the kept set at 10%), which is
+    what makes mix ablations comparable.  No shuffle: one CASE
+    expression and a filter.
+    """
+    bucket = F.floor((keyhash(F.col(key_col), salt) * 10_000) / F.lit(float(MOD)))
+    expr = None
+    for src, rate in rates.items():
+        thresh = F.lit(round(rate * 10_000))
+        cond = F.col(source_col) == src
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    expr = expr.otherwise(F.lit(0))
+    return df.filter(bucket < expr)

@@ -5210,6 +5210,74 @@ def ticker_bridge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    base AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 25) / 20.0) AS INT), 0) + 1 AS nc
+      FROM toks),
+    ex AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM base),
+    ch AS (
+      SELECT doc_id, chunk_id,
+             list_slice(w, chunk_id * 20 + 1, chunk_id * 20 + 25) AS sl
+      FROM ex)
+    SELECT doc_id, chunk_id, array_to_string(sl, ' ') AS chunk_text,
+           CAST(len(sl) AS INT) AS n_tokens
+    FROM ch
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware chunking (pipeline.chunk_documents): max 25 tokens
+    per chunk, 5-token overlap — the context-window prep between cleaning
+    and shard packing.  Pure sequence/explode/slice column expressions;
+    the oracle replays every chunk boundary."""
+    from financial_data_science_spark.functions.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=25, overlap=5)
+
+
+def _mixture_oracle_sql() -> str:
+    from financial_data_science_spark.functions.porthash import MOD, sql_keyhash
+
+    h = sql_keyhash("doc_id")
+    b = f"CAST(floor((({h}) * 10000) / {MOD}.0) AS BIGINT)"
+    return f"""
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE {b} < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                 WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 0 END)
+    GROUP BY source
+    """
+
+
+@query("mixture_sample_sources", None)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly (pipeline.mixture_sample): per-source
+    deterministic keep rates (src0 100%, src1 50%, src2 25%, src3 10%,
+    rest dropped) — pure keyhash bucket arithmetic, no shuffle, and
+    subset-monotone in the rate so mix ablations stay comparable.  The
+    oracle replays the bucket math per row."""
+    from financial_data_science_spark.functions.pipeline import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+ORACLE["mixture_sample_sources"] = _mixture_oracle_sql()
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew to 103).  Rounds 1-4 pinned the round-3 set,

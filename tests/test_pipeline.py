@@ -180,3 +180,52 @@ def test_bond_column_twins_match_scalar(spark):
         assert abs(r["price"] - p) < 1e-9
         assert abs(r["dur"] - macaulay_duration(r["coupon"], int(r["n"]), 2, p, r["ytm"])) < 1e-9
         assert abs(r["conv"] - bond_convexity(r["coupon"], int(r["n"]), 2, p, r["ytm"])) < 1e-9
+
+
+def test_chunk_documents_reconstructs_and_bounds(spark):
+    """Chunk invariants: every chunk <= max_tokens; consecutive chunks
+    overlap by exactly `overlap` tokens (except a short final chunk);
+    dropping each chunk's overlap prefix and concatenating reconstructs
+    the original token stream; short docs yield exactly one chunk."""
+    from financial_data_science_spark.functions.pipeline import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(53))),   # multi-chunk
+        (2, "a b c"),                                # single short chunk
+        (3, ""),                                     # empty
+        (4, " ".join(f"u{i}" for i in range(20))),   # exactly max
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        chunk_documents(docs, max_tokens=20, overlap=4)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    assert (out.n_tokens <= 20).all()
+    assert out.groupby("doc_id").size().to_dict() == {1: 4, 2: 1, 3: 1, 4: 1}
+    for doc_id, text in rows:
+        toks = text.split()
+        chunks = out[out.doc_id == doc_id].chunk_text.tolist()
+        rebuilt = chunks[0].split() if chunks[0] else []
+        for c in chunks[1:]:
+            assert c.split()[:4] == rebuilt[-4:] or len(c.split()) < 4
+            rebuilt += c.split()[4:]
+        assert rebuilt == toks, doc_id
+
+
+def test_mixture_sample_monotone_and_deterministic(spark):
+    """Raising a source's rate only ADDS rows (nested samples); rates are
+    per-source; rerun is identical."""
+    from financial_data_science_spark.functions.pipeline import mixture_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(600)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    lo = mixture_sample(docs, "source", {"src0": 0.2, "src1": 1.0}).toPandas()
+    hi = mixture_sample(docs, "source", {"src0": 0.6, "src1": 1.0}).toPandas()
+    assert set(lo[lo.source == "src0"].doc_id) <= set(hi[hi.source == "src0"].doc_id)
+    assert len(lo[lo.source == "src1"]) == 200       # rate 1.0 keeps all
+    assert len(lo[lo.source == "src2"]) == 0         # absent -> dropped
+    n0 = len(hi[hi.source == "src0"])
+    assert 80 <= n0 <= 160, n0                       # ~0.6 * 200
+    again = mixture_sample(docs, "source", {"src0": 0.2, "src1": 1.0}).toPandas()
+    assert sorted(again.doc_id) == sorted(lo.doc_id)
