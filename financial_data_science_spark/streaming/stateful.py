@@ -167,10 +167,47 @@ _EWMA_STATE_SCHEMA = StructType(
 )
 
 
-def _make_ewma_fn(alpha: float, adjust: bool):
+def _ewma_run(
+    key: str,
+    rows: pd.DataFrame,
+    num: float | None,
+    den: float,
+    alpha: float,
+    adjust: bool,
+) -> tuple[list[tuple], float | None, float]:
+    """The shared per-key EWMA recursion: fold sorted (ts_us, value) rows
+    through the two-double carry, returning output rows + new carry.
+    Both stateful APIs (applyInPandasWithState and
+    transformWithStateInPandas) drive exactly this function, so their
+    semantics cannot drift apart."""
     lam = 1.0 - alpha
     nan = float("nan")
+    out = []
+    for ts, val in zip(rows["ts_us"], rows["value"]):
+        x = float(val) if val is not None else nan
+        obs = x == x  # not NaN; NaN rows carry, decaying weights
+        if adjust:
+            if obs:
+                num = x if num is None else lam * num + x
+                den = lam * den + 1.0
+            elif num is not None:
+                num, den = lam * num, lam * den
+            y = nan if num is None else num / den
+        else:
+            if num is None:  # pandas seeds at the FIRST NON-NULL: y=x
+                if obs:
+                    num, den = x, 1.0
+            else:
+                den *= lam
+                if obs:
+                    num = (den * num + alpha * x) / (den + alpha)
+                    den = 1.0
+            y = nan if num is None else num
+        out.append((key, int(ts), x, y))
+    return out, num, den
 
+
+def _make_ewma_fn(alpha: float, adjust: bool):
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -181,28 +218,7 @@ def _make_ewma_fn(alpha: float, adjust: bool):
             num, den = state.get
         else:
             num, den = None, 0.0
-        out = []
-        for ts, val in zip(rows["ts_us"], rows["value"]):
-            x = float(val) if val is not None else nan
-            obs = x == x  # not NaN; NaN rows carry, decaying weights
-            if adjust:
-                if obs:
-                    num = x if num is None else lam * num + x
-                    den = lam * den + 1.0
-                elif num is not None:
-                    num, den = lam * num, lam * den
-                y = nan if num is None else num / den
-            else:
-                if num is None:  # pandas seeds at the FIRST NON-NULL: y=x
-                    if obs:
-                        num, den = x, 1.0
-                else:
-                    den *= lam
-                    if obs:
-                        num = (den * num + alpha * x) / (den + alpha)
-                        den = 1.0
-                y = nan if num is None else num
-            out.append((key[0], int(ts), x, y))
+        out, num, den = _ewma_run(key[0], rows, num, den, alpha, adjust)
         state.update((num, den))
         yield pd.DataFrame(out, columns=["key", "ts_us", "value", "ewma"])
 
@@ -247,4 +263,72 @@ def stream_ewma(
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_ewma_tws(
+    ticks: DataFrame,
+    alpha: float,
+    adjust: bool = True,
+    key_col: str = "key",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`stream_ewma` — the
+    Spark 4 arbitrary-stateful-processing API (typed value state in the
+    RocksDB state store) running the IDENTICAL two-double recursion via
+    the shared ``_ewma_run`` fold, so the two APIs cannot diverge.
+
+    Where ``applyInPandasWithState`` gives one opaque state tuple per
+    key, the processor API composes named state variables, timers, and
+    TTL; this operator only needs one value state, but it is the shape
+    new stateful operators should take going forward.  Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider`` (the only provider supporting
+    transformWithState) — set it on the session before starting the
+    query; parity with stream_ewma across micro-batches is the test
+    oracle.  NOTE: the TWS Python runner also needs ``google.protobuf``,
+    which this container lacks, so the parity test is capability-gated
+    (skipped-if-no-protobuf) exactly like the Pillow decode path; the
+    recursion itself is the shared fold stream_ewma's green tests cover.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    nan = float("nan")
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # num is NaN-encoded while unseeded (value state can't hold
+            # None inside a non-null struct field portably)
+            self._carry = handle.getValueState("carry", _EWMA_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values("ts_us")
+            if self._carry.exists():
+                num, den = self._carry.get()
+                if num != num:  # NaN marker -> unseeded
+                    num = None
+            else:
+                num, den = None, 0.0
+            out, num, den = _ewma_run(key[0], pdf, num, den, alpha, adjust)
+            self._carry.update((nan if num is None else num, den))
+            yield pd.DataFrame(out, columns=["key", "ts_us", "value", "ewma"])
+
+        def close(self) -> None:
+            pass
+
+    src = ticks.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=EWMA_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )
