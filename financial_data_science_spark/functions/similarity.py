@@ -463,8 +463,14 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     strategy: str = "lsh",
+    max_df: float | int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs: candidate generation + exact verify.
+
+    ``max_df`` (lsh strategy only) drops boilerplate stop shingles from
+    CANDIDATE GENERATION (see minhash_signatures) — verification still
+    scores the full shingle arrays, so reported jaccard stays exact; the
+    filter only prunes which pairs get considered.
 
     ``strategy='lsh'`` (default, scale path): MinHash-LSH candidates tuned
     for high recall at the threshold (r=2 rows/band, b=32 bands: collision
@@ -485,7 +491,8 @@ def jaccard_pairs(
         # ~10% slower warm (eager barrier + 30MB write/read beats three
         # codegen-fused recomputes).  Don't "deduplicate" this work.
         cand = band_candidates(
-            docs, id_col, text_col, shingle_k=k, num_hashes=64, bands=32
+            docs, id_col, text_col, shingle_k=k, num_hashes=64, bands=32,
+            max_df=max_df,
         )
         sh = (
             docs.select(F.col(id_col), word_shingles(text_col, k).alias("__sh__"))

@@ -3277,9 +3277,12 @@ def fama_macbeth_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            round(value - lag(value) OVER w, 6) AS d1,
-           round(ln(value) - ln(lag(value) OVER w), 6) AS dlog,
-           round((value / lag(value) OVER w - 1)
-                 - (lag(value) OVER w / lag(value, 2) OVER w - 1), 6) AS d2pct
+           round((CASE WHEN value > 0 THEN ln(value) END)
+                 - (CASE WHEN lag(value) OVER w > 0
+                    THEN ln(lag(value) OVER w) END), 6) AS dlog,
+           round((value / nullif(lag(value) OVER w, 0) - 1)
+                 - (lag(value) OVER w / nullif(lag(value, 2) OVER w, 0) - 1),
+                 6) AS d2pct
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -3780,8 +3783,12 @@ def vintage_latest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2),
     m AS (SELECT n_nationkey AS code, n_regionkey AS sector FROM nation)
+    -- 0dp: region-level sums reach ~1e9 at sf0.1, where double
+    -- accumulation-order noise (~1e-5 relative) crosses a 2dp rounding
+    -- boundary; whole-unit rounding keeps 13+ significant digits of
+    -- check while staying boundary-safe through ~1e12 sums
     SELECT mr.sector AS rowcode_group, mc.sector AS colcode_group,
-           round(sum(datavalue), 2) AS datavalue
+           round(sum(datavalue), 0) AS datavalue
     FROM rev JOIN m mr ON rev.rowcode = mr.code
              JOIN m mc ON rev.colcode = mc.code
     GROUP BY 1, 2
@@ -3818,7 +3825,7 @@ def io_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = regroup_codes(rev, mapping, ["rowcode", "colcode"])
     return out.select(
-        "rowcode_group", "colcode_group", _r("datavalue", 2).alias("datavalue")
+        "rowcode_group", "colcode_group", _r("datavalue", 0).alias("datavalue")
     )
 
 

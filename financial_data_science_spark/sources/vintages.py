@@ -69,14 +69,22 @@ def apply_tcode(
     keys: list[str] | str = "series_id",
     out: str = "value_t",
 ) -> DataFrame:
+    """Degenerate inputs yield NULL, not inf/error: pct-change over a zero
+    level uses try_divide (pandas emits inf there; under ANSI SQL the
+    plain division THROWS, and a single bad observation must not kill a
+    100 TB job), and log transforms guard v > 0 (pandas -inf at 0, domain
+    error below).  NULL is the SQL-portable encoding of 'transform
+    undefined here' — the DuckDB oracle replays the same guards."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     w = Window.partitionBy(*keys).orderBy(order)
     v = F.col(value_col)
     lag1 = F.lag(v).over(w)
     lag2 = F.lag(v, 2).over(w)
-    lg, lg1, lg2 = F.log(v), F.log(lag1), F.log(lag2)
+    lg = F.when(v > 0, F.log(v))
+    lg1 = F.when(lag1 > 0, F.log(lag1))
+    lg2 = F.when(lag2 > 0, F.log(lag2))
     if tcode == 7:
-        expr: Column = (v / lag1 - 1) - (lag1 / lag2 - 1)
+        expr: Column = (F.try_divide(v, lag1) - 1) - (F.try_divide(lag1, lag2) - 1)
     else:
         exprs = {
             1: v,
