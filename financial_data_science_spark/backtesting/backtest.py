@@ -64,7 +64,7 @@ def univariate_sorts(
     ws = Window.partitionBy("rebaldate", "side")
     return sided.withColumn(
         "weight",
-        F.col("side") * F.col(weight_col) / F.sum(weight_col).over(ws),
+        F.col("side") * F.try_divide(F.col(weight_col), F.sum(weight_col).over(ws)),
     ).select("rebaldate", "permno", "fractile", "side", "weight")
 
 
@@ -119,7 +119,9 @@ def bivariate_sorts(
         ),
     ).filter(F.col("fractile").isNotNull())
     wcell = Window.partitionBy("rebaldate", "subport")
-    j = j.withColumn("cellw", F.col(weight_col) / F.sum(weight_col).over(wcell))
+    j = j.withColumn(
+        "cellw", F.try_divide(F.col(weight_col), F.sum(weight_col).over(wcell))
+    )
     spread_side = F.when(F.col("fractile") == 1, 0.5).when(
         F.col("fractile") == 3, -0.5
     )
@@ -297,20 +299,27 @@ def performance_attribution(
             else []
         ),
     )
-    beta = F.col("cxy") / F.col("vx")
+    # try_divide throughout: zero-variance/zero-count degenerate splits
+    # yield NULL stats, not an ANSI DIVIDE_BY_ZERO job failure
+    beta = F.try_divide(F.col("cxy"), F.col("vx"))
     alpha = F.col("my") - beta * F.col("mx")
     resid_sd = F.sqrt(F.col("vy") * (1 - F.col("r") * F.col("r")))
     out = [
         F.col("n").cast("long").alias("n"),
         (F.lit(mult) * F.col("my")).alias("excess"),
-        (F.sqrt(F.lit(mult)) * F.col("my") / F.col("sy")).alias("sharpe"),
+        (F.sqrt(F.lit(mult)) * F.try_divide(F.col("my"), F.col("sy"))).alias(
+            "sharpe"
+        ),
         (F.lit(mult) * alpha).alias("alpha"),
         beta.alias("beta"),
-        (F.sqrt(F.lit(mult)) * alpha / resid_sd).alias("appraisal"),
+        (F.sqrt(F.lit(mult)) * F.try_divide(alpha, resid_sd)).alias("appraisal"),
     ]
     if split is not None:
-        se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
-        t = (F.col("m2") - F.col("m1")) / se
+        se = F.sqrt(
+            F.try_divide(F.col("v1"), F.col("n1"))
+            + F.try_divide(F.col("v2"), F.col("n2"))
+        )
+        t = F.try_divide(F.col("m2") - F.col("m1"), se)
         # two-sided p under the normal approximation: erfc(|t|/sqrt(2))
         p = 1.0 - _erf_approx(F.abs(t) / F.lit(math.sqrt(2.0)))
         out += [t.alias("welch_t"), p.alias("welch_p")]

@@ -224,9 +224,13 @@ def corrected_stats(
         .crossJoin(F.broadcast(nev))
         .select(
             F.col("__mw__").alias("window_mean"),
-            (F.col("__mw__") / (F.col("__sw__") / F.sqrt(eff))).alias("window_t"),
+            F.try_divide(
+                F.col("__mw__"), F.col("__sw__") / F.sqrt(eff)
+            ).alias("window_t"),
             F.col("__mp__").alias("post_mean"),
-            (F.col("__mp__") / (F.col("__sp__") / F.sqrt(eff))).alias("post_t"),
+            F.try_divide(
+                F.col("__mp__"), F.col("__sp__") / F.sqrt(eff)
+            ).alias("post_t"),
             F.lit(rho).alias("rho"),
             F.col("tau"),
             eff.alias("effective"),

@@ -23,7 +23,9 @@ def standardize_loadings(
     out = df
     for c in loading_cols:
         mu, sd = F.avg(c).over(w), F.stddev_samp(c).over(w)
-        out = out.withColumn(c, (F.col(c) - mu) / sd)
+        # try_divide: a constant cross-section (sd == 0) z-scores to
+        # NULL instead of raising under ANSI — degenerate dates drop out
+        out = out.withColumn(c, F.try_divide(F.col(c) - mu, sd))
     return out
 
 

@@ -25,9 +25,9 @@ def weighted_mean(x: str | Column, w: str | Column, alias: str = "wmean") -> Col
     """NaN-aware weighted mean: weights of null-x rows excluded (A5)."""
     xc = F.col(x) if isinstance(x, str) else x
     wc = F.col(w) if isinstance(w, str) else w
-    return (
-        F.sum(F.when(xc.isNotNull(), xc * wc))
-        / F.sum(F.when(xc.isNotNull(), wc))
+    return F.try_divide(
+        F.sum(F.when(xc.isNotNull(), xc * wc)),
+        F.sum(F.when(xc.isNotNull(), wc)),
     ).alias(alias)
 
 

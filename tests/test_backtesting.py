@@ -261,3 +261,36 @@ def test_performance_attribution_vs_numpy(spark):
     assert got["welch_t"] == pytest.approx(t)
     p_normal = math.erfc(abs(t) / math.sqrt(2))
     assert got["welch_p"] == pytest.approx(p_normal, abs=2e-7)  # A&S polynomial
+
+
+def test_degenerate_groups_yield_null_not_ansi_error(spark):
+    """ANSI robustness (the sf0.1 tcode lesson generalized): constant
+    cross-sections, zero weight sums, and zero-variance regressors must
+    produce NULL stats, never a DIVIDE_BY_ZERO job failure."""
+    import pandas as pd
+
+    from financial_data_science_spark.backtesting.riskpremium import (
+        standardize_loadings,
+    )
+    from financial_data_science_spark.functions.stats import weighted_mean
+
+    # constant loading on one date (sd == 0) + normal date
+    lo = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rebaldate": [1, 1, 1, 2, 2, 2],
+                "permno": [1, 2, 3, 1, 2, 3],
+                "beta": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+            }
+        )
+    )
+    z = standardize_loadings(lo, ["beta"], date_col="rebaldate").toPandas()
+    assert z[z.rebaldate == 1].beta.isna().all()
+    assert not z[z.rebaldate == 2].beta.isna().any()
+
+    # weights summing to zero within the group
+    wdf = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1], "x": [2.0, 4.0], "w": [1.0, -1.0]})
+    )
+    out = wdf.groupBy("g").agg(weighted_mean("x", "w")).toPandas()
+    assert out["wmean"].isna().all()
