@@ -75,7 +75,8 @@ def standardize(df: DataFrame, cols: list[str], keys: list[str] | str) -> DataFr
     for c in cols:
         mu = F.avg(F.col(c)).over(w)
         sd = F.stddev_samp(F.col(c)).over(w)
-        out = out.withColumn(c, (F.col(c) - mu) / sd)
+        # constant group (sd == 0) z-scores to NULL, not an ANSI error
+        out = out.withColumn(c, F.try_divide(F.col(c) - mu, sd))
     return out
 
 

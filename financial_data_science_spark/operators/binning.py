@@ -57,7 +57,7 @@ def trade_aggs(price: str = "price", volume: str = "volume") -> dict[str, Column
         "last_price": F.max_by(p, F.col("__ord__")),
         "max_price": F.max(p),
         "min_price": F.min(p),
-        "vwap": F.sum(p * v) / F.sum(v),
+        "vwap": F.try_divide(F.sum(p * v), F.sum(v)),  # zero-volume bin -> NULL
     }
 
 
@@ -131,7 +131,9 @@ def time_weighted_quote_aggs(
     spread = F.col(ask) - F.col(bid)
     mid = (F.col(ask) + F.col(bid)) / 2
     def wavg(x: Column) -> Column:
-        return F.sum(x * w) / F.sum(F.when(x.isNotNull(), w))
+        # try_divide: an all-zero-duration bin (every tick at the same
+        # timestamp) must yield NULL, not an ANSI DIVIDE_BY_ZERO
+        return F.try_divide(F.sum(x * w), F.sum(F.when(x.isNotNull(), w)))
     return {
         "n_quotes": F.count(F.lit(1)),
         "tw_spread": wavg(spread),
