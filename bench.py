@@ -67,6 +67,9 @@ EXTENDED_QUERIES = [
     "embedding_near_dups",
     "embedding_near_dups_production",
     "corpus_curation_pipeline",
+    "doc_chunking",
+    "mixture_sample_sources",
+    "minhash_lsh_stopshingle",
 ]
 
 
