@@ -205,14 +205,17 @@ def main() -> None:
 
     load0, steal0, wall0 = _loadavg(), _read_steal_jiffies(), time.time()
 
-    def run(name: str) -> tuple[float, list[float], int]:
+    def run(name: str, n_runs: int = 3) -> tuple[float, list[float], int]:
         fn = EXTRA.get(name) or Q[name]
-        # min of 3 runs: this host shows heavy CPU-steal variance (2x
-        # swings between back-to-back runs measured); the min reflects
-        # steady-state plan cost rather than hypervisor noise — all raw
-        # runs are reported so the two are separable
+        # min of N runs: this host shows heavy CPU-steal variance (2x
+        # swings between back-to-back runs measured, and sustained
+        # multi-minute interference windows that can inflate all of a
+        # query's runs at once); the min reflects steady-state plan cost
+        # rather than hypervisor noise — all raw runs are reported so
+        # the two are separable.  Headline queries use 4 runs (r5+; the
+        # raw lists make the estimator change visible), labeled blocks 3.
         runs, n = [], 0
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -222,7 +225,7 @@ def main() -> None:
     times: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        times[name], raw_runs[name], n = run(name)
+        times[name], raw_runs[name], n = run(name, n_runs=4)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
 
     oracle_times: dict[str, float] = {}

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter pushdown: a selective build side injects a
+        # bloom filter into the probe side's scan, pruning shuffle input
+        # before the join — at 100 TB this is the difference between
+        # shuffling the whole fact table and shuffling the matching slice
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long ns
