@@ -167,3 +167,124 @@ def make_media_table(docs: DataFrame, id_col: str = "doc_id",
             F.encode(F.col(text_col), "UTF-8").alias("payload"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode_stub: bool | None = True,
+    fmt: str = "png",
+) -> DataFrame:
+    """Resize via ``mapInPandas`` — the normalize-resolution step of an
+    image-training pipeline.  Real path (``decode_stub=False``): Pillow
+    decode -> LANCZOS resize -> re-encode, imported at call time
+    (capability-gated like extract_image_features).  Fake path: output
+    payload = sha256(payload || 'WxH'), a deterministic 32-byte stand-in
+    the SQL oracle recomputes byte-for-byte (sha2 in Spark, sha256 in
+    DuckDB), so the Arrow plumbing and schema are gate-checked even
+    where no codec exists.  ``None`` auto-detects on the driver."""
+    if decode_stub is None:
+        decode_stub = not _pillow_available()
+    tag = f"{width}x{height}".encode()
+
+    def fake(payload: bytes) -> bytes:
+        return hashlib.sha256(bytes(payload) + tag).digest()
+
+    def real(payload: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = im.resize((width, height), Image.Resampling.LANCZOS)
+            buf = io.BytesIO()
+            out.save(buf, format=fmt.upper())
+            return buf.getvalue()
+
+    resize = fake if decode_stub else real
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [resize(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "format": pdf["format"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(op, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = 256,
+    stride: int = 4,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling for opaque video-ish payloads: emit every
+    ``stride``-th ``frame_size``-byte chunk, up to ``max_frames`` per
+    payload — the 1->N row fan-out shape of real video frame extraction
+    (one input row becomes a bounded set of frame rows inside the same
+    Arrow batch; downstream per-frame operators parallelize over rows).
+
+    A real container demuxer (PyAV) is absent in this environment, so the
+    chunk slicer IS the deterministic decode here — but byte slicing is
+    also exactly what the SQL oracle can replay (substring on the blob),
+    which makes the fan-out plumbing gate-checkable.  Swap ``_slice`` for
+    a demuxer without touching schema or partitioning."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_chunks = (len(p) + frame_size - 1) // frame_size
+                i = 0
+                while i * stride < n_chunks and i < max_frames:
+                    off = i * stride * frame_size
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    frames.append(p[off : off + frame_size])
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "byte_offset": pd.array(offs, dtype="int64"),
+                    "frame": frames,
+                    "n_bytes": pd.array(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, FRAME_SCHEMA)

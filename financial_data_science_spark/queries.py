@@ -1243,6 +1243,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(make_media_table(docs))
 
 
+@query(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             upper(hex(substr(text, 1, 4))) AS magic
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN magic LIKE 'FFD8%' THEN 'jpeg'
+                WHEN magic = '89504E47' THEN 'png'
+                WHEN magic LIKE '52494646%' THEN 'riff'
+                ELSE 'unknown' END AS format,
+           64 AS width, 48 AS height,
+           lower(sha256(text || '64x48')) AS payload_hex,
+           CAST(32 AS BIGINT) AS n_bytes
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing via mapInPandas (multimodal.resize_images): the
+    fake path's output payload is sha256(payload || 'WxH'), which the
+    oracle recomputes byte-for-byte (VARCHAR sha256 == UTF-8 bytes on
+    this fixture); the real Pillow path shares schema and partitioning
+    behind the same capability gate as extract_image_features."""
+    from financial_data_science_spark.functions.multimodal import (
+        make_media_table,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(make_media_table(docs), 64, 48, decode_stub=True)
+    return out.select(
+        "media_id", "format", "width", "height",
+        F.lower(F.hex("payload")).alias("payload_hex"), "n_bytes",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             strlen(text)::BIGINT AS len,
+             CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks
+      FROM documents),
+    ex AS (
+      SELECT media_id, text, len,
+             unnest(range(0, least(CAST(ceil(n_chunks / 4.0) AS BIGINT), 8)))
+               AS frame_idx
+      FROM m)
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           frame_idx * 1024 AS byte_offset,
+           substr(text, frame_idx * 1024 + 1, 256) AS frame_text,
+           least(CAST(256 AS BIGINT), len - frame_idx * 1024) AS n_bytes
+    FROM ex
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (multimodal.sample_frames): every 4th
+    256-byte chunk, max 8 frames per payload — one input row becomes a
+    bounded set of frame rows inside the Arrow batch (the physical shape
+    of real video frame extraction; the demuxer is the env-blocked part,
+    the byte slicer is what SQL can replay — text is ASCII here so char
+    substring == byte slice)."""
+    from financial_data_science_spark.functions.multimodal import (
+        make_media_table,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_frames(make_media_table(docs), frame_size=256, stride=4,
+                        max_frames=8)
+    return out.select(
+        "media_id", "frame_idx", "byte_offset",
+        F.col("frame").cast("string").alias("frame_text"), "n_bytes",
+    )
+
+
 # =====================================================================
 # Graph analytics over the supply network (graph.py re-expression)
 # =====================================================================

@@ -117,3 +117,55 @@ def test_decode_real_pillow_parity():
     assert (feats["width"], feats["height"]) == (16, 8)
     assert abs(feats["mean_luma"] - 0.5) < 0.01
     assert feats == _decode_image_real(buf.getvalue())  # deterministic
+
+
+def test_sample_frames_fanout_and_boundaries(spark):
+    """Multi-frame fan-out: a 5000-byte payload at frame_size=256,
+    stride=4, max_frames=8 has 20 chunks -> 5 emitted frames; offsets,
+    contents, and the short-final-frame length must match byte slicing;
+    a payload smaller than one frame yields exactly one frame; an empty
+    payload yields none."""
+    import pandas as pd
+
+    from financial_data_science_spark.functions.multimodal import sample_frames
+
+    big = bytes(range(256)) * 19 + b"xyz" * 112  # 5200 bytes
+    rows = [(1, big), (2, b"tiny"), (3, b"")]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"])
+    )
+    out = (
+        sample_frames(media, frame_size=256, stride=4, max_frames=8)
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    f1 = out[out.media_id == 1]
+    assert f1.frame_idx.tolist() == [0, 1, 2, 3, 4, 5]  # ceil(21/4)=6
+    for r in f1.itertuples():
+        assert bytes(r.frame) == big[r.byte_offset : r.byte_offset + 256]
+        assert r.n_bytes == len(bytes(r.frame))
+    assert out[out.media_id == 2].frame_idx.tolist() == [0]
+    assert bytes(out[out.media_id == 2].frame.iloc[0]) == b"tiny"
+    assert len(out[out.media_id == 3]) == 0
+
+
+def test_resize_fake_path_matches_hashlib(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from financial_data_science_spark.functions.multimodal import (
+        attach_payload_metadata,
+        resize_images,
+    )
+
+    rows = [(1, b"payload-one"), (2, b"\x89PNG\r\n\x1a\nstuff")]
+    media = attach_payload_metadata(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "payload"]))
+    )
+    out = resize_images(media, 32, 32, decode_stub=True).toPandas()
+    for mid, payload in rows:
+        got = bytes(out[out.media_id == mid].payload.iloc[0])
+        assert got == hashlib.sha256(payload + b"32x32").digest()
+    assert out[out.media_id == 2].format.iloc[0] == "png"
+    assert (out.n_bytes == 32).all()
