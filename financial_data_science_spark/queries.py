@@ -5400,7 +5400,6 @@ _GATE_ORDER = [
     "portfolio_monthly_returns",
     # §2.4 aggregations
     "q1_pricing_summary",
-    "fractile_deciles",
     "outlier_fences_tukey",
     "rolling_beta_12m",
     "car_by_relative_day",
@@ -5415,7 +5414,6 @@ _GATE_ORDER = [
     "q3_top_revenue_orders",
     "lapsed_supplier_parts",
     # §2.8 scalar functions
-    "next_trading_day",
     "ohlc_volatility",
     # §2.9 streaming expression graphs (batch-run twins) + the custom
     # stateful operator (applyInPandasWithState EWMA recursion)
@@ -5432,11 +5430,17 @@ _GATE_ORDER = [
     "corpus_curation_pipeline",
     "dedup_canonical_keep",
     "document_filter_gate",
-    "near_dup_clusters",
     "cosine_ann_bucketed",
     "tfidf_top_terms",
     "pii_pattern_census",
     "repetition_quality",
+    # round-5-new operators rotated in for driver rows; the three proven
+    # anchors rotated out (fractile_deciles, next_trading_day,
+    # near_dup_clusters) keep four recorded driver-green rounds and their
+    # §2 families stay covered by other prefix rows
+    "minhash_lsh_stopshingle",
+    "doc_chunking",
+    "mixture_sample_sources",
 ]
 
 

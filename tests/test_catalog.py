@@ -34,6 +34,9 @@ def test_gate_prefix_is_pinned():
         "stream_session_windows", "supply_betweenness_sampled",
     }
     assert required <= set(_GATE_ORDER)
+    # round-5-new operators must hold the rotated-in slots
+    assert {"minhash_lsh_stopshingle", "doc_chunking",
+            "mixture_sample_sources"} <= set(_GATE_ORDER)
     # every rotated-out query still has four recorded driver-green rounds
     with open(R3) as f:
         r3 = set(json.load(f))
