@@ -5363,6 +5363,85 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["mixture_sample_sources"] = _mixture_oracle_sql()
 
 
+@query(
+    "pad_sequences_batch",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 7 AS batch,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w != '')[1:30],
+               w -> strlen(w)::BIGINT) AS ids
+      FROM documents),
+    m AS (SELECT *, max(len(ids)) OVER (PARTITION BY batch) AS mx FROM t)
+    SELECT doc_id, batch, CAST(mx AS INT) AS padded_len,
+           array_to_string(
+             list_concat(ids, list_transform(range(mx - len(ids)), x -> 0)),
+             ',') AS padded_csv
+    FROM m
+    """,
+)
+def pad_sequences_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learn.py form_input intent (the reference body is inverted — see
+    pad_sequences docstring): token-id arrays padded to each batch's max
+    length; ids here are token lengths so the oracle can re-derive them,
+    serialized to CSV for a robust cross-engine compare."""
+    from financial_data_science_spark.functions.learn import pad_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = F.transform(
+        F.slice(TXT.tokens(F.col("text")), 1, 30),
+        lambda t: F.length(t).cast("long"),
+    )
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % 7).alias("batch"), ids.alias("ids")
+    )
+    out = pad_sequences(d, "ids", batch_col="batch")
+    return out.select(
+        "doc_id",
+        "batch",
+        F.size("padded").alias("padded_len"),
+        F.array_join(
+            F.transform(F.col("padded"), lambda x: x.cast("string")), ","
+        ).alias("padded_csv"),
+    )
+
+
+def _batch_assign_oracle_sql() -> str:
+    from financial_data_science_spark.functions.porthash import sql_keyhash
+
+    h = sql_keyhash("doc_id")
+    return f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (ORDER BY {h}, doc_id) AS rn
+      FROM documents)
+    SELECT CAST((rn - 1) // 64 AS BIGINT) AS batch,
+           count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM r GROUP BY 1
+    """
+
+
+@query("batch_assign_epochs", None)
+def batch_assign_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learn.py form_batches without RNG state: rows ordered by the
+    portable keyhash (a reproducible shuffle; salt = epoch) and chunked
+    into batches of 64 via the distributed two-phase rank — the oracle
+    replays the same hash order with a plain row_number."""
+    from financial_data_science_spark.functions.learn import batch_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = batch_assign(docs, "doc_id", batch_size=64)
+    return out.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+ORACLE["batch_assign_epochs"] = _batch_assign_oracle_sql()
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew past 100; 124 as of round 5).  Rounds 1-4 pinned the round-3 set,

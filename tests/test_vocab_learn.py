@@ -85,3 +85,40 @@ def test_lang_classifier_learns_marker_words(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     model, acc = fit_and_score(docs)
     assert acc > 0.9, acc
+
+
+def test_pad_sequences_rectangular_within_batch(spark):
+    import pandas as pd
+
+    from financial_data_science_spark.functions.learn import pad_sequences
+
+    rows = [
+        (1, "a", [1, 2, 3]),
+        (2, "a", [9]),
+        (3, "a", []),
+        (4, "b", [5, 6]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "batch", "ids"])
+    )
+    out = pad_sequences(df, "ids", batch_col="batch", pad=0).toPandas()
+    got = {r.id: list(r.padded) for r in out.itertuples()}
+    assert got == {1: [1, 2, 3], 2: [9, 0, 0], 3: [0, 0, 0], 4: [5, 6]}
+
+
+def test_batch_assign_partitions_and_epochs(spark):
+    import pandas as pd
+
+    from financial_data_science_spark.functions.learn import batch_assign
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300)})
+    )
+    a = batch_assign(df, "doc_id", batch_size=64).toPandas()
+    sizes = a.groupby("batch").size()
+    assert sizes.iloc[:-1].eq(64).all() and sizes.iloc[-1] == 300 % 64
+    # deterministic rerun; different salt = different permutation
+    b = batch_assign(df, "doc_id", batch_size=64).toPandas()
+    assert a.sort_values("doc_id").batch.tolist() == b.sort_values("doc_id").batch.tolist()
+    c = batch_assign(df, "doc_id", batch_size=64, salt=1).toPandas()
+    assert a.sort_values("doc_id").batch.tolist() != c.sort_values("doc_id").batch.tolist()
