@@ -70,6 +70,7 @@ EXTENDED_QUERIES = [
     "doc_chunking",
     "mixture_sample_sources",
     "minhash_lsh_stopshingle",
+    "corpus_curation_pipeline_v2",
 ]
 
 

@@ -4654,6 +4654,107 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["corpus_curation_pipeline"] = _curation_oracle_sql()
 
 
+def _curation_v2_oracle_sql() -> str:
+    from financial_data_science_spark.functions.porthash import MOD, sql_keyhash
+
+    h = sql_keyhash("doc_id")
+    b = f"CAST(floor((({h}) * 10000) / {MOD}.0) AS BIGINT)"
+    return f"""
+    WITH mixed AS (
+      SELECT doc_id, text FROM documents
+      WHERE {b} < (CASE source
+                   WHEN 'src0' THEN 10000 WHEN 'src1' THEN 10000
+                   WHEN 'src2' THEN 10000 WHEN 'src3' THEN 10000
+                   WHEN 'src4' THEN 7500  WHEN 'src5' THEN 7500
+                   WHEN 'src6' THEN 5000  WHEN 'src7' THEN 2500
+                   ELSE 0 END)),
+    toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w != '') AS w
+      FROM mixed),
+    feat AS (
+      SELECT doc_id, text, len(w) AS n_tokens,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - len(list_distinct(w)) / len(w)::DOUBLE
+                  ELSE 0.0 END AS dup_word_frac,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / len(text)
+                  ELSE 0.0 END AS alpha_frac
+      FROM toks),
+    keep AS (
+      SELECT doc_id, text, n_tokens FROM feat
+      WHERE NOT (n_tokens < 5) AND NOT (dup_word_frac > 0.6)
+        AND NOT (alpha_frac < 0.5)),
+    ded AS (
+      SELECT min(doc_id) AS doc_id, min(n_tokens) AS n FROM keep
+      GROUP BY text),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(CAST(ceil((n - 64) / 56.0) AS BIGINT),
+                                      0) + 1)) AS chunk_id,
+             n
+      FROM ded),
+    ct AS (
+      SELECT doc_id, chunk_id,
+             least(CAST(64 AS BIGINT), n - chunk_id * 56) AS n_tokens
+      FROM ch),
+    cum AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id, chunk_id) AS c
+      FROM ct),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((c - n_tokens) / 1000.0) AS BIGINT) AS shard
+      FROM cum)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard
+    """
+
+
+@query("corpus_curation_pipeline_v2", None)
+def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern curation flow as one fused DAG: per-source
+    training-mix sampling (mixture_sample) -> quality gate -> exact dedup
+    (min-id canonical) -> context-window chunking (64 tokens, overlap 8)
+    -> token-budget shard packing of the CHUNKS (distributed prefix sum
+    over (doc, chunk) order) -> per-shard stats.  v1 proves gate/dedup/
+    split/pack compose; v2 adds the round-5 mixture and chunking stages
+    in the positions a real pretraining pipeline runs them."""
+    from financial_data_science_spark.functions.pipeline import (
+        chunk_documents,
+        mixture_sample,
+        pack_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mixture_sample(
+        docs, "source",
+        {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 1.0,
+         "src4": 0.75, "src5": 0.75, "src6": 0.5, "src7": 0.25},
+    )
+    keep = mixed.filter(
+        TXT.quality_verdict(F.col("text")) == "keep"
+    ).select("doc_id", "text")
+    ded = keep.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    ch = chunk_documents(
+        ded.select("doc_id", "text"), max_tokens=64, overlap=8
+    ).select("doc_id", "chunk_id", "n_tokens")
+    packed = pack_token_budget(
+        ch, ["doc_id", "chunk_id"], "n_tokens", budget=1000
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE["corpus_curation_pipeline_v2"] = _curation_v2_oracle_sql()
+
+
 @query(
     "stream_dedup_distinct_keys",
     """
