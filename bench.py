@@ -71,6 +71,7 @@ EXTENDED_QUERIES = [
     "mixture_sample_sources",
     "minhash_lsh_stopshingle",
     "corpus_curation_pipeline_v2",
+    "ann_pq_topk",
 ]
 
 

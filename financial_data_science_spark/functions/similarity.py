@@ -670,25 +670,55 @@ def _centroid_literal(cent_rows: list) -> Column:
     return F.expr("array(" + ",".join(parts) + ")")
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array<numeric> columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
 def _assign_clusters(
-    df: DataFrame, vec_col: str, cent_rows: list, round_dp: int = 6
+    df: DataFrame,
+    vec_col: str,
+    cent_rows: list,
+    round_dp: int = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Map-side cosine argmax against the centroid literal: one projection,
-    zero Exchange — replaces the crossJoin + per-id ``row_number`` argmax
-    (a |C| x nlist-row shuffle per sweep).  Scores are rounded to
-    ``round_dp`` before the max and ties break to the lowest cluster id
-    (struct-max on ``(s, -cluster)``), identical to the window ordering it
-    replaces.  The row norm is folded once per row and the centroid norm
-    is a driver-side literal — FP-identical to ``cosine`` (same left fold,
-    same ``dot / (nv * nc)`` grouping), so the DuckDB oracle replay is
-    unchanged while the per-centroid work drops to one dot product."""
+    """Map-side nearest-centroid argmax against the centroid literal: one
+    projection, zero Exchange — replaces the crossJoin + per-id
+    ``row_number`` argmax (a |C| x nlist-row shuffle per sweep).  Scores
+    are rounded to ``round_dp`` before the max and ties break to the
+    lowest cluster id (struct-max on ``(s, -cluster)``), identical to the
+    window ordering it replaces.  ``metric='cosine'`` scores
+    ``dot/(|v||c|)`` with the centroid norm inlined as a literal (one dot
+    product per centroid, FP-identical to ``cosine``); ``metric='l2'``
+    scores ``-sqdist`` — the PQ/faiss convention — so the same
+    round-then-argmax discipline serves both quantizers and the DuckDB
+    oracle replays either."""
     v = F.col(vec_col)
-    nv = norm(v)
+    if metric == "cosine":
+        nv = norm(v)
+
+        def score(c):
+            return F.round(dot(v, c["cv"]) / (nv * c["cnorm"]), round_dp)
+    elif metric == "l2":
+
+        def score(c):
+            return -F.round(sqdist(v, c["cv"]), round_dp)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     best = F.array_max(
         F.transform(
             _centroid_literal(cent_rows),
             lambda c: F.struct(
-                F.round(dot(v, c["cv"]) / (nv * c["cnorm"]), round_dp).alias("s"),
+                score(c).alias("s"),
                 (-c["cluster"]).alias("negc"),
                 c["cluster"].alias("cluster"),
             ),
@@ -705,6 +735,7 @@ def _ivf_train_rows(
     iters: int = 3,
     round_dp: int = 6,
     train_mod: int = 1,
+    metric: str = "cosine",
 ) -> list:
     """Lloyd training loop returning the centroids as collected rows
     ``[(cluster, cv), ...]`` — the form the map-side assignment literal
@@ -735,7 +766,9 @@ def _ivf_train_rows(
     )
     cent_rows = sorted((r["cluster"], list(r["cv"])) for r in init.collect())
     for _ in range(iters):
-        asg = _assign_clusters(train.select(vec_col), vec_col, cent_rows, round_dp)
+        asg = _assign_clusters(
+            train.select(vec_col), vec_col, cent_rows, round_dp, metric
+        )
         cells = (
             asg.select("cluster", F.posexplode(v).alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -862,5 +895,153 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+# ---------------------------------------------------------------- PQ
+
+def _vec_array_literal(cent_rows: list) -> Column:
+    """array<array<double>> literal of centroid vectors POSITIONED by
+    cluster id (1-based — ``element_at(lit, code)`` fetches a code's
+    centroid).  Lloyd sweeps can empty a cluster, leaving id gaps; gap
+    positions hold empty arrays so surviving ids still land at their own
+    index (codes only ever reference surviving clusters, so a gap slot
+    is never read).  Same single-``F.expr`` construction as
+    _centroid_literal."""
+
+    def d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    by_id = {int(c): cv for c, cv in cent_rows}
+    parts = [
+        "array(" + ",".join(d(x) for x in by_id[c]) + ")"
+        if c in by_id
+        else "CAST(array() AS ARRAY<DOUBLE>)"
+        for c in range(1, max(by_id) + 1)
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    train_mod: int = 1,
+) -> list[list]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces of dim/m and each subspace gets its own
+    deterministic L2 Lloyd codebook of ``k`` centroids (faiss IndexPQ
+    training, minus the RNG: init = k lowest-id training subvectors,
+    fixed sweeps, round-before-argmax — the same determinism discipline
+    as the IVF coarse quantizer, so a SQL oracle replays training
+    bit-for-bit).
+
+    Returns ``[codebook_0, ..., codebook_{m-1}]``, each a list of
+    (cluster, centroid) rows.  Memory math at 100 TB: a 64-dim float64
+    vector is 512 bytes; its PQ code is m bytes (k<=256) — a 128x
+    compression that lets the scored corpus live in RAM/cache while the
+    full vectors stay in cold storage."""
+    if dim % m:
+        raise ValueError("dim must divide into m equal subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv__"),
+        )
+        books.append(
+            _ivf_train_rows(
+                sliced, id_col, "__sv__", nlist=k, iters=iters,
+                train_mod=train_mod, metric="l2",
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """Encode every vector as its array of per-subspace nearest-centroid
+    ids — ``m`` map-side L2 argmaxes in ONE projection, zero Exchange
+    (the plan shape test_plans asserts for IVF assignment).  The codes
+    column is the compressed corpus representation ADC scoring reads."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cols = []
+    for j, book in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        best = F.array_max(
+            F.transform(
+                _centroid_literal(book),
+                lambda c: F.struct(
+                    (-F.round(sqdist(sv, c["cv"]), 6)).alias("s"),
+                    (-c["cluster"]).alias("negc"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        cols.append(best["cluster"])
+    return corpus.select(id_col, F.array(*cols).alias(out))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    topk: int = 5,
+    iters: int = 2,
+    train_mod: int = 1,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """PQ approximate nearest neighbors via asymmetric distance
+    computation (ADC): approx_d2(q, x) = sum_j ||q_j - centroid_j[code_j(x)]||^2.
+
+    Physical shape: train m codebooks (driver loop over m tiny Lloyd
+    runs), encode the corpus map-side, broadcast the queries, and score
+    each (query, code) pair with m subvector-to-centroid lookups against
+    the inlined codebook literals — no Exchange before the final top-k
+    window, and the scored corpus side carries only m small ints per
+    row, not the full vector (the PQ memory win).  Ranking is ascending
+    approximate L2, ties to the lowest neighbor id, distances rounded to
+    the 6dp grid before ranking (round-before-argmax discipline)."""
+    books = pq_train(corpus, id_col, vec_col, dim, m, k, iters, train_mod)
+    sub = dim // m
+    coded = pq_encode(corpus, books, id_col, vec_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
+        )
+    )
+    dist = None
+    for j, book in enumerate(books):
+        qs = F.slice(F.col("__qv__"), j * sub + 1, sub)
+        cent = F.element_at(_vec_array_literal(book), F.col("codes")[j])
+        term = sqdist(qs, cent)
+        dist = term if dist is None else dist + term
+    scored = coded.join(q, F.col(query_id) != F.col(id_col)).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(dist, 6).alias("approx_d2"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
         .drop("rank")
     )

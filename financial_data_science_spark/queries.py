@@ -5543,6 +5543,115 @@ def batch_assign_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["batch_assign_epochs"] = _batch_assign_oracle_sql()
 
 
+def _pq_oracle_sql(
+    dim: int = 64,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    train_mod: int = 4,
+    topk: int = 3,
+    nq: int = 10,
+) -> str:
+    """DuckDB replay of the ENTIRE deterministic PQ pipeline: per-subspace
+    L2 Lloyd training (init = k lowest-id TRAINING subvectors, rounded;
+    round-before-argmin assignment; rounded coordinate means), full-corpus
+    encoding, and ADC top-k.  Same structure as _ivf_oracle_sql with the
+    cosine score swapped for squared L2."""
+    sub = dim // m
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    et AS MATERIALIZED (SELECT * FROM e WHERE vec_id % {tm} = 0)""".format(
+            tm=train_mod
+        )
+    ]
+
+    def sqd(sv: str, cv: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> ({sv}[i] - {cv}[i]) * ({sv}[i] - {cv}[i]))), 6)"
+        )
+
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f""",
+    s{j} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS sv FROM et),
+    c{j}_0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+             list_transform(sv, x -> round(x, 6)) AS cv
+      FROM (SELECT vec_id, sv FROM s{j} ORDER BY vec_id LIMIT {k}))""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+    a{j}_{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT s.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {sqd('s.sv', 'c.cv')} ASC, c.cluster) AS rn
+        FROM s{j} s, c{j}_{t - 1} c) WHERE rn = 1),
+    c{j}_{t} AS MATERIALIZED (
+      SELECT cluster, list(av ORDER BY i) AS cv FROM (
+        SELECT a.cluster, i, round(avg(s.sv[i]), 6) AS av
+        FROM a{j}_{t} a JOIN s{j} s ON s.vec_id = a.vec_id,
+             range(1, {sub + 1}) t(i)
+        GROUP BY a.cluster, i) GROUP BY cluster)""")
+        # full-corpus encode for subspace j
+        parts.append(f""",
+    code{j} AS MATERIALIZED (
+      SELECT vec_id, cluster AS code FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sqd(f'e.v[{lo}:{hi}]', 'c.cv')} ASC, c.cluster)
+                 AS rn
+        FROM e, c{j}_{iters} c) WHERE rn = 1)""")
+    adc_terms = " + ".join(
+        "list_sum(list_transform(range(1, {s}), i -> "
+        "(q.v[{lo} + i - 1] - c{j}.cv[i]) * (q.v[{lo} + i - 1] - c{j}.cv[i])))".format(
+            s=sub + 1, lo=j * sub + 1, j=j
+        )
+        for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN code{j} ON code{j}.vec_id = x.vec_id "
+        f"JOIN c{j}_{iters} c{j} ON c{j}.cluster = code{j}.code"
+        for j in range(m)
+    )
+    parts.append(f"""
+    SELECT query_id, neighbor_id, round(approx_d2, 4) AS approx_d2 FROM (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round({adc_terms}, 6) AS approx_d2,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round({adc_terms}, 6) ASC, x.vec_id) AS rn
+      FROM (SELECT * FROM e WHERE vec_id < {nq}) q, e x {code_joins}
+      WHERE x.vec_id != q.vec_id) WHERE rn <= {topk}
+    """)
+    return "".join(parts)
+
+
+@query("ann_pq_topk", None)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (faiss IndexPQ shape): per-subspace L2
+    codebooks trained on the deterministic 1-in-4 sample, corpus encoded
+    to m small ints per vector (the 100 TB memory win: a 512-byte
+    float64 vector becomes m bytes), queries scored by ADC against the
+    inlined codebook literals — no Exchange before the final top-k
+    window.  Recall on near-random corpora is quantization-bound (same
+    as faiss on random data; the clustered-data test shows the recall
+    the structure supports); the oracle replays training, encoding, and
+    ADC bit-for-bit, so the gate checks the approximation itself."""
+    from financial_data_science_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, m=2, k=8, topk=3,
+        iters=2, train_mod=4,
+    )
+    return out.select("query_id", "neighbor_id", _r("approx_d2", 4).alias("approx_d2"))
+
+
+ORACLE["ann_pq_topk"] = _pq_oracle_sql()
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew past 100; 124 as of round 5).  Rounds 1-4 pinned the round-3 set,

@@ -215,3 +215,58 @@ def test_stop_shingle_filter_kills_boilerplate_buckets(spark):
         docs, num_hashes=64, bands=32, max_df=21
     ).toPandas()
     assert len(clean_abs) == len(clean)
+
+
+def test_pq_clustered_data_recall_and_numpy_replay(spark):
+    """PQ on data with real cluster structure: vectors drawn around 4
+    well-separated centers must retrieve same-cluster neighbors (recall
+    is quantization-bound on random data, but structure this strong must
+    survive m=4/k=8 codes); ADC distances must equal the numpy replay of
+    the same codebooks+codes exactly (after the 6dp grid)."""
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(4, 64)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(size=64) * 0.3).tolist()))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    out = S.pq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, m=4, k=8, topk=5,
+        iters=2,
+    ).toPandas()
+    # every retrieved neighbor of query q must be in q's cluster
+    same = (out.neighbor_id % 4 == out.query_id % 4).mean()
+    assert same >= 0.95, same
+
+    # ADC replay: recompute approx_d2 from the trained codebooks + codes
+    books = S.pq_train(emb, dim=64, m=4, k=8, iters=2)
+    codes = {
+        r["vec_id"]: list(r["codes"]) for r in S.pq_encode(emb, books).collect()
+    }
+    E = {i: np.array(v) for i, v in rows}
+    B = [dict(b) for b in books]
+    for r in out.head(20).itertuples():
+        d2 = sum(
+            float(
+                np.sum(
+                    (E[r.query_id][j * 16 : (j + 1) * 16]
+                     - np.array(B[j][codes[r.neighbor_id][j]])) ** 2
+                )
+            )
+            for j in range(4)
+        )
+        assert abs(r.approx_d2 - round(d2, 6)) < 1e-9, (r, d2)
+
+
+def test_pq_vec_literal_survives_empty_clusters(spark):
+    """_vec_array_literal positions centroids at their cluster id even
+    when Lloyd empties a cluster (gap slots hold empty arrays that codes
+    can never reference)."""
+    lit = S._vec_array_literal([(1, [1.0, 2.0]), (3, [5.0, 6.0])])
+    got = spark.range(1).select(lit.alias("a")).first()["a"]
+    assert got == [[1.0, 2.0], [], [5.0, 6.0]]
+    assert spark.range(1).select(
+        F.element_at(lit, 3).alias("c")
+    ).first()["c"] == [5.0, 6.0]
