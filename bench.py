@@ -72,6 +72,7 @@ EXTENDED_QUERIES = [
     "minhash_lsh_stopshingle",
     "corpus_curation_pipeline_v2",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

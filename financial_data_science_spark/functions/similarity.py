@@ -1045,3 +1045,93 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .drop("rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    topk: int = 5,
+    iters: int = 2,
+    train_mod: int = 1,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF+PQ — the production large-scale ANN index shape (faiss IVFPQ
+    with ``by_residual=False``): the cosine coarse quantizer restricts
+    each query to ``nprobe`` inverted lists, and scoring inside the
+    probed lists runs ADC over m-byte PQ codes instead of full vectors.
+
+    Cost model at 100 TB: candidates = |C| * nprobe/nlist, each scored
+    with m table lookups over data that is 100x+ smaller at rest than
+    the raw vectors — the coarse step bounds WORK, the PQ step bounds
+    MEMORY.  Physical shape: both quantizers train via the shared
+    deterministic Lloyd machinery; binning and encoding are one
+    shuffle-free projection; probes are broadcast so the list-restricted
+    join is map-side; no Exchange before the final top-k window.  All
+    three stages replay in the SQL oracle."""
+    coarse = _ivf_train_rows(
+        corpus, id_col, vec_col, nlist=nlist, iters=iters,
+        train_mod=train_mod, metric="cosine",
+    )
+    books = pq_train(corpus, id_col, vec_col, dim, m, k, iters, train_mod)
+    sub = dim // m
+    binned = _assign_clusters(
+        corpus.select(id_col, vec_col), vec_col, coarse, 6, "cosine"
+    )
+    coded = pq_encode(binned, books, id_col, vec_col).join(
+        binned.select(id_col, "cluster"), id_col
+    )
+    # top-nprobe coarse clusters per query, map-side (ivf_topk's probe)
+    qv = F.col("__qv__")
+    probe_arr = F.transform(
+        _centroid_literal(coarse),
+        lambda c: F.struct(
+            (-F.round(dot(qv, c["cv"]) / (norm(qv) * c["cnorm"]), 6)).alias(
+                "negs"
+            ),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    probes = (
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_arr), 1, nprobe),
+                    lambda s: s["cluster"],
+                )
+            ),
+        )
+        .select(query_id, "__qv__", "cluster")
+    )
+    dist = None
+    for j, book in enumerate(books):
+        qs = F.slice(F.col("__qv__"), j * sub + 1, sub)
+        cent = F.element_at(_vec_array_literal(book), F.col("codes")[j])
+        term = sqdist(qs, cent)
+        dist = term if dist is None else dist + term
+    scored = (
+        F.broadcast(probes)
+        .join(coded, "cluster")
+        .filter(F.col(query_id) != F.col(id_col))
+        .select(
+            query_id,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .drop("rank")
+    )

@@ -270,3 +270,33 @@ def test_pq_vec_literal_survives_empty_clusters(spark):
     assert spark.range(1).select(
         F.element_at(lit, 3).alias("c")
     ).first()["c"] == [5.0, 6.0]
+
+
+def test_ivfpq_composition_on_clustered_data(spark):
+    """IVFPQ on structured data: retrieved neighbors are same-cluster,
+    and every neighbor lies in one of the query's probed coarse lists
+    (the composition's defining property: candidates come ONLY from
+    probed lists, scored by ADC)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 64)) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.normal(size=64) * 0.3).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    out = S.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, nlist=4, nprobe=1,
+        m=4, k=8, topk=5, iters=2,
+    ).toPandas()
+    assert (out.neighbor_id % 4 == out.query_id % 4).mean() >= 0.95
+    # probed-list restriction: recompute the binning with the same
+    # deterministic quantizer and check neighbors share the query's bin
+    cent = S._ivf_train_rows(emb, nlist=4, iters=2)
+    bins = {
+        r["vec_id"]: r["cluster"]
+        for r in S._assign_clusters(emb, "embedding", cent).collect()
+    }
+    for r in out.itertuples():
+        assert bins[r.neighbor_id] == bins[r.query_id]  # nprobe=1
