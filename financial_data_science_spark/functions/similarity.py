@@ -1135,3 +1135,52 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .drop("rank")
     )
+
+
+def rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    neighbor_id: str = "neighbor_id",
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact re-ranking of ANN candidates (the faiss IndexRefine
+    pattern): any approximate stage — hyperplane LSH, IVF, PQ, IVFPQ —
+    proposes (query, neighbor) pairs, and only those |Q| x R pairs pay
+    for full-vector scoring.  Two joins back to the vector table plus a
+    top-k window; the candidate frame is small by construction, so both
+    fetches broadcast the candidate side and stream the corpus.
+
+    ``metric='cosine'`` ranks descending exact cosine; ``'l2'`` ranks
+    ascending exact squared distance.  Ties break to the lowest neighbor
+    id; scores are rounded to the 6dp grid before ranking (the repo-wide
+    round-before-argmax discipline), column ``score`` either way."""
+    qv = corpus.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias(neighbor_id), F.col(vec_col).alias("__nv__")
+    )
+    paired = (
+        candidates.select(query_id, neighbor_id)
+        .join(qv, query_id)
+        .join(nv, neighbor_id)
+    )
+    if metric == "cosine":
+        score = F.round(cosine(F.col("__qv__"), F.col("__nv__")), 6)
+        order = F.col("score").desc()
+    elif metric == "l2":
+        score = F.round(sqdist(F.col("__qv__"), F.col("__nv__")), 6)
+        order = F.col("score").asc()
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = paired.select(query_id, neighbor_id, score.alias("score"))
+    w = Window.partitionBy(query_id).orderBy(order, F.col(neighbor_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

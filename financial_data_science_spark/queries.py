@@ -5790,6 +5790,44 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
 
 
+@query("ann_ivfpq_refined", None)
+def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN + exact refine (the faiss IndexRefine pattern): IVFPQ proposes
+    10 candidates per query from compressed codes, then ONLY those pairs
+    pay full-vector exact-cosine scoring for the final top-3 — the
+    standard quality/cost ladder (quantized recall, exact precision on a
+    bounded set).  The oracle replays the whole ladder."""
+    from financial_data_science_spark.functions.similarity import (
+        ivfpq_topk,
+        rerank_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, nlist=8, nprobe=2,
+        m=2, k=8, topk=10, iters=2, train_mod=4,
+    )
+    out = rerank_exact(cand, emb, k=3, metric="cosine")
+    return out.select(
+        "query_id", "neighbor_id", _r("score", 4).alias("score")
+    )
+
+
+ORACLE["ann_ivfpq_refined"] = f"""
+    WITH cand AS ({_ivfpq_oracle_sql(topk=10)}),
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ref AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS score
+      FROM cand c JOIN e2 q ON q.vec_id = c.query_id
+                  JOIN e2 n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, round(score, 4) AS score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rn
+      FROM ref) WHERE rn <= 3
+    """
+
+
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
 # while the catalog grew past 100; 124 as of round 5).  Rounds 1-4 pinned the round-3 set,

@@ -300,3 +300,38 @@ def test_ivfpq_composition_on_clustered_data(spark):
     }
     for r in out.itertuples():
         assert bins[r.neighbor_id] == bins[r.query_id]  # nprobe=1
+
+
+def test_rerank_exact_refines_candidates(spark):
+    """rerank_exact: output pairs are a subset of the candidates, scores
+    equal the exact numpy cosine, and ranking is by exact (not
+    approximate) score."""
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, n) for n in range(1, 11)] + [(1, n) for n in range(2, 12)],
+            columns=["query_id", "neighbor_id"],
+        )
+    )
+    out = S.rerank_exact(cand, emb, k=3, metric="cosine").toPandas()
+    E = {i: np.array(v) for i, v in rows}
+    cset = {(r.query_id, r.neighbor_id) for r in cand.toPandas().itertuples()}
+    for q in (0, 1):
+        got = out[out.query_id == q].sort_values("score", ascending=False)
+        assert len(got) == 3
+        assert {(q, n) for n in got.neighbor_id} <= cset
+        pool = [n for (qq, n) in cset if qq == q]
+        exact = sorted(
+            pool,
+            key=lambda n: (
+                -round(float(E[q] @ E[n] / (np.linalg.norm(E[q]) * np.linalg.norm(E[n]))), 6),
+                n,
+            ),
+        )[:3]
+        assert got.neighbor_id.tolist() == exact
+    l2 = S.rerank_exact(cand, emb, k=3, metric="l2").toPandas()
+    assert (l2.groupby("query_id").score.apply(lambda s: s.is_monotonic_increasing)).all()
