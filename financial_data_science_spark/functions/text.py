@@ -230,6 +230,27 @@ def pii_pattern_counts(
     )
 
 
+def redact_pii(
+    text: Column, placeholders: dict[str, str] | None = None
+) -> Column:
+    """Masking actuator for the PII census: replace each PII_PATTERNS
+    match with a typed placeholder token (``<EMAIL>``, ``<URL>``,
+    ``<NUMBER>``) — the standard pre-training scrub.  A chain of
+    regexp_replace column expressions, one map stage, no UDF; pattern
+    order matters (URLs before long-digit runs so a numeric URL path is
+    masked as a URL, not shredded) and the dict preserves it.  The same
+    chain replays verbatim in any RE2/Java-regex SQL engine."""
+    repl = placeholders or {
+        "emails": "<EMAIL>",
+        "urls": "<URL>",
+        "long_digits": "<NUMBER>",
+    }
+    out = text
+    for name, token in repl.items():
+        out = F.regexp_replace(out, PII_PATTERNS[name], token)
+    return out
+
+
 def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

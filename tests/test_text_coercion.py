@@ -191,3 +191,29 @@ def test_repetition_features_hand_case(spark):
     assert got.loc[2, "dup_3gram_frac"] == 0.0
     assert got.loc[2, "top_2gram_share"] == pytest.approx(1 / 3)
     assert (got.loc[3] == 0.0).all()
+
+
+def test_redact_pii_masks_all_patterns_in_order(spark):
+    import pandas as pd
+
+    from financial_data_science_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@x.co.uk now"),
+        (2, "see https://x.io/p?q=1234567890 for details"),
+        (3, "card 12345678901 and 98765432109"),
+        (4, "clean text stays clean"),
+        (5, "a@b.io https://c.d/e 123456789"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "t"]))
+    out = {
+        r["id"]: r["r"]
+        for r in df.select("id", redact_pii(F.col("t")).alias("r")).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> now"
+    # URL masking runs before long-digits: the numeric query string is
+    # part of the URL, never shredded into <NUMBER>
+    assert out[2] == "see <URL> for details"
+    assert out[3] == "card <NUMBER> and <NUMBER>"
+    assert out[4] == "clean text stays clean"
+    assert out[5] == "<EMAIL> <URL> <NUMBER>"
