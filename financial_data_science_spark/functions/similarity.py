@@ -1184,3 +1184,120 @@ def rerank_exact(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def _residual(vec_col: str, coarse_rows: list) -> Column:
+    """Element-wise residual v - coarse_centroid[cluster] (map-side: the
+    centroid table rides as a positional literal, the subtraction of
+    identical doubles is FP-exact across engines)."""
+    cent = F.element_at(_vec_array_literal(coarse_rows), F.col("cluster"))
+    return F.zip_with(
+        F.col(vec_col), cent, lambda a, b: a.cast("double") - b
+    )
+
+
+def ivfpq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    topk: int = 5,
+    iters: int = 2,
+    train_mod: int = 1,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Residual IVF+PQ — faiss IVFPQ's DEFAULT (by_residual=True): PQ
+    codebooks are trained on and encode the residual v - coarse_centroid,
+    not the raw vector.  Residuals concentrate near zero, so the same
+    code budget quantizes them far more accurately than raw vectors —
+    the accuracy/memory sweet spot production indexes run.
+
+    The cost vs by_residual=False: the query-side ADC operand is
+    PER-PROBED-LIST (qr = qv - coarse_cv[cluster] differs per probe), so
+    lookup tables cannot be shared across probes — here that is simply
+    the residual expression evaluated per (query, probe) row, still
+    map-side.  All stages (coarse training, binning, residual PQ
+    training, encoding, probing, residual ADC) replay in the SQL oracle.
+    """
+    coarse = _ivf_train_rows(
+        corpus, id_col, vec_col, nlist=nlist, iters=iters,
+        train_mod=train_mod, metric="cosine",
+    )
+    sub = dim // m
+    binned = _assign_clusters(
+        corpus.select(id_col, vec_col), vec_col, coarse, 6, "cosine"
+    )
+    res = binned.withColumn("__rv__", _residual(vec_col, coarse))
+    # PQ codebooks train on TRAINING-SAMPLE residuals
+    train = res if train_mod <= 1 else res.filter(
+        (F.col(id_col) % train_mod) == 0
+    )
+    books = []
+    for j in range(m):
+        sliced = train.select(
+            F.col(id_col), F.slice("__rv__", j * sub + 1, sub).alias("__sv__")
+        )
+        books.append(
+            _ivf_train_rows(
+                sliced, id_col, "__sv__", nlist=k, iters=iters,
+                train_mod=1, metric="l2",
+            )
+        )
+    coded = pq_encode(
+        res.select(id_col, F.col("__rv__").alias("__enc__")),
+        books, id_col, "__enc__",
+    ).join(binned.select(id_col, "cluster"), id_col)
+    # probes: top-nprobe coarse clusters per query (cosine, as in ivf)
+    qv = F.col("__qv__")
+    probe_arr = F.transform(
+        _centroid_literal(coarse),
+        lambda c: F.struct(
+            (-F.round(dot(qv, c["cv"]) / (norm(qv) * c["cnorm"]), 6)).alias(
+                "negs"
+            ),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    probes = (
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_arr), 1, nprobe),
+                    lambda s: s["cluster"],
+                )
+            ),
+        )
+        .select(query_id, "__qv__", "cluster")
+    )
+    # query residual PER PROBED LIST, then ADC vs the coded residuals
+    pr = F.broadcast(probes).withColumn("__qr__", _residual("__qv__", coarse))
+    dist = None
+    for j, book in enumerate(books):
+        qs = F.slice(F.col("__qr__"), j * sub + 1, sub)
+        cent = F.element_at(_vec_array_literal(book), F.col("codes")[j])
+        term = sqdist(qs, cent)
+        dist = term if dist is None else dist + term
+    scored = (
+        pr.join(coded, "cluster")
+        .filter(F.col(query_id) != F.col(id_col))
+        .select(
+            query_id,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .drop("rank")
+    )

@@ -5790,6 +5790,154 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
 
 
+def _ivfpq_residual_oracle_sql(
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    train_mod: int = 4,
+    topk: int = 3,
+    nq: int = 10,
+) -> str:
+    """DuckDB replay of RESIDUAL IVF+PQ (faiss by_residual=True): coarse
+    training/binning as in the ivfpq oracle, then residuals
+    v - coarse_cv[cluster] feed PQ training (on the 1-in-mod subset),
+    encoding, and a per-probed-list query residual for the ADC."""
+    sub = dim // m
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    et AS MATERIALIZED (SELECT * FROM e WHERE vec_id % {train_mod} = 0),
+    cc0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT {nlist}))"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    ca{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM et e, cc{t - 1} c) WHERE rn = 1),
+    cc{t} AS MATERIALIZED (
+      SELECT cluster, list(av ORDER BY i) AS cv FROM (
+        SELECT a.cluster, i, round(avg(e.v[i]), 6) AS av
+        FROM ca{t} a JOIN et e ON e.vec_id = a.vec_id, range(1, {dim + 1}) t(i)
+        GROUP BY a.cluster, i) GROUP BY cluster)""")
+    parts.append(f""",
+    binned AS MATERIALIZED (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e, cc{iters} c) WHERE rn = 1),
+    resv AS MATERIALIZED (
+      SELECT b.vec_id, b.cluster,
+             list_transform(range(1, {dim + 1}), i -> b.v[i] - c.cv[i]) AS rv
+      FROM binned b JOIN cc{iters} c ON c.cluster = b.cluster),
+    rest AS MATERIALIZED (SELECT * FROM resv WHERE vec_id % {train_mod} = 0),
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e, cc{iters} c WHERE e.vec_id < {nq}) WHERE rn <= {nprobe}),
+    probesr AS (
+      SELECT p.query_id, p.cluster,
+             list_transform(range(1, {dim + 1}), i -> p.qv[i] - c.cv[i]) AS qr
+      FROM probes p JOIN cc{iters} c ON c.cluster = p.cluster)""")
+
+    def sqd(sv: str, cv: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> ({sv}[i] - {cv}[i]) * ({sv}[i] - {cv}[i]))), 6)"
+        )
+
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f""",
+    s{j} AS MATERIALIZED (SELECT vec_id, rv[{lo}:{hi}] AS sv FROM rest),
+    c{j}_0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+             list_transform(sv, x -> round(x, 6)) AS cv
+      FROM (SELECT vec_id, sv FROM s{j} ORDER BY vec_id LIMIT {k}))""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+    a{j}_{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT s.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {sqd('s.sv', 'c.cv')} ASC, c.cluster) AS rn
+        FROM s{j} s, c{j}_{t - 1} c) WHERE rn = 1),
+    c{j}_{t} AS MATERIALIZED (
+      SELECT cluster, list(av ORDER BY i) AS cv FROM (
+        SELECT a.cluster, i, round(avg(s.sv[i]), 6) AS av
+        FROM a{j}_{t} a JOIN s{j} s ON s.vec_id = a.vec_id,
+             range(1, {sub + 1}) t(i)
+        GROUP BY a.cluster, i) GROUP BY cluster)""")
+        parts.append(f""",
+    code{j} AS MATERIALIZED (
+      SELECT vec_id, cluster AS code FROM (
+        SELECT r.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY {sqd(f'r.rv[{lo}:{hi}]', 'c.cv')} ASC, c.cluster)
+                 AS rn
+        FROM resv r, c{j}_{iters} c) WHERE rn = 1)""")
+    adc_terms = " + ".join(
+        "list_sum(list_transform(range(1, {s}), i -> "
+        "(p.qr[{lo} + i - 1] - c{j}.cv[i]) * (p.qr[{lo} + i - 1] - c{j}.cv[i])))".format(
+            s=sub + 1, lo=j * sub + 1, j=j
+        )
+        for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN code{j} ON code{j}.vec_id = b.vec_id "
+        f"JOIN c{j}_{iters} c{j} ON c{j}.cluster = code{j}.code"
+        for j in range(m)
+    )
+    parts.append(f"""
+    SELECT query_id, neighbor_id, round(approx_d2, 4) AS approx_d2 FROM (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round({adc_terms}, 6) AS approx_d2,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round({adc_terms}, 6) ASC, b.vec_id) AS rn
+      FROM probesr p JOIN binned b ON b.cluster = p.cluster {code_joins}
+      WHERE b.vec_id != p.query_id) WHERE rn <= {topk}
+    """)
+    return "".join(parts)
+
+
+@query("ann_ivfpq_residual", None)
+def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ — faiss IVFPQ's DEFAULT configuration
+    (by_residual=True): PQ quantizes v - coarse_centroid, which
+    concentrates near zero and so spends the same code budget far more
+    accurately; the query-side ADC operand becomes per-probed-list.  The
+    oracle replays coarse training, binning, residual computation,
+    residual PQ training/encoding, and the per-probe ADC."""
+    from financial_data_science_spark.functions.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_residual_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, nlist=8, nprobe=2,
+        m=2, k=8, topk=3, iters=2, train_mod=4,
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r("approx_d2", 4).alias("approx_d2")
+    )
+
+
+ORACLE["ann_ivfpq_residual"] = _ivfpq_residual_oracle_sql()
+
+
 @query("ann_ivfpq_refined", None)
 def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN + exact refine (the faiss IndexRefine pattern): IVFPQ proposes
