@@ -6024,7 +6024,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
 # prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
-# while the catalog grew past 100; 132 as of round 5).  Rounds 1-4 pinned the round-3 set,
+# while the catalog grew past 100; 134 as of round 5).  Rounds 1-4 pinned the round-3 set,
 # which froze driver verification at the same 50 queries forever; round 5
 # re-curates the prefix for maximum evidence value: the 44 queries that
 # have NEVER earned a driver row (every round-4/5 operator, the
@@ -6032,7 +6032,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anchors from the proven set.  Everything rotated out keeps four rounds
 # of recorded driver-green (CORRECTNESS_r01-r04) and stays guarded by the
 # local replica (tools/check_correctness.py), which runs the full
-# catalog (132 as of round 5) — green at sf0.01 AND sf0.1 (SCALE.md).
+# catalog (134 as of round 5) — green at sf0.01 AND sf0.1 (SCALE.md).
 _GATE_ORDER = [
     # flagship + the judge's named must-haves first
     "universe_assembly",
