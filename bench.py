@@ -73,6 +73,10 @@ EXTENDED_QUERIES = [
     "corpus_curation_pipeline_v2",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_refined",
+    "pii_redaction",
+    "ann_sq8_topk",
 ]
 
 

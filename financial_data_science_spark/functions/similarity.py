@@ -1301,3 +1301,118 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= topk)
         .drop("rank")
     )
+
+
+# ---------------------------------------------------------------- SQ8
+
+def _dim_stats(corpus: DataFrame, vec_col: str, round_dp: int = 6) -> tuple:
+    """Per-dimension (min, max) of the corpus, rounded to the shared
+    grid — one posexplode + combinable aggregate, collected as two
+    dim-length lists (the scalar-quantizer 'codebook')."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.min(F.col("val").cast("double")), round_dp).alias("lo"),
+            F.round(F.max(F.col("val").cast("double")), round_dp).alias("hi"),
+        )
+        .collect()
+    )
+    by_pos = sorted((r["pos"], r["lo"], r["hi"]) for r in rows)
+    return [lo for _, lo, _ in by_pos], [hi for _, _, hi in by_pos]
+
+
+def _dlist_literal(xs: list) -> Column:
+    def d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    return F.expr("array(" + ",".join(d(x) for x in xs) + ")")
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    mins: list,
+    maxs: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """8-bit scalar quantization (faiss IndexScalarQuantizer QT_8bit
+    shape): code_i = round((v_i - min_i) / (max_i - min_i) * 255),
+    clamped — per-dimension affine, one map-side projection.  64 float64
+    dims (512 bytes) become 64 bytes; unlike PQ there is no training
+    beyond the min/max census and decode is exact-per-dimension affine,
+    so SQ8 is the first rung of the compression ladder (SQ8 -> PQ ->
+    IVFPQ) with the gentlest recall loss.  Constant dimensions (max ==
+    min) encode to 0 and decode to their min — exact."""
+    lo, hi = _dlist_literal(mins), _dlist_literal(maxs)
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    code = F.zip_with(
+        v,
+        idx,
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.when(
+                    F.element_at(hi, i + 1) > F.element_at(lo, i + 1),
+                    F.round(
+                        (x.cast("double") - F.element_at(lo, i + 1))
+                        / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+                        * 255
+                    ).cast("int"),
+                ).otherwise(F.lit(0)),
+            ),
+        ),
+    )
+    return corpus.select(id_col, code.alias(out))
+
+
+def sq8_dequantize(codes: Column, mins: list, maxs: list) -> Column:
+    """Exact affine decode of SQ8 codes back to approximate doubles."""
+    lo, hi = _dlist_literal(mins), _dlist_literal(maxs)
+    idx = F.sequence(F.lit(0), F.size(codes) - 1)
+    return F.zip_with(
+        codes,
+        idx,
+        lambda c, i: F.element_at(lo, i + 1)
+        + c.cast("double")
+        / 255.0
+        * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1)),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine against the SQ8-compressed corpus: full-precision
+    queries broadcast, corpus rows scored through the affine decode —
+    the scan reads 64-byte codes, not 512-byte vectors (the SQ8 win at
+    rest), and every stage is map-side before the final top-k window."""
+    mins, maxs = _dim_stats(corpus, vec_col)
+    coded = sq8_encode(corpus, mins, maxs, id_col, vec_col)
+    deq = sq8_dequantize(F.col("codes"), mins, maxs)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
+        )
+    )
+    scored = coded.join(q, F.col(query_id) != F.col(id_col)).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qv__"), deq), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -5938,6 +5938,54 @@ def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivfpq_residual"] = _ivfpq_residual_oracle_sql()
 
 
+@query(
+    "ann_sq8_topk",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    st AS (
+      SELECT i, round(min(v[i]), 6) AS lo, round(max(v[i]), 6) AS hi
+      FROM e, range(1, 65) t(i) GROUP BY i),
+    stats AS (
+      SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM st),
+    coded AS MATERIALIZED (
+      SELECT e.vec_id,
+             list_transform(range(1, 65), i ->
+               least(255, greatest(0,
+                 CASE WHEN s.hi[i] > s.lo[i]
+                      THEN CAST(round((e.v[i] - s.lo[i])
+                                      / (s.hi[i] - s.lo[i]) * 255) AS INT)
+                      ELSE 0 END))) AS codes
+      FROM e, stats s),
+    deq AS (
+      SELECT c.vec_id,
+             list_transform(range(1, 65), i ->
+               s.lo[i] + c.codes[i] / 255.0 * (s.hi[i] - s.lo[i])) AS dv
+      FROM coded c, stats s)
+    SELECT query_id, neighbor_id, round(score, 4) AS score FROM (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, d.dv), 6) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.v, d.dv), 6) DESC,
+                        d.vec_id) AS rn
+      FROM (SELECT * FROM e WHERE vec_id < 10) q, deq d
+      WHERE d.vec_id != q.vec_id) WHERE rn <= 3
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization (faiss IndexScalarQuantizer QT_8bit):
+    per-dimension affine codes from a min/max census — the first rung of
+    the compression ladder (SQ8 -> PQ -> IVFPQ), 8x smaller at rest with
+    the gentlest recall loss since decode is exact-per-dimension.  The
+    oracle replays census, encode, decode, and the dequantized-cosine
+    top-k."""
+    from financial_data_science_spark.functions.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sq8_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+    return out.select("query_id", "neighbor_id", _r("score", 4).alias("score"))
+
+
 @query("ann_ivfpq_refined", None)
 def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN + exact refine (the faiss IndexRefine pattern): IVFPQ proposes

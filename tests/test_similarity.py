@@ -377,3 +377,43 @@ def test_residual_ivfpq_quantizes_tighter_than_raw(spark):
                               topk=5, iters=2)
     )
     assert res < raw * 0.5, (res, raw)
+
+
+def test_sq8_roundtrip_and_recall(spark):
+    """SQ8 invariants: codes in [0,255]; decode error per dimension is
+    bounded by half a quantization step; constant dimensions decode
+    exactly; recall vs exact cosine top-3 is near-perfect (8-bit affine
+    loses almost nothing)."""
+    rng = np.random.default_rng(21)
+    M = rng.normal(size=(120, 16))
+    M[:, 5] = 3.25  # constant dimension
+    rows = [(i, M[i].tolist()) for i in range(120)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    mins, maxs = S._dim_stats(emb, "embedding")
+    coded = S.sq8_encode(emb, mins, maxs).toPandas()
+    deq = (
+        S.sq8_encode(emb, mins, maxs)
+        .select("vec_id", S.sq8_dequantize(F.col("codes"), mins, maxs).alias("dv"))
+        .toPandas()
+    )
+    for r in coded.itertuples():
+        assert all(0 <= c <= 255 for c in r.codes)
+    steps = [(hi - lo) / 255.0 for lo, hi in zip(mins, maxs)]
+    for r in deq.itertuples():
+        err = np.abs(np.array(r.dv) - M[r.vec_id])
+        # census rounding (6dp) adds at most 1e-6 on top of half a step
+        assert all(e <= s / 2 + 2e-6 for e, s in zip(err, steps))
+        assert abs(r.dv[5] - 3.25) < 1e-6
+    out = S.sq8_topk(emb.filter(F.col("vec_id") < 10), emb, k=3).toPandas()
+    hits = tot = 0
+    for q in range(10):
+        cos = {
+            n: float(M[q] @ M[n] / (np.linalg.norm(M[q]) * np.linalg.norm(M[n])))
+            for n in range(120) if n != q
+        }
+        exact = {n for n, _ in sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+        got = set(out[out.query_id == q].neighbor_id)
+        hits += len(exact & got); tot += 3
+    assert hits / tot >= 0.9, (hits, tot)
