@@ -100,6 +100,63 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "id",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass (1-d) returns ONLY to the
+    ``sources`` set instead of uniformly — rank becomes proximity to the
+    seeds (the recommendation / related-entities variant of the same
+    Pregel-as-SQL sweeps).  Init = 1/|S| on the seeds, 0 elsewhere; same
+    join+aggregate per sweep and the same lineage-checkpoint cadence as
+    :func:`pagerank`."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = sources.select(F.col(source_col).alias("id")).distinct()
+    ns = seeds.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_w = e.join(out_deg, "src").localCheckpoint(eager=True)
+    tagged = verts.join(
+        F.broadcast(seeds.withColumn("__s__", F.lit(1))), "id", "left"
+    ).localCheckpoint(eager=True)
+    is_seed = F.col("__s__").isNotNull()
+    base = F.when(is_seed, F.lit((1.0 - damping) / ns)).otherwise(F.lit(0.0))
+    ranks = tagged.select(
+        "id",
+        F.when(is_seed, F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    for i in range(max_iter):
+        contribs = (
+            e_w.join(ranks, e_w.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            tagged.join(contribs, tagged.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    base + F.lit(damping) * F.coalesce("csum", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:

@@ -1399,6 +1399,67 @@ def supply_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["supply_graph_pagerank"] = _pagerank_oracle_sql()
 
 
+def _ppr_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Personalized-PageRank CTE chain: teleport mass returns only to the
+    seed set (suppliers with key < 10)."""
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS id FROM lineitem WHERE l_suppkey < 10),
+    ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM seeds),
+    deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+    r0 AS (
+      SELECT v.id,
+             CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT n FROM ns)
+                  ELSE 0.0 END AS rank
+      FROM verts v LEFT JOIN seeds s ON s.id = v.id)"""
+    step = """,
+    r{k} AS MATERIALIZED (
+      SELECT v.id,
+             (CASE WHEN s.id IS NOT NULL
+                   THEN {base} / (SELECT n FROM ns) ELSE 0.0 END)
+             + {d} * coalesce(c.csum, 0) AS rank
+      FROM verts v LEFT JOIN seeds s ON s.id = v.id LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank / d.outdeg) AS csum
+        FROM r{prev} p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY 1) c ON c.id = v.id)"""
+    body = "".join(
+        step.format(k=k, prev=k - 1, base=1.0 - damping, d=damping)
+        for k in range(1, iters + 1)
+    )
+    return head + body + f"""
+    SELECT id, round(rank, 6) AS rank FROM r{iters} WHERE rank > 0"""
+
+
+@query("supply_personalized_pagerank", None)
+def supply_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at suppliers 0-9: rank = proximity to
+    the seed set (teleport returns only to seeds) — the related-entities
+    variant; same sweeps, oracle-replayed.  Zero-rank vertices (not yet
+    reached) are filtered on both sides so the compared frame is the
+    reached set."""
+    from financial_data_science_spark.functions.graph import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = li.select(F.col("l_suppkey").alias("id")).filter(
+        F.col("id") < 10
+    ).distinct()
+    out = personalized_pagerank(
+        _supply_edges(spark, sf_dir), seeds, max_iter=8
+    )
+    return out.filter(F.col("rank") > 0).select(
+        "id", _r("rank", 6).alias("rank")
+    )
+
+
+ORACLE["supply_personalized_pagerank"] = _ppr_oracle_sql()
+
+
 @query(
     "supply_link_prediction",
     """

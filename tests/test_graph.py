@@ -353,3 +353,24 @@ def test_betweenness_sampled_sources_scale_up(spark):
         .toPandas().set_index("id")["betweenness"]
     )
     assert abs(est.mean() - 0.2) < 1e-5
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """PPR invariants on a two-component graph: all rank mass stays in
+    the seed's component (teleport never crosses components); total mass
+    sums to ~1; seeds outrank non-seeds near convergence for symmetric
+    neighborhoods."""
+    import pandas as pd
+
+    from financial_data_science_spark.functions.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    seeds = spark.createDataFrame(pd.DataFrame({"id": [1]}))
+    out = personalized_pagerank(e, seeds, max_iter=20).toPandas()
+    by = dict(zip(out.id, out["rank"]))
+    assert sum(v for k, v in by.items() if k in (10, 11, 12)) == 0.0
+    assert abs(sum(by.values()) - 1.0) < 0.05  # leakage only via dangling 3->1 cycle closure
+    assert by[1] == max(by.values())
