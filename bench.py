@@ -77,6 +77,8 @@ EXTENDED_QUERIES = [
     "ann_ivfpq_refined",
     "pii_redaction",
     "ann_sq8_topk",
+    "ann_ivfpq_query_only",
+    "ann_recall_at_k",
 ]
 
 
@@ -253,6 +255,10 @@ def main() -> None:
     steal_pct = round(100.0 * steal_jiffies * 0.01 / max(wall, 1e-9), 2)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Compact headline: per-query MINS only, kept well under 4 KB so the
+    # driver's tail-capture window always sees the whole line (round 5's
+    # record was lost to a single giant line carrying the raw runs).
     out = {
         "metric": "headline_queries_total",
         # query-set version: bump whenever BENCH_QUERIES changes so
@@ -266,13 +272,32 @@ def main() -> None:
         "queries": times,
         "oracle_path": oracle_times,
         "extended": extended_times,
+        "cpu_steal_pct_of_wall": steal_pct,
+        "sf": sf_val,
+    }
+    # Bulky raw-run detail goes to a side file (and stderr), never stdout.
+    detail = {
         "runs": raw_runs,
         "loadavg_start": load0,
         "loadavg_end": _loadavg(),
         "cpu_steal_pct_of_wall": steal_pct,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "wall_sec": round(wall, 3),
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+    except OSError as exc:  # never let the side channel kill the headline
+        print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 3800:  # hard guard: drop labeled blocks before the headline
+        out.pop("extended", None)
+        out.pop("oracle_path", None)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

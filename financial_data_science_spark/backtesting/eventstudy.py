@@ -207,8 +207,11 @@ def corrected_stats(
     )
     npairs = (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2.0)
     tau = contrib.agg(
-        (
-            (F.sum("__c__").cast("double") / npairs) / F.lit(float(D))
+        # <2 distinct announce dates => npairs = 0; yield NULL (matching
+        # the old pairwise self-join's empty avg) rather than 0.0/0.0 NaN
+        F.when(
+            npairs > 0,
+            (F.sum("__c__").cast("double") / npairs) / F.lit(float(D)),
         ).alias("tau")
     )
     nev = cb.select(*event_keys).distinct().agg(

@@ -115,7 +115,14 @@ def personalized_pagerank(
     seeds (the recommendation / related-entities variant of the same
     Pregel-as-SQL sweeps).  Init = 1/|S| on the seeds, 0 elsewhere; same
     join+aggregate per sweep and the same lineage-checkpoint cadence as
-    :func:`pagerank`."""
+    :func:`pagerank`.
+
+    Seeds absent from the edge set are EXCLUDED before normalizing (and
+    all-out-of-graph seeds raise ValueError) so teleport mass is never
+    allotted to phantom nodes.  Like :func:`pagerank`, this is the
+    simplified variant that does NOT redistribute dangling-node mass:
+    on graphs with many sink nodes ranks sum to < 1 (relative ordering,
+    the quantity users consume, is unaffected)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     verts = (
         e.select(F.col("src").alias("id"))
@@ -123,8 +130,20 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    seeds = sources.select(F.col(source_col).alias("id")).distinct()
+    # count only seeds PRESENT in the graph: out-of-graph seeds would
+    # otherwise inflate ns while the verts join drops them, leaking
+    # teleport mass so ranks no longer sum to ~1
+    seeds = (
+        sources.select(F.col(source_col).alias("id"))
+        .distinct()
+        .join(verts, "id", "left_semi")
+    )
     ns = seeds.count()
+    if ns == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed appears in the edge set "
+            "(empty or fully out-of-graph sources frame)"
+        )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_w = e.join(out_deg, "src").localCheckpoint(eager=True)
     tagged = verts.join(

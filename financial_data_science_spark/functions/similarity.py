@@ -249,8 +249,18 @@ def minhash_signatures(
     )
     if max_df is not None:
         # shingles are per-doc distinct, so count(*) per shingle IS the
-        # document frequency; threshold floor(frac * |docs|) for floats
-        limit = int(max_df if max_df >= 1 else int(max_df * docs.count()))
+        # document frequency; sklearn-style dispatch on TYPE, not value:
+        # float = fraction of the corpus (1.0 = keep everything), int =
+        # absolute document count
+        if isinstance(max_df, float):
+            if not 0.0 < max_df <= 1.0:
+                raise ValueError(
+                    f"float max_df must be a fraction in (0, 1], got {max_df}; "
+                    "pass an int for an absolute document count"
+                )
+            limit = int(max_df * docs.count())
+        else:
+            limit = int(max_df)
         stop = (
             exploded.groupBy("__shingle__")
             .agg(F.count(F.lit(1)).alias("__df__"))
@@ -822,6 +832,107 @@ def ivf_kmeans_centroids(
     )
 
 
+def _probe_clusters(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list,
+    nprobe: int,
+    query_id: str,
+) -> DataFrame:
+    """Top-``nprobe`` coarse clusters per query, map-side: sort the
+    scored centroid array ascending on (-s, cluster) — s desc, ties to
+    lowest cluster, same ordering as the row_number it replaces — slice
+    nprobe, explode.  Shared by the IVF and IVF+PQ query paths."""
+    qv = F.col("__qv__")
+    probe_arr = F.transform(
+        _centroid_literal(cent_rows),
+        lambda c: F.struct(
+            (-F.round(dot(qv, c["cv"]) / (norm(qv) * c["cnorm"]), 6)).alias("negs"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    return (
+        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_arr), 1, nprobe),
+                    lambda s: s["cluster"],
+                )
+            ),
+        )
+        .select(query_id, "__qv__", "cluster")
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    iters: int = 3,
+    train_mod: int = 1,
+    persist: bool = False,
+) -> dict:
+    """TRAIN-ONCE half of IVF (the faiss ``index.train()`` +
+    ``index.add()`` split): Lloyd the coarse quantizer, bin the corpus,
+    and return ``{"centroids": rows, "binned": DataFrame}``.
+
+    ``persist=True`` materializes the binned corpus with an eager
+    localCheckpoint — the 'index on disk' stance: at query time only the
+    probed lists are scanned and NO training/binning work re-runs.  On a
+    cluster the equivalent is writing ``binned`` bucketed by cluster."""
+    cent_rows = _ivf_train_rows(
+        corpus, id_col, vec_col, nlist, iters, train_mod=train_mod
+    )
+    binned = _assign_clusters(
+        corpus.select(id_col, vec_col), vec_col, cent_rows, 6
+    )
+    if persist:
+        binned = binned.localCheckpoint(eager=True)
+    return {"centroids": cent_rows, "binned": binned,
+            "id_col": id_col, "vec_col": vec_col}
+
+
+def ivf_query_index(
+    queries: DataFrame,
+    index: dict,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """QUERY-ONLY half of IVF: probe ``nprobe`` lists of a pre-built
+    index and return exact within-list top-k.  No Lloyd sweeps, no
+    binning — the per-query cost the SCALE.md crossover argument prices."""
+    id_col, vec_col = index["id_col"], index["vec_col"]
+    cent_rows, binned = index["centroids"], index["binned"]
+    v = F.col(vec_col)
+    probes = _probe_clusters(queries, id_col, vec_col, cent_rows, nprobe, query_id)
+    # probes is |Q| x nprobe rows — broadcast it so the corpus-side bin
+    # join is map-side; a hash shuffle on the nlist-value cluster key
+    # would cap parallelism at nlist and skew on popular lists
+    scored = F.broadcast(probes).join(binned, "cluster").filter(
+        F.col(query_id) != F.col(id_col)
+    ).select(
+        query_id,
+        F.col(id_col).alias("neighbor_id"),
+        # rounded to the 6dp grid BEFORE the top-k ordering so a
+        # cross-engine ulp difference near a rank boundary cannot flip
+        # membership vs the oracle (same discipline as the assignment)
+        F.round(cosine(F.col("__qv__"), v), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -844,59 +955,14 @@ def ivf_topk(
     literal — no Exchange anywhere before the final top-k window.  Recall
     depends on nprobe/nlist — the standard IVF tradeoff; results within
     the probed lists are exact.
-    """
-    cent_rows = _ivf_train_rows(
-        corpus, id_col, vec_col, nlist, iters, train_mod=train_mod
+
+    Composition of :func:`ivf_build_index` + :func:`ivf_query_index`
+    (train+query fused for the one-shot/oracle path; callers with a
+    standing corpus should build the index once and reuse it)."""
+    index = ivf_build_index(
+        corpus, id_col, vec_col, nlist=nlist, iters=iters, train_mod=train_mod
     )
-    v = F.col(vec_col)
-    binned = _assign_clusters(
-        corpus.select(id_col, vec_col), vec_col, cent_rows, 6
-    )
-    # top-nprobe clusters per query, map-side: sort the scored centroid
-    # array ascending on (-s, cluster) — s desc, ties to lowest cluster,
-    # same ordering as the row_number it replaces — slice nprobe, explode
-    qv = F.col("__qv__")
-    probe_arr = F.transform(
-        _centroid_literal(cent_rows),
-        lambda c: F.struct(
-            (-F.round(dot(qv, c["cv"]) / (norm(qv) * c["cnorm"]), 6)).alias("negs"),
-            c["cluster"].alias("cluster"),
-        ),
-    )
-    probes = (
-        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
-        .withColumn(
-            "cluster",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(probe_arr), 1, nprobe),
-                    lambda s: s["cluster"],
-                )
-            ),
-        )
-        .select(query_id, "__qv__", "cluster")
-    )
-    # probes is |Q| x nprobe rows — broadcast it so the corpus-side bin
-    # join is map-side; a hash shuffle on the nlist-value cluster key
-    # would cap parallelism at nlist and skew on popular lists
-    scored = F.broadcast(probes).join(binned, "cluster").filter(
-        F.col(query_id) != F.col(id_col)
-    ).select(
-        query_id,
-        F.col(id_col).alias("neighbor_id"),
-        # rounded to the 6dp grid BEFORE the top-k ordering so a
-        # cross-engine ulp difference near a rank boundary cannot flip
-        # membership vs the oracle (same discipline as the assignment)
-        F.round(cosine(F.col("__qv__"), v), 6).alias("score"),
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
-    )
+    return ivf_query_index(queries, index, k=k, nprobe=nprobe, query_id=query_id)
 
 
 # ---------------------------------------------------------------- PQ
@@ -1074,43 +1140,70 @@ def ivfpq_topk(
     deterministic Lloyd machinery; binning and encoding are one
     shuffle-free projection; probes are broadcast so the list-restricted
     join is map-side; no Exchange before the final top-k window.  All
-    three stages replay in the SQL oracle."""
+    three stages replay in the SQL oracle.
+
+    Composition of :func:`ivfpq_build_index` + :func:`ivfpq_query_index`
+    (train+encode+query fused; standing corpora should build once)."""
+    index = ivfpq_build_index(
+        corpus, id_col, vec_col, dim=dim, nlist=nlist, m=m, k=k,
+        iters=iters, train_mod=train_mod,
+    )
+    return ivfpq_query_index(
+        queries, index, nprobe=nprobe, topk=topk, query_id=query_id
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    train_mod: int = 1,
+    persist: bool = False,
+) -> dict:
+    """TRAIN-ONCE half of IVF+PQ: Lloyd the coarse quantizer, train the
+    per-subspace PQ codebooks, bin + encode the corpus.  Returns
+    ``{"coarse": rows, "books": codebooks, "coded": DataFrame}``.
+
+    ``persist=True`` materializes the m-byte-per-vector coded corpus
+    (localCheckpoint here; bucketed-by-cluster parquet on a cluster) so
+    query time pays ONLY probe + ADC — the faiss train/add vs search
+    split, which is what makes the nprobe/nlist cost model real."""
     coarse = _ivf_train_rows(
         corpus, id_col, vec_col, nlist=nlist, iters=iters,
         train_mod=train_mod, metric="cosine",
     )
     books = pq_train(corpus, id_col, vec_col, dim, m, k, iters, train_mod)
-    sub = dim // m
     binned = _assign_clusters(
         corpus.select(id_col, vec_col), vec_col, coarse, 6, "cosine"
     )
     coded = pq_encode(binned, books, id_col, vec_col).join(
         binned.select(id_col, "cluster"), id_col
     )
-    # top-nprobe coarse clusters per query, map-side (ivf_topk's probe)
-    qv = F.col("__qv__")
-    probe_arr = F.transform(
-        _centroid_literal(coarse),
-        lambda c: F.struct(
-            (-F.round(dot(qv, c["cv"]) / (norm(qv) * c["cnorm"]), 6)).alias(
-                "negs"
-            ),
-            c["cluster"].alias("cluster"),
-        ),
-    )
-    probes = (
-        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
-        .withColumn(
-            "cluster",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(probe_arr), 1, nprobe),
-                    lambda s: s["cluster"],
-                )
-            ),
-        )
-        .select(query_id, "__qv__", "cluster")
-    )
+    if persist:
+        coded = coded.localCheckpoint(eager=True)
+    return {"coarse": coarse, "books": books, "coded": coded,
+            "id_col": id_col, "vec_col": vec_col, "dim": dim}
+
+
+def ivfpq_query_index(
+    queries: DataFrame,
+    index: dict,
+    nprobe: int = 2,
+    topk: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """QUERY-ONLY half of IVF+PQ: probe + ADC scoring over the pre-built
+    coded corpus.  No training, no encoding — m table lookups per
+    candidate inside the probed lists, then the top-k window."""
+    id_col, vec_col = index["id_col"], index["vec_col"]
+    coarse, books, coded = index["coarse"], index["books"], index["coded"]
+    sub = index["dim"] // len(books)
+    probes = _probe_clusters(queries, id_col, vec_col, coarse, nprobe, query_id)
     dist = None
     for j, book in enumerate(books):
         qs = F.slice(F.col("__qv__"), j * sub + 1, sub)
@@ -1164,8 +1257,11 @@ def rerank_exact(
     nv = corpus.select(
         F.col(id_col).alias(neighbor_id), F.col(vec_col).alias("__nv__")
     )
+    # candidates are |Q| x R pairs — small by construction — so FORCE the
+    # broadcast (don't rely on autoBroadcastJoinThreshold seeing through
+    # the projection): the full vector table must stream, never shuffle
     paired = (
-        candidates.select(query_id, neighbor_id)
+        F.broadcast(candidates.select(query_id, neighbor_id))
         .join(qv, query_id)
         .join(nv, neighbor_id)
     )
@@ -1183,6 +1279,50 @@ def rerank_exact(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("rank")
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id: str = "query_id",
+    neighbor_id: str = "neighbor_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query recall@k of an approximate retrieval vs the exact top-k
+    — THE tuning dial for the ANN ladder (faiss reports exactly this for
+    nprobe/m sweeps).  ``recall = |approx ∩ exact| / |exact|`` per query,
+    with the exact side as ground truth (queries the approximate stage
+    missed entirely still appear, recall 0).  If ``k`` is given it
+    overrides the per-query denominator (use when the exact frame may
+    hold fewer than k rows for boundary queries).
+
+    Shape: one broadcast-able semi-join on (query, neighbor) + a groupBy
+    on query — both sides are |Q| x k rows, trivially small next to the
+    corpus no matter the corpus scale."""
+    hits = (
+        exact.select(query_id, neighbor_id)
+        .join(
+            approx.select(query_id, neighbor_id), [query_id, neighbor_id],
+            "left_semi",
+        )
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("__hits__"))
+    )
+    denom = (
+        F.lit(float(k))
+        if k is not None
+        else F.col("__n_exact__").cast("double")
+    )
+    base = exact.groupBy(query_id).agg(
+        F.count(F.lit(1)).alias("__n_exact__")
+    )
+    return (
+        base.join(hits, query_id, "left")
+        .select(
+            query_id,
+            (F.coalesce("__hits__", F.lit(0)) / denom).alias("recall"),
+        )
     )
 
 

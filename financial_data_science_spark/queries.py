@@ -735,7 +735,7 @@ def _minhash_oracle_sql(
     num_hashes: int = 64,
     bands: int = 32,
     seed: int = 42,
-    max_df: float | None = None,
+    max_df: float | int | None = None,
 ) -> str:
     """DuckDB recompute of the ENTIRE portable MinHash+LSH pipeline:
     shingles -> polynomial base hash -> affine min-family -> band keys ->
@@ -759,11 +759,20 @@ def _minhash_oracle_sql(
     stop_ctes = ""
     hash_src = "ex"
     if max_df is not None:
+        # mirror the Spark side's sklearn-style TYPE dispatch
+        # (similarity.minhash_signatures): float = corpus fraction,
+        # int = absolute document count
+        if isinstance(max_df, float):
+            limit_sql = (
+                f"CAST(floor({max_df} * (SELECT count(*) FROM documents)) AS BIGINT)"
+            )
+        else:
+            limit_sql = str(int(max_df))
         stop_ctes = f""",
     dfc AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
     exf AS (
       SELECT e.doc_id, e.shingle FROM ex e JOIN dfc d USING (shingle)
-      WHERE d.df <= CAST(floor({max_df} * (SELECT count(*) FROM documents)) AS BIGINT))"""
+      WHERE d.df <= {limit_sql})"""
         hash_src = "exf"
     return f"""
     WITH toks AS (
@@ -2660,17 +2669,13 @@ def dated_lookup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "key", "val")
 
 
-def _ivf_oracle_sql(
-    nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64,
-    train_mod: int = 4,
+def _ivf_chain_sql(
+    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
 ) -> str:
-    """DuckDB replay of the ENTIRE deterministic IVF pipeline: k-means
-    init from lowest TRAINING-SAMPLE ids (the 1-in-mod id subset — a
-    coarse quantizer trains on a sample, assignment covers everything),
-    cosine-argmax assignment with rounded scores, rounded coordinate-mean
-    updates, full-corpus binning, nprobe probing, and exact within-list
-    top-k.  MATERIALIZED per sweep (CTE inlining would double the tree
-    per iteration)."""
+    """The shared WITH-chain of the deterministic IVF replay — training
+    sweeps through the full-corpus ``binned`` CTE — reused verbatim by
+    the topk oracle and the recall oracle so both replay the identical
+    quantizer."""
     head = f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2700,7 +2705,22 @@ def _ivf_oracle_sql(
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
                           c.cluster) AS rn
-        FROM e, c{iters} c) WHERE rn = 1),
+        FROM e, c{iters} c) WHERE rn = 1)"""
+
+
+def _ivf_oracle_sql(
+    nlist: int = 8, iters: int = 3, nprobe: int = 2, k: int = 3, dim: int = 64,
+    train_mod: int = 4,
+) -> str:
+    """DuckDB replay of the ENTIRE deterministic IVF pipeline: k-means
+    init from lowest TRAINING-SAMPLE ids (the 1-in-mod id subset — a
+    coarse quantizer trains on a sample, assignment covers everything),
+    cosine-argmax assignment with rounded scores, rounded coordinate-mean
+    updates, full-corpus binning, nprobe probing, and exact within-list
+    top-k.  MATERIALIZED per sweep (CTE inlining would double the tree
+    per iteration)."""
+    chain = _ivf_chain_sql(nlist, iters, dim, train_mod)
+    return chain + f""",
     probes AS (
       SELECT query_id, qv, cluster FROM (
         SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
@@ -2738,6 +2758,99 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ann_ivf_topk"] = _ivf_oracle_sql()
+
+
+def _ann_recall_oracle_sql(
+    nprobes: tuple = (1, 2, 4), k: int = 3, nlist: int = 8, iters: int = 3,
+    dim: int = 64, train_mod: int = 4, nq: int = 20,
+) -> str:
+    """DuckDB replay of recall@k for the IVF ladder: the SAME quantizer
+    chain as the topk oracle, probed at several nprobe settings, each
+    compared against brute-force exact cosine top-k.  Approximate
+    within-list scores round to the 6dp grid (matching ivf_query_index);
+    the exact arm is unrounded on both engines (matching cosine_topk)."""
+    chain = _ivf_chain_sql(nlist, iters, dim, train_mod)
+    np_list = ", ".join(str(int(t)) for t in nprobes)
+    return chain + f""",
+    pall AS MATERIALIZED (
+      SELECT query_id, qv, cluster, rn FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e, c{iters} c WHERE e.vec_id < {nq})),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, e2.v) DESC, e2.vec_id) AS rn
+        FROM e q JOIN e e2 ON e2.vec_id != q.vec_id
+        WHERE q.vec_id < {nq}) WHERE rn <= {k}),
+    nps AS (SELECT unnest([{np_list}]) AS nprobe),
+    ascored AS (
+      SELECT n.nprobe, p.query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, b.v), 6) AS s
+      FROM nps n JOIN pall p ON p.rn <= n.nprobe
+      JOIN binned b ON b.cluster = p.cluster
+      WHERE b.vec_id != p.query_id),
+    atop AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                    ORDER BY s DESC, neighbor_id) AS rn
+        FROM ascored) WHERE rn <= {k}),
+    hits AS (
+      SELECT a.nprobe, a.query_id, count(*) AS h
+      FROM atop a JOIN exact x
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY 1, 2),
+    base AS (
+      SELECT n.nprobe, q.query_id
+      FROM nps n, (SELECT DISTINCT query_id FROM exact) q)
+    SELECT nprobe, {k} AS k, count(*) AS n_queries,
+           round(avg(coalesce(h, 0) / {k}.0), 4) AS mean_recall
+    FROM base LEFT JOIN hits USING (nprobe, query_id)
+    GROUP BY nprobe"""
+
+
+@query("ann_recall_at_k", None)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs exact top-k across an nprobe sweep —
+    the retrieval-quality dial production ANN users tune (faiss reports
+    exactly this curve).  Built on the train-once/query-many split: ONE
+    ivf_build_index call, then one query-only probe pass per nprobe
+    against the shared materialized index."""
+    from financial_data_science_spark.functions.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_query_index,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(q, emb, k=3)
+    index = ivf_build_index(emb, nlist=8, iters=3, train_mod=4, persist=True)
+    parts = []
+    for np_ in (1, 2, 4):
+        approx = ivf_query_index(q, index, k=3, nprobe=np_)
+        parts.append(
+            recall_at_k(approx, exact, k=3).agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                _r(F.avg("recall"), 4).alias("mean_recall"),
+            ).select(
+                F.lit(np_).alias("nprobe"),
+                F.lit(3).alias("k"),
+                "n_queries",
+                "mean_recall",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE["ann_recall_at_k"] = _ann_recall_oracle_sql()
 
 
 def _parametric_risk_oracle_sql(alpha: float = 0.05) -> str:
@@ -5851,6 +5964,47 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
 
 
+# Train-once index cache for the query-only IVFPQ entry: keyed by sf_dir
+# so repeat calls (bench reruns, the driver's multi-pass compare) pay
+# probe+ADC only — the faiss train/add vs search split.  The coded
+# corpus inside is localCheckpoint-materialized (ivfpq_build_index
+# persist=True); results are bit-identical to ann_ivfpq_topk, so the
+# same oracle SQL checks it.
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+@query("ann_ivfpq_query_only", None)
+def ann_ivfpq_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with the index built ONCE and reused (query-only path):
+    measures what a standing 100 TB ANN deployment actually pays per
+    query batch — probe + m-lookup ADC over the materialized coded
+    corpus — instead of retraining both quantizers per call the way the
+    fused oracle-path entry must for determinism."""
+    from financial_data_science_spark.functions.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    key = (sf_dir, id(spark))
+    index = _IVFPQ_INDEX_CACHE.get(key)
+    if index is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = ivfpq_build_index(
+            emb, dim=64, nlist=8, m=2, k=8, iters=2, train_mod=4, persist=True
+        )
+        _IVFPQ_INDEX_CACHE[key] = index
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_query_index(
+        emb.filter(F.col("vec_id") < 10), index, nprobe=2, topk=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r("approx_d2", 4).alias("approx_d2")
+    )
+
+
+ORACLE["ann_ivfpq_query_only"] = _ivfpq_oracle_sql()
+
+
 def _ivfpq_residual_oracle_sql(
     dim: int = 64,
     nlist: int = 8,
@@ -6132,83 +6286,86 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-gate ordering: the per-round driver checks a bounded 50-entry
-# prefix of queries() (CORRECTNESS_r01-r04 each contain exactly 50 rows
-# while the catalog grew past 100; 134 as of round 5).  Rounds 1-4 pinned the round-3 set,
-# which froze driver verification at the same 50 queries forever; round 5
-# re-curates the prefix for maximum evidence value: the 44 queries that
-# have NEVER earned a driver row (every round-4/5 operator, the
-# universe_assembly flagship, the streaming-graph twins) plus 6 family
-# anchors from the proven set.  Everything rotated out keeps four rounds
-# of recorded driver-green (CORRECTNESS_r01-r04) and stays guarded by the
-# local replica (tools/check_correctness.py), which runs the full
-# catalog (134 as of round 5) — green at sf0.01 AND sf0.1 (SCALE.md).
+# prefix of queries() (the driver checks exactly the first 50 rows while
+# the catalog is 136+).  Round 5 rotated in the 44 rows that had never
+# earned a driver row; CORRECTNESS_r05 is green on all of them.  Round 6
+# rotates AGAIN: the 38 remaining never-driver-checked queries (the full
+# PQ/IVFPQ/SQ8 ANN ladder, pii_redaction, contamination_overlap,
+# token_budget_packing, hash_split_assign, sql_front_end,
+# fft_cross_correlation, the graph centrality family, the sink/store
+# round trips, the multimodal plumbing, the remaining streaming twins)
+# plus 12 family anchors from the proven set, so that after this round
+# every catalog query has at least one recorded driver-green row.
+# Everything rotated out keeps recorded driver-green rounds
+# (CORRECTNESS_r01-r05) and stays guarded by the local replica
+# (tools/check_correctness.py), which runs the full catalog — green at
+# sf0.01 AND sf0.1 (SCALE.md).
 _GATE_ORDER = [
-    # flagship + the judge's named must-haves first
-    "universe_assembly",
-    "ann_ivf_topk",
-    "fama_macbeth_premium",
-    "event_study_corrected",
-    # §2.1 sources/sinks
-    "coercion_roundtrip",
-    "upsert_insert_ignore",
-    "vintage_latest_asof",
-    "tcode_transforms",
-    "io_regroup",
-    "ff_scale_sentinels",
-    "split_back_adjust",
-    "unpivot_flag_revenue",
-    # §2.2 projection/filter
-    "coercion_keep_drop_replace",
-    "clean_trades_stats",
-    "prevailing_click_at_purchase",
+    # family anchors (driver-green in r5 or earlier; keep the flagship
+    # and one representative per §2 family on every round's record)
+    "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
+    "asof_join_backward",       # §2.3 as-of join
+    "tcode_transforms",         # §2.1 vintage sources + §2.5 lag chains
+    "fama_macbeth_premium",     # §2.10 econometrics
+    "event_study_corrected",    # §2.10 event-study correction
+    "ann_ivf_topk",             # ANN ladder anchor
+    "dedup_exact_docs",         # LLM dedup anchor
+    "corpus_curation_pipeline", # LLM pipeline composition
+    "supply_eigenvector",       # graph family anchor
+    "stream_ewma_final",        # §2.9 custom stateful streaming
+    # --- the 38 never-driver-checked rows ---
+    # §2.1 sources/sinks/stores
+    "csv_load_coercion",
+    "signals_sink_roundtrip",
+    "named_store_roundtrip",
+    "cached_section_reuse",
+    # §2.2 predicates / dispatch
+    "predicate_parser_filter",
+    "identifier_find_dispatch",
+    "sql_front_end",
     # §2.3 joins
-    "asof_join_backward",
-    "permno_links_asof",
-    "dated_lookup_apply",
-    "portfolio_monthly_returns",
-    # §2.4 aggregations
-    "q1_pricing_summary",
-    "outlier_fences_tukey",
-    "rolling_beta_12m",
-    "car_by_relative_day",
-    "parametric_risk_summary",
-    "backtest_attribution",
-    "hac_mean_discount",
+    "ticker_bridge_join",
+    "bivariate_spread_holdings",
+    # §2.4 / finance
+    "bond_portfolio_pricing",
+    "daily_portfolio_performance",
+    "min_variance_weights_3",
+    "fft_cross_correlation",
     # §2.5 windows
-    "max_drawdown_windows",
-    "ewma_riskmetrics_vol",
-    "smoothed_holdings",
-    # §2.6 sorts / §2.7 set ops
-    "q3_top_revenue_orders",
-    "lapsed_supplier_parts",
-    # §2.8 scalar functions
-    "ohlc_volatility",
-    # §2.9 streaming expression graphs (batch-run twins) + the custom
-    # stateful operator (applyInPandasWithState EWMA recursion)
-    "stream_tick_bins_5min",
-    "stream_session_windows",
-    "stream_ewma_final",
-    # §2.10 UDF/UDAF + graph
-    "adf_by_user",
-    "structural_break_fstats",
-    "supply_eigenvector",
-    "supply_kcore",
-    "supply_betweenness_sampled",
-    # LLM-pipeline suite
-    "corpus_curation_pipeline",
-    "dedup_canonical_keep",
-    "document_filter_gate",
-    "cosine_ann_bucketed",
-    "tfidf_top_terms",
-    "pii_pattern_census",
-    "repetition_quality",
-    # round-5-new operators rotated in for driver rows; the three proven
-    # anchors rotated out (fractile_deciles, next_trading_day,
-    # near_dup_clusters) keep four recorded driver-green rounds and their
-    # §2 families stay covered by other prefix rows
-    "minhash_lsh_stopshingle",
-    "doc_chunking",
-    "mixture_sample_sources",
+    "drop_unchanged_rows",
+    # §2.9 streaming twins
+    "stream_dedup_distinct_keys",
+    "stream_static_enrich",
+    # §2.10 graph family
+    "supply_personalized_pagerank",
+    "supply_closeness",
+    "supply_hits",
+    "supply_assortativity",
+    "supply_community_quality",
+    "cosupply_clustering",
+    "cosupply_graph_info",
+    # ANN ladder (round-5 additions)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_refined",
+    "ann_sq8_topk",
+    "embedding_near_dups",
+    # LLM training-data pipeline
+    "hash_split_assign",
+    "token_budget_packing",
+    "contamination_overlap",
+    "batch_assign_epochs",
+    "pad_sequences_batch",
+    "pii_redaction",
+    "corpus_curation_pipeline_v2",
+    # multimodal plumbing
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # round-6-new: recall metric + train/query split (driver rows on
+    # their debut round; two multi-round-green anchors rotated out)
+    "ann_recall_at_k",
+    "ann_ivfpq_query_only",
 ]
 
 
