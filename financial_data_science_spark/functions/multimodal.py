@@ -65,11 +65,15 @@ def _decode_image_real(payload: bytes) -> dict:
     try:
         import numpy as np
         from PIL import Image
-    except ImportError as e:  # pragma: no cover - environment-dependent
+    except ImportError as e:
+        # No Pillow: PNG payloads still decode for REAL via the
+        # stdlib-only codec; other formats need the library.
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_image_purepy(payload)
         raise ImportError(
-            "Pillow is required for decode_stub=False; install it or use "
-            "decode_stub=True (deterministic fake) / decode_stub=None "
-            "(auto-detect)"
+            "Pillow is required for decode_stub=False on non-PNG "
+            "payloads; install it or use decode_stub=True (deterministic "
+            "fake) / decode_stub=None (auto-detect)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:
         width, height = im.size
@@ -88,6 +92,49 @@ def _decode_image_real(payload: bytes) -> dict:
         "width": int(width),
         "height": int(height),
         "mean_luma": float(arr.mean() / 255.0),
+        "phash": phash,
+    }
+
+
+def _decode_image_purepy(payload: bytes) -> dict:
+    """Real PNG decode via the stdlib-only codec (png_codec.py) — the
+    no-Pillow arm of the real-decode path.  Same feature contract as the
+    Pillow arm: dimensions, mean luma in [0,1], 64-bit aHash.  The aHash
+    thumbnail here is an 8x8 box average (vs Pillow's LANCZOS resample),
+    so hash BITS differ across arms while the semantics — deterministic
+    perceptual bucketing of the same image — are identical; never mix
+    arms within one dedup corpus."""
+    from financial_data_science_spark.functions.png_codec import decode, luma_rows
+
+    width, height, channels, rows = decode(payload)
+    luma = luma_rows(width, height, channels, rows)
+    total = sum(sum(r) for r in luma)
+    npx = width * height
+    # 8x8 box-average thumbnail on integer cell boundaries (cells clamp
+    # to >=1 pixel so tiny images still hash deterministically)
+    cells = []
+    for y in range(8):
+        r0 = y * height // 8
+        r1 = max((y + 1) * height // 8, r0 + 1)
+        for x in range(8):
+            c0 = x * width // 8
+            c1 = max((x + 1) * width // 8, c0 + 1)
+            acc = n = 0
+            for yy in range(r0, min(r1, height)):
+                seg = luma[yy][c0 : min(c1, width)]
+                acc += sum(seg)
+                n += len(seg)
+            cells.append(acc / n if n else 0.0)
+    thresh = sum(cells) / 64.0
+    phash = 0
+    for v in cells:
+        phash = (phash << 1) | int(v > thresh)
+    if phash >= 1 << 63:  # two's-complement into LongType
+        phash -= 1 << 64
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_luma": float(total / npx / 255.0),
         "phash": phash,
     }
 
