@@ -417,3 +417,59 @@ def test_sq8_roundtrip_and_recall(spark):
         got = set(out[out.query_id == q].neighbor_id)
         hits += len(exact & got); tot += 3
     assert hits / tot >= 0.9, (hits, tot)
+
+
+def test_recall_at_k_semantics(spark):
+    """recall_at_k: per-query overlap fraction vs exact; queries the
+    approximate side missed entirely surface with recall 0; explicit k
+    overrides the per-query denominator."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: both right; q2: one right one wrong; q3: absent entirely
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    import financial_data_science_spark.functions.similarity as S
+
+    got = {r["query_id"]: r["recall"]
+           for r in S.recall_at_k(approx, exact).collect()}
+    assert got == {1: 1.0, 2: 0.5, 3: 0.0}
+    # explicit k=4 denominator: q1 2/4, q2 1/4, q3 0
+    got4 = {r["query_id"]: r["recall"]
+            for r in S.recall_at_k(approx, exact, k=4).collect()}
+    assert got4 == {1: 0.5, 2: 0.25, 3: 0.0}
+
+
+def test_ivf_index_split_matches_fused(spark):
+    """ivf_build_index + ivf_query_index must return exactly what the
+    fused ivf_topk returns (the split is a refactor, not a new
+    algorithm); a persisted index serves multiple nprobe settings."""
+    import numpy as np
+    import pandas as pd
+
+    import financial_data_science_spark.functions.similarity as S
+
+    rng = np.random.RandomState(7)
+    M = rng.randn(160, 8)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, M[i].tolist()) for i in range(160)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    fused = S.ivf_topk(q, emb, k=4, nlist=4, nprobe=2, iters=2).toPandas()
+    index = S.ivf_build_index(emb, nlist=4, iters=2, persist=True)
+    split = S.ivf_query_index(q, index, k=4, nprobe=2).toPandas()
+    key = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        fused.sort_values(key).reset_index(drop=True),
+        split.sort_values(key).reset_index(drop=True),
+    )
+    # same index answers a different nprobe without retraining
+    n1 = S.ivf_query_index(q, index, k=4, nprobe=1).count()
+    assert n1 > 0

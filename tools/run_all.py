@@ -1,0 +1,102 @@
+"""One-command repro of every number in README/COVERAGE/SCALE.
+
+Runs, in order:
+  1. pytest (the unit/property suite)
+  2. the correctness replica (tools/check_correctness.py) at sf0.01
+  3. the correctness replica at sf0.1
+  4. bench.py at sf0.1 (headline JSON + BENCH_DETAIL.json)
+
+and writes a single summary JSON (tools/run_all_summary.json) plus a
+human-readable line per stage.  Any stage failing makes the exit code
+nonzero.  Stages can be skipped: ``python tools/run_all.py --skip
+pytest,sf01`` (names: pytest, sf001, sf01, bench).
+
+Each stage runs in a SUBPROCESS so Spark sessions don't share JVMs and a
+crash in one stage can't poison the next.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd: list[str], env: dict | None = None, timeout: int = 3600) -> dict:
+    t0 = time.time()
+    full_env = {**os.environ, **(env or {})}
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=full_env, capture_output=True, text=True,
+        timeout=timeout,
+    )
+    return {
+        "cmd": " ".join(cmd),
+        "rc": proc.returncode,
+        "sec": round(time.time() - t0, 1),
+        "stdout_tail": proc.stdout[-2000:],
+        "stderr_tail": proc.stderr[-2000:],
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="", help="comma list: pytest,sf001,sf01,bench")
+    args = ap.parse_args()
+    skip = {s.strip() for s in args.skip.split(",") if s.strip()}
+
+    summary: dict = {"stages": {}, "ok": True}
+
+    def stage(name: str, cmd: list[str], env: dict | None = None,
+              check=None) -> None:
+        if name in skip:
+            summary["stages"][name] = {"skipped": True}
+            print(f"[run_all] {name}: SKIPPED")
+            return
+        r = _run(cmd, env)
+        verdict = r["rc"] == 0 and (check is None or check(r))
+        summary["stages"][name] = {**r, "ok": verdict}
+        summary["ok"] = summary["ok"] and verdict
+        print(f"[run_all] {name}: {'OK' if verdict else 'FAIL'} "
+              f"({r['sec']}s, rc={r['rc']})")
+        if not verdict:
+            print(r["stdout_tail"][-800:])
+            print(r["stderr_tail"][-800:], file=sys.stderr)
+
+    def all_green(r: dict) -> bool:
+        m = re.search(r"(\d+) pass, (\d+) fail, (\d+) rows-only", r["stdout_tail"])
+        return bool(m) and m.group(2) == "0"
+
+    def bench_parses(r: dict) -> bool:
+        for line in reversed(r["stdout_tail"].strip().splitlines()):
+            try:
+                d = json.loads(line)
+                summary["bench_headline"] = d
+                return "queries" in d and "value" in d
+            except json.JSONDecodeError:
+                continue
+        return False
+
+    stage("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    stage("sf001", [sys.executable, "tools/check_correctness.py"],
+          env={"SPARK_GRAFT_CHECK_SF_DIR": "/root/testdata/sf0.01"},
+          check=all_green)
+    stage("sf01", [sys.executable, "tools/check_correctness.py"],
+          env={"SPARK_GRAFT_CHECK_SF_DIR": "/root/testdata/sf0.1"},
+          check=all_green)
+    stage("bench", [sys.executable, "bench.py"], check=bench_parses)
+
+    out = os.path.join(REPO, "tools", "run_all_summary.json")
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(f"[run_all] {'ALL GREEN' if summary['ok'] else 'FAILURES'} -> {out}")
+    return 0 if summary["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
