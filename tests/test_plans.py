@@ -332,3 +332,44 @@ def test_no_slow_paths_anywhere_in_catalog(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_rerank_exact_broadcasts_candidates(spark):
+    """rerank_exact's two vector fetches must broadcast the candidate
+    side (it is |Q| x R pairs by construction): the corpus streams, it
+    is never shuffled or broadcast itself."""
+    from financial_data_science_spark.functions.similarity import rerank_exact
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cand = (
+        emb.limit(3).selectExpr("vec_id as query_id")
+        .crossJoin(emb.limit(9).selectExpr("vec_id as neighbor_id"))
+        .filter("query_id != neighbor_id")
+    )
+    plan = _plan(rerank_exact(cand, emb, k=3))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the corpus-side scans must not feed an Exchange (shuffle)
+    assert "Exchange hashpartitioning" not in plan.split("Window")[0], plan
+
+
+def test_ivfpq_query_index_plan_is_probe_only(spark):
+    """The query-only IVFPQ path: probes broadcast onto the pre-built
+    coded corpus, ADC scoring map-side, one window for top-k — no
+    Exchange hashpartitioning anywhere before the window (training and
+    encoding happened at build time, not in this plan)."""
+    from financial_data_science_spark.functions.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = ivfpq_build_index(emb, dim=64, nlist=4, m=2, k=4, iters=1,
+                              persist=True)
+    plan = _plan(ivfpq_query_index(emb.filter(F.col("vec_id") < 5), index,
+                                   nprobe=2, topk=3))
+    assert "BroadcastHashJoin" in plan, plan
+    pre_window = plan.split("Window")[0]
+    assert "Exchange hashpartitioning" not in pre_window, plan
+    assert "CartesianProduct" not in plan
