@@ -79,6 +79,7 @@ EXTENDED_QUERIES = [
     "ann_sq8_topk",
     "ann_ivfpq_query_only",
     "ann_recall_at_k",
+    "bpe_train_merges",
 ]
 
 

@@ -1,0 +1,162 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+The tokenizer-training workload of an LLM data pipeline, Spark-first:
+the corpus collapses to a (word, freq) table (groupBy — unique words are
+orders of magnitude fewer than tokens), each merge iteration is one
+pair-count aggregation (explode adjacent symbol pairs, sum word freqs)
+plus a map-side merge rewrite, and ONLY the single winning pair row ever
+reaches the driver per iteration (the same bounded-collect discipline as
+the IVF centroid loop).  No RNG, integer counts, lexicographic
+tie-breaks — a SQL oracle replays training decision-for-decision.
+
+Representation: a word is its symbols joined by single spaces with a
+trailing end-of-word marker (``h e l l o </w>``).  A merge of pair
+(a, b) is ``replace(' '||s||' ', ' a b ', ' ab ')`` applied
+``passes`` times: one replace pass is left-to-right non-overlapping
+(identical in Spark's ``replace`` and DuckDB's), so adjacent
+occurrences sharing a boundary space need another pass — ``passes=4``
+converges for same-pair runs up to 2^4 symbols, and BOTH engines apply
+the identical bounded-pass operator, so results match even in the
+(corpus-irrelevant) ultra-run corner.
+
+Reference scope note: the reference repo stops at token *counting*
+(unstructured text recipes); BPE *training* is part of the
+training-data-pipeline surface this engine adds (SURVEY §2 extension),
+mirroring the classic Sennrich et al. (2016) greedy merge procedure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def words_to_symbols(word: str | Column) -> Column:
+    """``'hello'`` -> ``'h e l l o </w>'``: char symbols + end-of-word
+    marker, space-joined (the BPE working representation)."""
+    w = F.col(word) if isinstance(word, str) else word
+    chars = F.filter(F.split(w, "(?!^)"), lambda t: t != "")
+    return F.concat(F.array_join(chars, " "), F.lit(" " + EOW))
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, freq) over whitespace-split tokens — the corpus collapse
+    that makes BPE training cheap: every later stage is per unique word."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word freq: one explode +
+    one hash aggregate (map-side combinable), the whole per-iteration
+    shuffle."""
+    arr = F.split(F.col("s"), " ")
+    n = F.size(arr)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(s, ' ')) - 1), "
+        "i -> struct(split(s, ' ')[i - 1] AS a, split(s, ' ')[i] AS b))"
+    )
+    return (
+        syms.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_expr(s: Column, a: str, b: str, passes: int) -> Column:
+    """Bounded-pass greedy merge of pair (a, b) inside the padded symbol
+    string — pure JVM string ops, map-side."""
+    e = F.concat(F.lit(" "), s, F.lit(" "))
+    pat, rep = f" {a} {b} ", f" {a}{b} "
+    for _ in range(passes):
+        e = F.replace(e, F.lit(pat), F.lit(rep))
+    return F.trim(e)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    passes: int = 4,
+    lowercase: bool = True,
+) -> tuple[list[dict], DataFrame]:
+    """Train ``num_merges`` BPE merges over the corpus.
+
+    Returns ``(merges, symbols)``: merges as a list of dicts
+    ``{it, left, right, merged, cnt}`` in training order, and the final
+    (word-symbols, freq) frame.  Per iteration: one pair-count aggregate,
+    ONE collected row (the argmax pair, ties cnt desc / a asc / b asc),
+    one map-side rewrite; lineage is truncated with localCheckpoint per
+    sweep (the pagerank discipline) so plans stay flat."""
+    wf = word_frequencies(docs, text_col, lowercase)
+    syms = wf.select(
+        words_to_symbols("word").alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for it in range(1, num_merges + 1):
+        # deterministic argmax without a sort: min of (-cnt, a, b) is
+        # cnt desc with (a, b) lexicographic tie-break — one two-phase
+        # hash aggregate, one row to the driver
+        top = (
+            _pair_counts(syms)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("negcnt"),
+                        F.col("a"),
+                        F.col("b"),
+                    )
+                ).alias("m")
+            )
+            .collect()
+        )
+        if not top or top[0]["m"] is None:
+            break
+        m = top[0]["m"]
+        a, b, cnt = m["a"], m["b"], int(-m["negcnt"])
+        merges.append(
+            {"it": it, "left": a, "right": b, "merged": a + b, "cnt": cnt}
+        )
+        syms = syms.select(
+            _merge_expr(F.col("s"), a, b, passes).alias("s"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges, syms
+
+
+def bpe_apply(
+    text: Column, merges: list[dict], passes: int = 4, lowercase: bool = True
+) -> Column:
+    """Apply trained merges to a text column -> array of BPE tokens (per
+    word, flattened in order).  The merge list rides inline as literal
+    replace chains — num_merges x passes JVM string ops per word, no
+    shuffle, no UDF."""
+    c = F.lower(text) if lowercase else text
+    toks = F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+
+    def seg(w: Column) -> Column:
+        s = F.concat(
+            F.array_join(F.filter(F.split(w, "(?!^)"), lambda t: t != ""), " "),
+            F.lit(" " + EOW),
+        )
+        for m in merges:
+            pat = f" {m['left']} {m['right']} "
+            rep = f" {m['merged']} "
+            e = F.concat(F.lit(" "), s, F.lit(" "))
+            for _ in range(passes):
+                e = F.replace(e, F.lit(pat), F.lit(rep))
+            s = F.trim(e)
+        return F.split(s, " ")
+
+    return F.flatten(F.transform(toks, seg))

@@ -6300,6 +6300,113 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_r01-r05) and stays guarded by the local replica
 # (tools/check_correctness.py), which runs the full catalog — green at
 # sf0.01 AND sf0.1 (SCALE.md).
+# =====================================================================
+# BPE tokenizer training (LLM-pipeline extension, functions/bpe.py)
+# =====================================================================
+
+def _bpe_chain_ctes(num_merges: int, passes: int) -> str:
+    """Shared DuckDB CTE chain replaying BPE training decision-for-
+    decision: word frequencies -> symbol strings -> per-iteration
+    (pair-count aggregate, deterministic argmax b{k}, bounded-pass
+    merge rewrite s{k}) — the same integer counts, lexicographic
+    tie-break, and left-to-right replace semantics as functions/bpe.py."""
+    head = """
+    WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+          '\\s+'), w -> w != '')) AS word
+        FROM documents) GROUP BY 1),
+    s0 AS MATERIALIZED (
+      SELECT array_to_string(regexp_split_to_array(word, ''), ' ')
+             || ' </w>' AS s, freq
+      FROM wf)"""
+    step = """,
+    p{k} AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, sum(freq) AS cnt
+      FROM (SELECT unnest(range(1, len(arr))) AS i, arr, freq
+            FROM (SELECT string_split(s, ' ') AS arr, freq FROM s{prev}))
+      GROUP BY 1, 2),
+    b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{k} AS MATERIALIZED (
+      SELECT trim({repl}) AS s, freq FROM s{prev}, b{k})"""
+    repl = "' ' || s || ' '"
+    for _ in range(passes):
+        repl = (
+            f"replace({repl}, ' ' || a || ' ' || b || ' ', "
+            "' ' || a || b || ' ')"
+        )
+    return head + "".join(
+        step.format(k=i, prev=i - 1, repl=repl)
+        for i in range(1, num_merges + 1)
+    )
+
+
+def _bpe_train_oracle_sql(num_merges: int = 8, passes: int = 4) -> str:
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS it, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return _bpe_chain_ctes(num_merges, passes) + f"""
+    SELECT it, left_sym, right_sym, merged, cnt FROM (
+      {unions})
+    ORDER BY it"""
+
+
+@query("bpe_train_merges", None)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): 8 merge
+    iterations over the documents corpus, each one pair-count aggregate
+    + a single collected argmax row + a map-side rewrite.  The oracle
+    replays every training decision (counts, tie-breaks, bounded-pass
+    merges) in SQL — the catalog's first iterative-training operator
+    whose full trajectory is hash-checked, not just its output."""
+    from financial_data_science_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=8, passes=4)
+    return spark.createDataFrame(
+        [
+            (m["it"], m["left"], m["right"], m["merged"], m["cnt"])
+            for m in merges
+        ],
+        "it int, left_sym string, right_sym string, merged string, cnt bigint",
+    )
+
+
+ORACLE["bpe_train_merges"] = _bpe_train_oracle_sql()
+
+
+@query("bpe_segment_tokens", None)
+def bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merges back to the corpus (bpe_apply: literal
+    replace chains, no shuffle, no UDF) and count the resulting BPE
+    tokens — the vocabulary histogram a tokenizer build emits.  Top 20
+    by (count desc, token asc).  The oracle re-trains AND re-segments
+    from scratch in SQL."""
+    from financial_data_science_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=8, passes=4)
+    toks = docs.select(
+        F.explode(bpe_apply(F.col("text"), merges, passes=4)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE["bpe_segment_tokens"] = _bpe_chain_ctes(8, 4) + """
+    SELECT token, cnt FROM (
+      SELECT tok AS token, sum(freq) AS cnt FROM (
+        SELECT unnest(string_split(s, ' ')) AS tok, freq FROM s8)
+      GROUP BY 1)
+    ORDER BY cnt DESC, token ASC LIMIT 20"""
+
+
 _GATE_ORDER = [
     # family anchors (driver-green in r5 or earlier; keep the flagship
     # and one representative per §2 family on every round's record)
@@ -6309,9 +6416,7 @@ _GATE_ORDER = [
     "fama_macbeth_premium",     # §2.10 econometrics
     "event_study_corrected",    # §2.10 event-study correction
     "ann_ivf_topk",             # ANN ladder anchor
-    "dedup_exact_docs",         # LLM dedup anchor
     "corpus_curation_pipeline", # LLM pipeline composition
-    "supply_eigenvector",       # graph family anchor
     "stream_ewma_final",        # §2.9 custom stateful streaming
     # --- the 38 never-driver-checked rows ---
     # §2.1 sources/sinks/stores
@@ -6366,6 +6471,11 @@ _GATE_ORDER = [
     # their debut round; two multi-round-green anchors rotated out)
     "ann_recall_at_k",
     "ann_ivfpq_query_only",
+    # round-6-new: distributed BPE tokenizer training (full trajectory
+    # oracle-replayed) — debut driver rows; two more multi-round-green
+    # anchors (dedup_exact_docs, supply_eigenvector) rotated out
+    "bpe_train_merges",
+    "bpe_segment_tokens",
 ]
 
 

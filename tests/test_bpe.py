@@ -1,0 +1,116 @@
+"""BPE training vs an independent pure-python reference implementation.
+
+The reference here is the classic Sennrich-style greedy merge loop over
+a word-frequency dict — implemented directly on python strings, no
+Spark, no SQL — so the distributed pair-count/argmax/rewrite pipeline is
+checked against genuinely different code."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions.bpe import (
+    EOW,
+    bpe_apply,
+    bpe_train,
+    word_frequencies,
+    words_to_symbols,
+)
+
+
+def ref_bpe(texts: list[str], num_merges: int) -> list[tuple]:
+    """Pure-python greedy BPE: true left-to-right merge (not the
+    bounded-pass replace), cnt desc / lexicographic tie-break."""
+    wf = collections.Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    syms = {w: list(w) + [EOW] for w in wf}
+    merges = []
+    for it in range(1, num_merges + 1):
+        pairs = collections.Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((it, a, b, a + b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+TEXTS = [
+    "the low lower lowest of the low",
+    "new newer newest news new",
+    "low low lower new new newer",
+    "widest wide wider the the the",
+]
+
+
+def test_bpe_train_matches_pure_python(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges, syms = bpe_train(docs, num_merges=10, passes=4)
+    want = ref_bpe(TEXTS, 10)
+    got = [(m["it"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges]
+    assert got == want
+    # final symbol strings also agree with the reference's segmentation
+    ref_syms = {}
+    wf = collections.Counter(w for t in TEXTS for w in t.lower().split())
+    s = {w: list(w) + [EOW] for w in wf}
+    for _, a, b, _, _ in want:
+        for w in s:
+            cur, out, i = s[w], [], 0
+            while i < len(cur):
+                if i + 1 < len(cur) and cur[i] == a and cur[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(cur[i]); i += 1
+            s[w] = out
+    got_syms = {r["s"] for r in syms.collect()}
+    assert got_syms == {" ".join(v) for v in s.values()}
+
+
+def test_bpe_apply_consistent_with_training(spark):
+    """Segmenting the training corpus with the learned merges must give
+    exactly the token multiset of the final training state."""
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges, syms = bpe_train(docs, num_merges=6, passes=4)
+    toks = (
+        docs.select(F.explode(bpe_apply(F.col("text"), merges)).alias("t"))
+        .groupBy("t").count().collect()
+    )
+    got = {r["t"]: r["count"] for r in toks}
+    want = collections.Counter()
+    for r in syms.collect():
+        for t in r["s"].split(" "):
+            want[t] += r["freq"]
+    assert got == dict(want)
+    # every token ends a word boundary correctly: EOW only as a suffix
+    assert all(EOW not in t or t.endswith(EOW) for t in got)
+
+
+def test_bpe_empty_and_degenerate(spark):
+    """Single-char words produce no pairs beyond (char, EOW); an empty
+    corpus trains zero merges instead of raising."""
+    docs = spark.createDataFrame([("a a a",)], "text string")
+    merges, _ = bpe_train(docs, num_merges=3)
+    assert merges[0]["merged"] == "a" + EOW and merges[0]["cnt"] == 3
+    assert len(merges) == 1  # after the first merge no pairs remain
+    empty = spark.createDataFrame([], "text string")
+    merges, _ = bpe_train(empty, num_merges=3)
+    assert merges == []

@@ -31,7 +31,8 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchors
         "universe_assembly", "ann_ivf_topk", "fama_macbeth_premium",
-        "event_study_corrected", "stream_ewma_final", "dedup_exact_docs",
+        "event_study_corrected", "stream_ewma_final",
+        "bpe_train_merges", "bpe_segment_tokens",
         # round-6 rotation: the never-driver-checked families
         "ann_pq_topk", "ann_ivfpq_refined", "ann_sq8_topk",
         "pii_redaction", "contamination_overlap", "token_budget_packing",
