@@ -80,6 +80,7 @@ EXTENDED_QUERIES = [
     "ann_ivfpq_query_only",
     "ann_recall_at_k",
     "bpe_train_merges",
+    "hard_negative_mining",
 ]
 
 

@@ -6300,6 +6300,63 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_r01-r05) and stays guarded by the local replica
 # (tools/check_correctness.py), which runs the full catalog — green at
 # sf0.01 AND sf0.1 (SCALE.md).
+@query(
+    "hard_negative_mining",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS negative_id,
+             e.label AS neg_label,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS s
+      FROM q JOIN e ON e.label != q.qlabel),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, negative_id) AS rn
+      FROM scored)
+    SELECT query_id, qlabel, negative_id, neg_label,
+           round(s, 4) AS score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query,
+    the top-k most-SIMILAR vectors with a DIFFERENT label — the
+    negatives that actually teach an embedding model (random negatives
+    are trivially separable).  Same broadcast-queries / stream-corpus /
+    window-top-k shape as cosine_topk with the label-inequality pushed
+    into the join condition, so excluded same-label rows never reach
+    scoring."""
+    from financial_data_science_spark.functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("__qv__"),
+        )
+    )
+    scored = emb.join(q, F.col("label") != F.col("qlabel")).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.round(cosine(F.col("__qv__"), F.col("embedding")), 6).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "qlabel", "negative_id", "neg_label",
+                _r("s", 4).alias("score"))
+    )
+
+
 # =====================================================================
 # BPE tokenizer training (LLM-pipeline extension, functions/bpe.py)
 # =====================================================================
@@ -6412,7 +6469,6 @@ _GATE_ORDER = [
     # and one representative per §2 family on every round's record)
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
     "asof_join_backward",       # §2.3 as-of join
-    "tcode_transforms",         # §2.1 vintage sources + §2.5 lag chains
     "fama_macbeth_premium",     # §2.10 econometrics
     "event_study_corrected",    # §2.10 event-study correction
     "ann_ivf_topk",             # ANN ladder anchor
@@ -6476,6 +6532,9 @@ _GATE_ORDER = [
     # anchors (dedup_exact_docs, supply_eigenvector) rotated out
     "bpe_train_merges",
     "bpe_segment_tokens",
+    # round-6-new: contrastive hard-negative mining (tcode_transforms,
+    # five rounds driver-green, rotated out)
+    "hard_negative_mining",
 ]
 
 
