@@ -35,6 +35,15 @@ NOTES = {
     "minhash_lsh_candidates": "signatures = one hash aggregate; band "
         "explode then self equi-join on (band, bhash) — shuffle volume "
         "is bands x docs rows, never a cross join.",
+    "ann_ivfpq_query_only": "the train/query split's query half: the "
+        "probe side is BroadcastExchange onto the pre-built coded "
+        "corpus, ADC scoring is a map-side projection of codebook "
+        "literals, and the only Exchange before the top-k Window is the "
+        "build-time join already materialized in the index.",
+    "hard_negative_mining": "label inequality rides inside the "
+        "broadcast join condition (BroadcastNestedLoopJoin on the tiny "
+        "query side), so same-label rows are dropped before cosine "
+        "scoring; one Window for the per-query top-k.",
 }
 
 print("# PLANS — formatted physical plans of the hot operators\n")
