@@ -1556,3 +1556,68 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+# ------------------------------------------------- index persistence
+
+def save_ivfpq_index(index: dict, store, name: str) -> None:
+    """Persist a trained IVF+PQ index through the named parquet Store
+    (datasets.lookup.Store — S19): three tables, no pickles.
+
+    ``{name}__coarse``   (cluster, cv)            — coarse centroids
+    ``{name}__books``    (subspace, cluster, cv)  — PQ codebooks
+    ``{name}__coded``    (id, codes, cluster)     — the encoded corpus
+
+    This is the cluster deployment shape of :func:`ivfpq_build_index`'s
+    ``persist=True``: train once anywhere, write the m-bytes-per-vector
+    coded corpus + a few KB of centroids, and every later query session
+    pays probe + ADC only.  At scale, write ``__coded`` bucketed by
+    ``cluster`` so probes prune files instead of scanning."""
+    spark = index["coded"].sparkSession
+    coarse = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in index["coarse"]],
+        "cluster int, cv array<double>",
+    )
+    books = spark.createDataFrame(
+        [
+            (j, int(c), [float(x) for x in cv])
+            for j, book in enumerate(index["books"])
+            for c, cv in book
+        ],
+        "subspace int, cluster int, cv array<double>",
+    )
+    store.dump(coarse, f"{name}__coarse")
+    store.dump(books, f"{name}__books")
+    store.dump(index["coded"], f"{name}__coded")
+
+
+def load_ivfpq_index(
+    spark,
+    store,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Load a persisted IVF+PQ index back into the dict shape
+    ivfpq_query_index consumes.  The centroid/codebook tables are tiny
+    (nlist + m*k rows) and collect to driver literals — the same
+    inline-literal scoring shape training produces; the coded corpus
+    stays a lazy DataFrame scan."""
+    coarse = sorted(
+        (r["cluster"], list(r["cv"]))
+        for r in store.load(spark, f"{name}__coarse").collect()
+    )
+    brows = store.load(spark, f"{name}__books").collect()
+    nsub = max(r["subspace"] for r in brows) + 1
+    books = [
+        sorted(
+            (r["cluster"], list(r["cv"]))
+            for r in brows
+            if r["subspace"] == j
+        )
+        for j in range(nsub)
+    ]
+    coded = store.load(spark, f"{name}__coded")
+    dim = len(books[0][0][1]) * nsub
+    return {"coarse": coarse, "books": books, "coded": coded,
+            "id_col": id_col, "vec_col": vec_col, "dim": dim}

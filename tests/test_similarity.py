@@ -473,3 +473,38 @@ def test_ivf_index_split_matches_fused(spark):
     # same index answers a different nprobe without retraining
     n1 = S.ivf_query_index(q, index, k=4, nprobe=1).count()
     assert n1 > 0
+
+
+def test_ivfpq_index_store_roundtrip(spark, tmp_path):
+    """save_ivfpq_index/load_ivfpq_index through the parquet Store: the
+    reloaded index must answer queries exactly like the in-memory one
+    (train once anywhere, query from any later session)."""
+    import numpy as np
+    import pandas as pd
+
+    import financial_data_science_spark.functions.similarity as S
+    from financial_data_science_spark.datasets.lookup import Store
+
+    rng = np.random.RandomState(3)
+    M = rng.randn(200, 16)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, M[i].tolist()) for i in range(200)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 6)
+    index = S.ivfpq_build_index(emb, dim=16, nlist=4, m=4, k=4, iters=2,
+                                persist=True)
+    want = S.ivfpq_query_index(q, index, nprobe=2, topk=3).toPandas()
+    store = Store(str(tmp_path))
+    S.save_ivfpq_index(index, store, "ix")
+    assert "ix__coded" in store
+    back = S.load_ivfpq_index(spark, store, "ix")
+    got = S.ivfpq_query_index(q, back, nprobe=2, topk=3).toPandas()
+    key = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        want.sort_values(key).reset_index(drop=True),
+        got.sort_values(key).reset_index(drop=True),
+    )
