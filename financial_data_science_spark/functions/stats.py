@@ -142,7 +142,15 @@ def kupiec_stats(
     keys = [keys] if isinstance(keys, str) else list(keys)
     r = F.col(ret)
     if var_col is None:
-        q = F.percentile(r, F.lit(alpha)).over(Window.partitionBy(*keys))
+        # round the interpolated quantile to the 6dp grid BEFORE the
+        # strict < comparison: with heavy value ties sitting exactly at
+        # the alpha rank, a last-ulp interpolation difference between
+        # engines otherwise flips every tied row in or out of the
+        # violation count (surfaced at the sf1 sweep, 10x-replicated
+        # values) — the repo-wide round-before-compare discipline
+        q = F.round(
+            F.percentile(r, F.lit(alpha)).over(Window.partitionBy(*keys)), 6
+        )
         df = df.withColumn("__negvar__", q)
     else:
         df = df.withColumn("__negvar__", -F.col(var_col))

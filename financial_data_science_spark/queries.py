@@ -1149,7 +1149,7 @@ ORACLE["keydev_event_labels"] = _keydev_oracle_sql()
     "kupiec_var_backtest",
     """
     WITH q AS (
-      SELECT event_type, quantile_cont(value, 0.05) AS qv
+      SELECT event_type, round(quantile_cont(value, 0.05), 6) AS qv
       FROM events GROUP BY event_type),
     agg AS (
       SELECT e.event_type,
