@@ -39,6 +39,23 @@ Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _rfloor(c, dp: int = 6, guard: int = 9):
+    """floor-based guarded rounding (guard-dp digits absorbed first) —
+    the SAME IEEE multiply/add/floor chain the paired oracle SQL spells
+    out, so equal input doubles give equal output in Spark and DuckDB
+    even at exact .5 grid ties (where the engines' native round()
+    conventions diverge: Spark rounds the shortest-decimal string,
+    DuckDB rounds in binary).  Use for outputs of long FP accumulations
+    (compounded products) whose value can land on a rounding boundary
+    at scale; pick dp so the grid step stays thousands of ulps above
+    the value's magnitude (e.g. dp=2 for 1e6-magnitude compounds)."""
+    col = c if not isinstance(c, str) else F.col(c)
+    return (
+        F.floor(F.floor(col * float(10**guard) + 0.5)
+                / float(10 ** (guard - dp)) + 0.5) / float(10**dp)
+    )
+
+
 def _r(c, n=6):
     return F.round(c, n)
 
@@ -3350,11 +3367,11 @@ def window_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity > 49
       GROUP BY l_suppkey)
     SELECT coalesce(base.l_suppkey, dl.l_suppkey) AS l_suppkey,
-           round((1 + coalesce(base.ret, 0)) *
+           floor(floor(((1 + coalesce(base.ret, 0)) *
                  (1 + CASE WHEN dl.dlret IS NULL
                             AND coalesce(base.l_suppkey, dl.l_suppkey) % 7 IN (0, 1)
-                           THEN -0.3 ELSE coalesce(dl.dlret, 0) END) - 1,
-                 6) AS adj_ret
+                           THEN -0.3 ELSE coalesce(dl.dlret, 0) END) - 1)
+                 * 1e6 + 0.5) / 1e4 + 0.5) / 1e2 AS adj_ret
     FROM base FULL OUTER JOIN dl ON base.l_suppkey = dl.l_suppkey
     """,
 )
@@ -3386,8 +3403,15 @@ def delist_adjusted_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.coalesce("dlret", F.lit(0.0)))
     return j.select(
         "l_suppkey",
-        _r(
-            (1 + F.coalesce("ret", F.lit(0.0))) * (1 + dl_eff) - 1, 6
+        # floor-based guarded rounding at dp=2: the fixture compounds
+        # hundreds of discounts, so adj_ret reaches 1e6 magnitude where
+        # a 6dp grid step is only ~5000 ulps — accumulation-order noise
+        # lands on boundaries at scale (surfaced at the sf1 sweep).
+        # 2dp keeps 8-9 significant digits and a grid step ~5e8 ulps
+        # above the noise; the floor chain is engine-identical IEEE ops
+        _rfloor(
+            (1 + F.coalesce("ret", F.lit(0.0))) * (1 + dl_eff) - 1,
+            dp=2, guard=6,
         ).alias("adj_ret"),
     )
 
@@ -3396,7 +3420,8 @@ def delist_adjusted_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_rollup",
     """
     SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
-           round(product(1 + l_discount) - 1, 6) AS mret,
+           floor(floor((product(1 + l_discount) - 1) * 1e9 + 0.5)
+                 / 1e3 + 0.5) / 1e6 AS mret,
            round(arg_max(l_extendedprice,
                          epoch(l_shipdate)::BIGINT * 100000000
                          + l_orderkey * 10 + l_linenumber), 2) AS last_price
@@ -3418,7 +3443,9 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(
         "l_suppkey", F.date_trunc("month", "l_shipdate").alias("month")
     ).agg(
-        _r(compounded("l_discount", alias="mret"), 6).alias("mret"),
+        # floor-based guarded rounding: see delist_adjusted_compound
+        # (mret stays ~0.1 magnitude, so dp=6 with the 9dp guard holds)
+        _rfloor(compounded("l_discount", alias="mret")).alias("mret"),
         _r(F.max_by("l_extendedprice", sortkey), 2).alias("last_price"),
     )
 
