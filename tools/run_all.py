@@ -47,6 +47,8 @@ def _run(cmd: list[str], env: dict | None = None, timeout: int = 3600) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="", help="comma list: pytest,sf001,sf01,bench")
+    ap.add_argument("--sf1", action="store_true",
+                    help="also generate /tmp/sf1 and sweep the catalog there")
     args = ap.parse_args()
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
 
@@ -90,6 +92,21 @@ def main() -> int:
           env={"SPARK_GRAFT_CHECK_SF_DIR": "/root/testdata/sf0.1"},
           check=all_green)
     stage("bench", [sys.executable, "bench.py"], check=bench_parses)
+    if args.sf1:
+        # 100x-the-gate sweep: generate the blowup, then run the full
+        # catalog against it, skipping only the two cosupply queries
+        # whose DUCKDB ORACLE (not the engine — see SCALE.md) is
+        # sf1-bound.  Several hours of wall if run after a cold start.
+        stage("sf1_gen", [sys.executable, "tools/blowup_sf.py",
+                          "--factor", "10", "--out", "/tmp/sf1"])
+        sys.path.insert(0, REPO)
+        from financial_data_science_spark.queries import Q
+
+        names = [n for n in Q
+                 if n not in ("cosupply_clustering", "cosupply_graph_info")]
+        stage("sf1", [sys.executable, "tools/check_correctness.py", *names],
+              env={"SPARK_GRAFT_CHECK_SF_DIR": "/tmp/sf1"},
+              check=all_green)
 
     out = os.path.join(REPO, "tools", "run_all_summary.json")
     with open(out, "w") as fh:
