@@ -108,10 +108,13 @@ def main() -> int:
               env={"SPARK_GRAFT_CHECK_SF_DIR": "/tmp/sf1"},
               check=all_green)
 
+    ran_any = any(not v.get("skipped") for v in summary["stages"].values())
     out = os.path.join(REPO, "tools", "run_all_summary.json")
-    with open(out, "w") as fh:
-        json.dump(summary, fh, indent=1)
-    print(f"[run_all] {'ALL GREEN' if summary['ok'] else 'FAILURES'} -> {out}")
+    if ran_any:  # never clobber a real record with an all-skipped run
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    print(f"[run_all] {'ALL GREEN' if summary['ok'] else 'FAILURES'}"
+          f"{' -> ' + out if ran_any else ' (nothing ran; summary not written)'}")
     return 0 if summary["ok"] else 1
 
 
