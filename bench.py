@@ -81,6 +81,8 @@ EXTENDED_QUERIES = [
     "ann_recall_at_k",
     "bpe_train_merges",
     "hard_negative_mining",
+    "hard_negative_mining_production",
+    "bpe_train_batched",
 ]
 
 
@@ -296,8 +298,12 @@ def main() -> None:
     print("# detail: " + json.dumps(detail), file=sys.stderr)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 3800:  # hard guard: drop labeled blocks before the headline
+        # self-describing: "truncated" distinguishes 'dropped for line
+        # length' from 'these query sets were not run' (full numbers
+        # remain in BENCH_DETAIL.json and on stderr)
         out.pop("extended", None)
         out.pop("oracle_path", None)
+        out["truncated"] = True
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -91,6 +91,7 @@ def bpe_train(
     num_merges: int = 8,
     passes: int = 4,
     lowercase: bool = True,
+    min_freq: int = 1,
 ) -> tuple[list[dict], DataFrame]:
     """Train ``num_merges`` BPE merges over the corpus.
 
@@ -99,7 +100,12 @@ def bpe_train(
     (word-symbols, freq) frame.  Per iteration: one pair-count aggregate,
     ONE collected row (the argmax pair, ties cnt desc / a asc / b asc),
     one map-side rewrite; lineage is truncated with localCheckpoint per
-    sweep (the pagerank discipline) so plans stay flat."""
+    sweep (the pagerank discipline) so plans stay flat.
+
+    ``min_freq`` is the standard frequency-threshold stopping rule
+    (Sennrich et al. 2016 use 2 in practice): training stops early when
+    the best remaining pair occurs fewer than ``min_freq`` times —
+    merges below that threshold memorize corpus noise, not structure."""
     wf = word_frequencies(docs, text_col, lowercase)
     syms = wf.select(
         words_to_symbols("word").alias("s"), "freq"
@@ -126,6 +132,8 @@ def bpe_train(
             break
         m = top[0]["m"]
         a, b, cnt = m["a"], m["b"], int(-m["negcnt"])
+        if cnt < min_freq:
+            break
         merges.append(
             {"it": it, "left": a, "right": b, "merged": a + b, "cnt": cnt}
         )
@@ -142,6 +150,7 @@ def bpe_train_batched(
     batch: int = 8,
     passes: int = 4,
     lowercase: bool = True,
+    min_freq: int = 1,
 ) -> tuple[list[dict], DataFrame]:
     """BPE training with BATCHED merges: per sweep, take the top
     ``batch`` pairs whose symbols are mutually DISJOINT (greedy over the
@@ -152,12 +161,19 @@ def bpe_train_batched(
     batching is THE dial for real tokenizer builds.
 
     Disjointness makes the batch order-free: no selected pair shares a
-    symbol with another, so applying them in any order gives the same
-    result, and each pair's count is exact at selection time (classic
-    BPE interactions only arise between overlapping pairs).  With
-    ``batch=1`` this IS classic greedy BPE (pytest-pinned).  Merge
-    ranks still record one merge per row, in (cnt desc, a, b) order
-    within each sweep.
+    symbol with another AND no selected pair's merged symbol collides
+    with another pick's symbols or merged symbol (two picks minting the
+    same token — e.g. ('a','bc') and ('ab','c') both producing 'abc' —
+    would break the one-rank-per-symbol invariant a tokenizer vocab
+    needs), so applying them in any order gives the same result, and
+    each pair's count is exact at selection time (classic BPE
+    interactions only arise between overlapping pairs).  With
+    ``batch=1`` this IS classic greedy BPE (oracle-pinned: the
+    `bpe_train_batched` gate query runs batch=1 against the classic
+    training-replay SQL).  Merge ranks still record one merge per row,
+    in (cnt desc, a, b) order within each sweep.  ``min_freq`` stops as
+    in :func:`bpe_train` (sub-threshold picks are dropped; a sweep
+    whose best pair is sub-threshold ends training).
 
     Measured trade (sf1 docs, 256 merges): batch=32 is 1.5x faster than
     classic (per-sweep cost at this corpus is dominated by compiling the
@@ -184,15 +200,20 @@ def bpe_train_batched(
         )
         if not top:
             break
+        if int(top[0]["cnt"]) < min_freq:
+            break
         used: set = set()
         chosen = []
         for r in top:
             if len(chosen) >= min(batch, num_merges - len(merges)):
                 break
-            if r["a"] in used or r["b"] in used:
+            if int(r["cnt"]) < min_freq:
                 continue
-            # a pair like (x, x) touches itself twice — still fine, but
-            # its merged symbol must not collide with later picks
+            # skip when the pair's symbols OR its minted token collide
+            # with an earlier pick: ('a','bc') after ('ab','c') would
+            # re-mint 'abc' under a second rank otherwise
+            if r["a"] in used or r["b"] in used or r["a"] + r["b"] in used:
+                continue
             chosen.append((r["a"], r["b"], int(r["cnt"])))
             used.update((r["a"], r["b"], r["a"] + r["b"]))
         if not chosen:
@@ -206,6 +227,41 @@ def bpe_train_batched(
             col = _merge_expr(col, a, b, passes)
         syms = syms.select(col.alias("s"), "freq").localCheckpoint(eager=True)
     return merges, syms
+
+
+def save_bpe_merges(merges: list[dict], spark, store, name: str) -> None:
+    """Persist a trained merge table through the named parquet Store
+    (datasets.lookup.Store — S19, the IVFPQ-index pattern): one table
+    ``{name}__merges`` (it, left, right, merged, cnt), rank-ordered.  A
+    trained tokenizer is a first-class artifact — train once on the full
+    corpus, then every later session (segmentation jobs, vocab audits)
+    reloads the merges without touching the corpus again."""
+    df = spark.createDataFrame(
+        [
+            (m["it"], m["left"], m["right"], m["merged"], m["cnt"])
+            for m in merges
+        ],
+        "it int, left string, right string, merged string, cnt bigint",
+    )
+    store.dump(df, f"{name}__merges")
+
+
+def load_bpe_merges(spark, store, name: str) -> list[dict]:
+    """Load a persisted merge table back into the list-of-dicts shape
+    :func:`bpe_apply` consumes, in training-rank order.  The table is
+    num_merges rows — driver-literal scale by construction (even a 32k
+    production vocab is a few hundred KB)."""
+    rows = store.load(spark, f"{name}__merges").orderBy("it").collect()
+    return [
+        {
+            "it": int(r["it"]),
+            "left": r["left"],
+            "right": r["right"],
+            "merged": r["merged"],
+            "cnt": int(r["cnt"]),
+        }
+        for r in rows
+    ]
 
 
 def bpe_apply(

@@ -51,19 +51,26 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     query_id: str = "query_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries, score every corpus row,
     window top-k.  Exact baseline; O(|Q|·|C|) score rows but only the
-    queries side is replicated."""
+    queries side is replicated.  ``round_dp`` snaps scores to a decimal
+    grid BEFORE the ranking — pass 6 when the ranking is compared across
+    engines (the repo-wide round-before-argmax discipline) so a
+    cross-engine ulp at a near-tie cannot flip top-k membership."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
         )
     )
+    s = cosine(F.col("__qv__"), F.col(vec_col))
+    if round_dp is not None:
+        s = F.round(s, round_dp)
     scored = corpus.join(q, F.col(query_id) != F.col(id_col)).select(
         query_id,
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__qv__"), F.col(vec_col)).alias("score"),
+        s.alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -839,11 +846,14 @@ def _probe_clusters(
     cent_rows: list,
     nprobe: int,
     query_id: str,
+    keep: tuple = (),
 ) -> DataFrame:
     """Top-``nprobe`` coarse clusters per query, map-side: sort the
     scored centroid array ascending on (-s, cluster) — s desc, ties to
     lowest cluster, same ordering as the row_number it replaces — slice
-    nprobe, explode.  Shared by the IVF and IVF+PQ query paths."""
+    nprobe, explode.  Shared by the IVF and IVF+PQ query paths.
+    ``keep`` carries extra query-side columns (e.g. a label for filtered
+    search) through unchanged."""
     qv = F.col("__qv__")
     probe_arr = F.transform(
         _centroid_literal(cent_rows),
@@ -853,7 +863,9 @@ def _probe_clusters(
         ),
     )
     return (
-        queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"))
+        queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__"), *keep
+        )
         .withColumn(
             "cluster",
             F.explode(
@@ -863,7 +875,7 @@ def _probe_clusters(
                 )
             ),
         )
-        .select(query_id, "__qv__", "cluster")
+        .select(query_id, "__qv__", "cluster", *keep)
     )
 
 
@@ -1164,6 +1176,7 @@ def ivfpq_build_index(
     iters: int = 2,
     train_mod: int = 1,
     persist: bool = False,
+    payload: tuple = (),
 ) -> dict:
     """TRAIN-ONCE half of IVF+PQ: Lloyd the coarse quantizer, train the
     per-subspace PQ codebooks, bin + encode the corpus.  Returns
@@ -1172,22 +1185,32 @@ def ivfpq_build_index(
     ``persist=True`` materializes the m-byte-per-vector coded corpus
     (localCheckpoint here; bucketed-by-cluster parquet on a cluster) so
     query time pays ONLY probe + ADC — the faiss train/add vs search
-    split, which is what makes the nprobe/nlist cost model real."""
+    split, which is what makes the nprobe/nlist cost model real.
+
+    ``payload`` names extra corpus columns stored alongside the codes
+    (the vector-DB payload-column pattern): filtered search
+    (``ivfpq_query_index(candidate_filter=...)``) can then apply its
+    predicate BEFORE the top-k window, so the candidate pool isn't
+    flooded by rows the filter would discard — decisive when the
+    predicate is selective against the nearest vectors, e.g. the
+    label-inequality of hard-negative mining where every nearest
+    neighbor is same-label by construction."""
     coarse = _ivf_train_rows(
         corpus, id_col, vec_col, nlist=nlist, iters=iters,
         train_mod=train_mod, metric="cosine",
     )
     books = pq_train(corpus, id_col, vec_col, dim, m, k, iters, train_mod)
     binned = _assign_clusters(
-        corpus.select(id_col, vec_col), vec_col, coarse, 6, "cosine"
+        corpus.select(id_col, vec_col, *payload), vec_col, coarse, 6, "cosine"
     )
     coded = pq_encode(binned, books, id_col, vec_col).join(
-        binned.select(id_col, "cluster"), id_col
+        binned.select(id_col, "cluster", *payload), id_col
     )
     if persist:
         coded = coded.localCheckpoint(eager=True)
     return {"coarse": coarse, "books": books, "coded": coded,
-            "id_col": id_col, "vec_col": vec_col, "dim": dim}
+            "id_col": id_col, "vec_col": vec_col, "dim": dim,
+            "payload": tuple(payload)}
 
 
 def ivfpq_query_index(
@@ -1196,14 +1219,27 @@ def ivfpq_query_index(
     nprobe: int = 2,
     topk: int = 5,
     query_id: str = "query_id",
+    qkeep: tuple = (),
+    candidate_filter=None,
 ) -> DataFrame:
     """QUERY-ONLY half of IVF+PQ: probe + ADC scoring over the pre-built
     coded corpus.  No training, no encoding — m table lookups per
-    candidate inside the probed lists, then the top-k window."""
+    candidate inside the probed lists, then the top-k window.
+
+    Filtered search: ``qkeep`` carries query-side columns into the
+    candidate frame and ``candidate_filter`` (a boolean Column over the
+    joined query+payload columns) prunes candidates BEFORE the top-k
+    window — so topk means "best k rows SATISFYING the predicate", not
+    "best k overall, minus whatever the filter kills".  Requires the
+    referenced corpus-side columns to be in the index's ``payload``.
+    Output carries query_id, qkeep, neighbor_id, payload, approx_d2."""
     id_col, vec_col = index["id_col"], index["vec_col"]
     coarse, books, coded = index["coarse"], index["books"], index["coded"]
+    payload = index.get("payload", ())
     sub = index["dim"] // len(books)
-    probes = _probe_clusters(queries, id_col, vec_col, coarse, nprobe, query_id)
+    probes = _probe_clusters(
+        queries, id_col, vec_col, coarse, nprobe, query_id, keep=qkeep
+    )
     dist = None
     for j, book in enumerate(books):
         qs = F.slice(F.col("__qv__"), j * sub + 1, sub)
@@ -1214,11 +1250,15 @@ def ivfpq_query_index(
         F.broadcast(probes)
         .join(coded, "cluster")
         .filter(F.col(query_id) != F.col(id_col))
-        .select(
-            query_id,
-            F.col(id_col).alias("neighbor_id"),
-            F.round(dist, 6).alias("approx_d2"),
-        )
+    )
+    if candidate_filter is not None:
+        scored = scored.filter(candidate_filter)
+    scored = scored.select(
+        query_id,
+        *qkeep,
+        F.col(id_col).alias("neighbor_id"),
+        *payload,
+        F.round(dist, 6).alias("approx_d2"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()

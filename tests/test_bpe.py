@@ -147,6 +147,10 @@ def test_batched_bpe_disjoint_and_convergent(spark):
     merges, syms = bpe_train_batched(docs, num_merges=12, batch=4)
     assert len(merges) == 12
     assert [m["it"] for m in merges] == list(range(1, 13))
+    # one-rank-per-symbol invariant: no two picks ever mint the same
+    # merged token (the ('a','bc') vs ('ab','c') collision class)
+    minted = [m["merged"] for m in merges]
+    assert len(minted) == len(set(minted))
     # verify per-sweep disjointness from the recorded order: rebuild the
     # sweeps (consecutive runs where cnt is non-increasing only within
     # a sweep is not observable, so check a stronger global property:
@@ -162,3 +166,48 @@ def test_batched_bpe_disjoint_and_convergent(spark):
         for t in r["s"].split(" "):
             want[t] += r["freq"]
     assert got == dict(want)
+
+
+def test_bpe_min_freq_stops_training(spark):
+    """The frequency-threshold stopping rule: with min_freq above the
+    rarest pair counts, training stops at the last merge whose count
+    clears the threshold — on both the classic and batched paths."""
+    from financial_data_science_spark.functions.bpe import bpe_train_batched
+
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    unbounded, _ = bpe_train(docs, num_merges=20, passes=4)
+    cut = 5
+    kept = [m for m in unbounded if m["cnt"] >= cut]
+    # threshold must actually bind mid-run for the test to mean anything
+    assert 0 < len(kept) < len(unbounded)
+    got, _ = bpe_train(docs, num_merges=20, passes=4, min_freq=cut)
+    # classic greedy is monotone non-increasing in cnt, so the kept
+    # prefix is exactly the merges at-or-above the threshold
+    assert got == kept
+    gotb, _ = bpe_train_batched(docs, num_merges=20, batch=1, min_freq=cut)
+    assert gotb == kept
+
+
+def test_bpe_merges_store_roundtrip(spark, tmp_path):
+    """Trained merges persist through the named parquet Store and reload
+    into the exact list-of-dicts shape bpe_apply consumes — a tokenizer
+    is a first-class artifact (the IVFPQ-index pattern)."""
+    from financial_data_science_spark.datasets.lookup import Store
+    from financial_data_science_spark.functions.bpe import (
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges, _ = bpe_train(docs, num_merges=6, passes=4)
+    store = Store(str(tmp_path / "tok_store"))
+    save_bpe_merges(merges, spark, store, "tok")
+    assert "tok__merges" in store
+    reloaded = load_bpe_merges(spark, store, "tok")
+    assert reloaded == merges
+    # and the reloaded artifact segments identically to the original
+    a = docs.select(F.explode(bpe_apply(F.col("text"), merges)).alias("t"))
+    b = docs.select(F.explode(bpe_apply(F.col("text"), reloaded)).alias("t"))
+    assert sorted(r["t"] for r in a.collect()) == sorted(
+        r["t"] for r in b.collect()
+    )

@@ -19,30 +19,28 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-6
+    """The driver checks the first 50 queries() entries; the round-7
     curation must stay stable (registration-order drift would silently
-    swap which queries earn driver rows), must keep the flagship + family
-    anchors, and must put every previously never-driver-checked query on
-    the record."""
+    swap which queries earn driver rows), must keep the flagship + the
+    BPE cast-fix proof rows + the r7 debut rows, and must draw the rest
+    from the oldest-driver-checked cohort (refresh rotation)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
     assert list(Q)[:50] == _GATE_ORDER
     required = {
-        # anchors
-        "universe_assembly", "ann_ivf_topk", "fama_macbeth_premium",
-        "event_study_corrected", "stream_ewma_final",
-        "bpe_train_merges", "bpe_segment_tokens",
-        # round-6 rotation: the never-driver-checked families
-        "ann_pq_topk", "ann_ivfpq_refined", "ann_sq8_topk",
-        "pii_redaction", "contamination_overlap", "token_budget_packing",
-        "sql_front_end", "fft_cross_correlation",
-        "supply_personalized_pagerank", "multimodal_resize",
-        "signals_sink_roundtrip", "ticker_bridge_join",
+        # anchors: flagship + the two r6-red rows that must go green
+        "universe_assembly", "bpe_train_merges", "bpe_segment_tokens",
+        # r7 debut rows
+        "bpe_train_batched", "hard_negative_mining_production",
+        # oldest-checked cohort representatives (r2 + r4-era)
+        "seq_in_group", "cosine_topk", "fractile_deciles",
+        "supply_graph_pagerank", "minhash_lsh_candidates",
+        "sessionization", "kupiec_var_backtest", "text_quality",
     }
     assert required <= set(_GATE_ORDER)
-    # after this rotation every catalog query has at least one recorded
-    # driver round: union(r1..r5 records, round-6 gate) covers Q
+    # every catalog query keeps at least one recorded driver round:
+    # union(r1..r6 records, round-7 gate) covers Q
     import glob
     checked = set(_GATE_ORDER)
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):

@@ -1,10 +1,23 @@
 """Local replica of the driver's t2 correctness gate.
 
 Runs every `queries()` entry at sf0.01 via Spark AND its `oracle_sql()`
-via DuckDB on the same parquet, then compares: row count, column names,
-and values (columns sorted by name, rows sorted by all columns).  Floats
-compare exactly after the queries' own rounding; residual diffs are
-reported with max-abs-diff so rounding scale can be tuned.
+via DuckDB on the same parquet, then compares three ways:
+
+1. row count + column names;
+2. numeric comparison (columns sorted by name, rows sorted by all
+   columns; floats compare exactly after the queries' own rounding);
+3. STRICT value-hash comparison: every cell stringified canonically
+   with NO pandas dtype coercion, mimicking the driver's hasher.  This
+   is the layer that catches oracle *typing* slips the numeric compare
+   forgives — e.g. DuckDB typing an uncast `sum(BIGINT)` as HUGEINT,
+   which pandas renders float64 ("123.0" vs Spark's "123").  The r6
+   gate shipped exactly that bug (bpe_* oracles) because the old
+   checker coerced integer dtypes to Int64 before comparing.
+
+Additionally each oracle's output schema is audited via DuckDB's
+relation types: any HUGEINT/UHUGEINT/DECIMAL output column fails
+immediately with the offending column named, before values are even
+fetched — those types hash differently from Spark's bigint/double.
 
 Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [names...]
 """
@@ -47,6 +60,59 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+_BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def audit_oracle_types(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Names of oracle output columns whose DuckDB type would hash
+    differently from any Spark type (HUGEINT/DECIMAL family)."""
+    rel = con.sql(sql)
+    return [
+        f"{c}::{t}"
+        for c, t in zip(rel.columns, (str(t).upper() for t in rel.types))
+        if any(t.startswith(b) for b in _BAD_ORACLE_TYPES)
+    ]
+
+
+def _strict_cell(v) -> str:
+    """Canonical driver-style stringification of one cell, no coercion."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_strict_cell(x) for x in v) + "]"
+    if v is None or v is pd.NaT or v is pd.NA:
+        return "<null>"
+    if isinstance(v, (float, np.floating)):
+        if np.isnan(v):
+            return "<null>"
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def strict_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_strict_cell(v) for v in rec)
+        for rec in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+def strict_compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    g, w = strict_rows(got), strict_rows(want)
+    if g == w:
+        return []
+    for i, (a, b) in enumerate(zip(g, w)):
+        if a != b:
+            return [f"strict-hash: first diff at sorted row {i}: spark={a} duckdb={b}"]
+    return [f"strict-hash: row sets differ (len {len(g)} vs {len(w)})"]
 
 
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
@@ -110,12 +176,22 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            bad_types = audit_oracle_types(con, ORACLE[name])
             want = con.execute(ORACLE[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb raised {e}")
             n_fail += 1
             continue
+        if bad_types:
+            print(
+                f"FAIL  {name}: oracle emits driver-hostile types "
+                f"{bad_types} (cast to BIGINT/DOUBLE)"
+            )
+            n_fail += 1
+            continue
         problems = compare(name, got, want)
+        if not problems:
+            problems = strict_compare(got, want)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
             n_fail += 1
