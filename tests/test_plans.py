@@ -373,3 +373,45 @@ def test_ivfpq_query_index_plan_is_probe_only(spark):
     pre_window = plan.split("Window")[0]
     assert "Exchange hashpartitioning" not in pre_window, plan
     assert "CartesianProduct" not in plan
+
+
+# Pinned physical-plan fingerprints for the ANN family (round-7 guard):
+# the r6 bench drift on the fused PQ entries turned out environmental
+# (quiet-window rerun matched r5 minimums), but the episode showed plan
+# regressions and bench noise are indistinguishable after the fact.
+# These counts pin the plan SHAPE — a helper refactor that adds a
+# shuffle, drops a broadcast, or falls off the sanctioned
+# BroadcastNestedLoopJoin (broadcast queries x streamed corpus on an
+# inequality join) now fails as a diff, not a bench mystery.
+# ("Window" counts include Spark's WindowGroupLimit partial/final pair
+# around each top-k window — 3 per ranked window is the expected shape.)
+_ANN_PLAN_FINGERPRINTS = {
+    "cosine_topk":         {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    "ann_sq8_topk":        {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    "ann_pq_topk":         {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    "ann_ivf_topk":        {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "ann_ivfpq_topk":      {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "ann_ivfpq_residual":  {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "ann_ivfpq_refined":   {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 4, "BroadcastNestedLoopJoin": 0, "Window": 6},
+    "ann_ivfpq_query_only": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "hard_negative_mining": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    "hard_negative_mining_production": {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 5, "BroadcastNestedLoopJoin": 0, "Window": 6},
+}
+
+
+def test_ann_family_plan_fingerprints(spark):
+    """Every ANN catalog entry's executed plan must match its pinned
+    operator-count fingerprint exactly (see comment above)."""
+    from financial_data_science_spark.queries import Q, clear_ivfpq_index_cache
+
+    diffs = {}
+    for name, want in _ANN_PLAN_FINGERPRINTS.items():
+        try:
+            plan = _plan(Q[name](spark, SF))
+        finally:
+            spark.catalog.clearCache()
+        got = {pat: plan.count(pat) for pat in want}
+        if got != want:
+            diffs[name] = {"want": want, "got": got}
+    clear_ivfpq_index_cache()
+    assert not diffs, diffs
