@@ -82,6 +82,7 @@ EXTENDED_QUERIES = [
     "bpe_train_merges",
     "hard_negative_mining",
     "hard_negative_mining_production",
+    "hard_negative_mining_ivf",
     "bpe_train_batched",
 ]
 

@@ -887,6 +887,7 @@ def ivf_build_index(
     iters: int = 3,
     train_mod: int = 1,
     persist: bool = False,
+    payload: tuple = (),
 ) -> dict:
     """TRAIN-ONCE half of IVF (the faiss ``index.train()`` +
     ``index.add()`` split): Lloyd the coarse quantizer, bin the corpus,
@@ -895,17 +896,26 @@ def ivf_build_index(
     ``persist=True`` materializes the binned corpus with an eager
     localCheckpoint — the 'index on disk' stance: at query time only the
     probed lists are scanned and NO training/binning work re-runs.  On a
-    cluster the equivalent is writing ``binned`` bucketed by cluster."""
+    cluster the equivalent is writing ``binned`` bucketed by cluster.
+
+    ``payload`` names extra corpus columns stored in the inverted lists
+    (same vector-DB payload pattern as :func:`ivfpq_build_index`) so
+    filtered search (``ivf_query_index(candidate_filter=...)``) can
+    prune candidates BEFORE the top-k window.  Unlike the PQ index the
+    in-list vectors are FULL PRECISION, so filtered IVF is the right
+    twin for boundary-sensitive retrieval (e.g. hard-negative mining,
+    where PQ's quantization error drowns the fine different-label
+    ranking — measured in SCALE.md)."""
     cent_rows = _ivf_train_rows(
         corpus, id_col, vec_col, nlist, iters, train_mod=train_mod
     )
     binned = _assign_clusters(
-        corpus.select(id_col, vec_col), vec_col, cent_rows, 6
+        corpus.select(id_col, vec_col, *payload), vec_col, cent_rows, 6
     )
     if persist:
         binned = binned.localCheckpoint(eager=True)
     return {"centroids": cent_rows, "binned": binned,
-            "id_col": id_col, "vec_col": vec_col}
+            "id_col": id_col, "vec_col": vec_col, "payload": tuple(payload)}
 
 
 def ivf_query_index(
@@ -914,22 +924,38 @@ def ivf_query_index(
     k: int = 5,
     nprobe: int = 2,
     query_id: str = "query_id",
+    qkeep: tuple = (),
+    candidate_filter=None,
 ) -> DataFrame:
     """QUERY-ONLY half of IVF: probe ``nprobe`` lists of a pre-built
     index and return exact within-list top-k.  No Lloyd sweeps, no
-    binning — the per-query cost the SCALE.md crossover argument prices."""
+    binning — the per-query cost the SCALE.md crossover argument prices.
+
+    Filtered search mirrors :func:`ivfpq_query_index`: ``qkeep`` carries
+    query-side columns into the candidate frame and ``candidate_filter``
+    prunes BEFORE the top-k window (top-k means "best k satisfying the
+    predicate"); referenced corpus-side columns must be in the index's
+    ``payload``.  In-list scores are exact cosine, so no rerank stage is
+    needed after a filtered IVF query."""
     id_col, vec_col = index["id_col"], index["vec_col"]
     cent_rows, binned = index["centroids"], index["binned"]
     v = F.col(vec_col)
-    probes = _probe_clusters(queries, id_col, vec_col, cent_rows, nprobe, query_id)
+    probes = _probe_clusters(
+        queries, id_col, vec_col, cent_rows, nprobe, query_id, keep=qkeep
+    )
     # probes is |Q| x nprobe rows — broadcast it so the corpus-side bin
     # join is map-side; a hash shuffle on the nlist-value cluster key
     # would cap parallelism at nlist and skew on popular lists
     scored = F.broadcast(probes).join(binned, "cluster").filter(
         F.col(query_id) != F.col(id_col)
-    ).select(
+    )
+    if candidate_filter is not None:
+        scored = scored.filter(candidate_filter)
+    scored = scored.select(
         query_id,
+        *qkeep,
         F.col(id_col).alias("neighbor_id"),
+        *index.get("payload", ()),
         # rounded to the 6dp grid BEFORE the top-k ordering so a
         # cross-engine ulp difference near a rank boundary cannot flip
         # membership vs the oracle (same discipline as the assignment)

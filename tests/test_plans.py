@@ -396,6 +396,7 @@ _ANN_PLAN_FINGERPRINTS = {
     "ann_ivfpq_query_only": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
     "hard_negative_mining": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
     "hard_negative_mining_production": {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 5, "BroadcastNestedLoopJoin": 0, "Window": 6},
+    "hard_negative_mining_ivf": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
 }
 
 

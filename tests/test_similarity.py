@@ -475,6 +475,55 @@ def test_ivf_index_split_matches_fused(spark):
     assert n1 > 0
 
 
+def test_ivf_filtered_search_matches_postfilter_topk(spark):
+    """Filtered IVF search (label payload + candidate_filter BEFORE the
+    top-k window) must (a) return only predicate-satisfying rows, (b)
+    fill k slots per query from the surviving candidates — i.e. equal
+    re-ranking the FULL unfiltered in-list candidate set and taking the
+    best k different-label rows, not post-filtering an unfiltered
+    top-k."""
+    import numpy as np
+    import pandas as pd
+
+    import financial_data_science_spark.functions.similarity as S
+
+    rng = np.random.RandomState(11)
+    M = rng.randn(200, 8)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, M[i].tolist(), i % 3) for i in range(200)],
+            columns=["vec_id", "embedding", "label"],
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 6).select(
+        "vec_id", "embedding", F.col("label").alias("qlabel")
+    )
+    index = S.ivf_build_index(emb, nlist=4, iters=2, persist=True,
+                              payload=("label",))
+    got = S.ivf_query_index(
+        q, index, k=3, nprobe=2, qkeep=("qlabel",),
+        candidate_filter=F.col("label") != F.col("qlabel"),
+    ).toPandas()
+    assert (got["label"] != got["qlabel"]).all()
+    assert (got.groupby("query_id").size() == 3).all()
+    # oracle: unfiltered candidates over the SAME probed lists with a
+    # huge k, post-filter, take best 3 per query
+    allc = S.ivf_query_index(q, index, k=10**6, nprobe=2,
+                             qkeep=("qlabel",)).toPandas()
+    allc = allc[allc["label"] != allc["qlabel"]]
+    want = (
+        allc.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True])
+        .groupby("query_id").head(3)
+    )
+    key = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key)[key].reset_index(drop=True),
+        want.sort_values(key)[key].reset_index(drop=True),
+    )
+
+
 def test_ivfpq_index_store_roundtrip(spark, tmp_path):
     """save_ivfpq_index/load_ivfpq_index through the parquet Store: the
     reloaded index must answer queries exactly like the in-memory one

@@ -82,6 +82,36 @@ def main() -> None:
     build_wall = time.time() - t0
     print(f"index build (once per corpus version): {build_wall:.2f}s", flush=True)
 
+    t0 = time.time()
+    ivf_index = SIM.ivf_build_index(
+        emb, nlist=8, iters=3, train_mod=4, persist=True, payload=("label",)
+    )
+    ivf_index["binned"].count()
+    ivf_build_wall = time.time() - t0
+    print(f"IVF (full-precision) index build: {ivf_build_wall:.2f}s", flush=True)
+
+    ivf_rows = []
+    for nprobe in (1, 2, 4):
+        t0 = time.time()
+        mined = SIM.ivf_query_index(
+            queries.select("vec_id", "embedding",
+                           F.col("label").alias("qlabel")),
+            ivf_index, k=K, nprobe=nprobe,
+            qkeep=("qlabel",),
+            candidate_filter=F.col("label") != F.col("qlabel"),
+        ).localCheckpoint(eager=True)
+        wall = time.time() - t0
+        rec = (
+            SIM.recall_at_k(mined, exact, k=K)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+        ivf_rows.append((nprobe, round(wall, 2), round(rec, 4)))
+        print(
+            f"filtered-IVF nprobe={nprobe}: {wall:.2f}s recall@{K}={rec:.4f}",
+            flush=True,
+        )
+
     rows = []
     for nprobe in (1, 2, 4):
         for pool in (50, 100):
@@ -113,12 +143,18 @@ def main() -> None:
     print(f"\n| dial | wall (s) | recall@{K} | vs exact |")
     print("| --- | --- | --- | --- |")
     print(f"| exact miner (O(Q*N)) | {exact_wall:.2f} | 1.0000 | 1.0x |")
-    for nprobe, pool, wall, rec in rows:
+    for nprobe, wall, rec in ivf_rows:
         print(
-            f"| filtered-ANN nprobe={nprobe} pool={pool} | {wall:.2f} "
+            f"| filtered-IVF nprobe={nprobe} | {wall:.2f} "
             f"| {rec:.4f} | {exact_wall / wall:.1f}x |"
         )
-    print(f"| index build (amortized) | {build_wall:.2f} | - | - |")
+    for nprobe, pool, wall, rec in rows:
+        print(
+            f"| filtered-IVFPQ nprobe={nprobe} pool={pool} | {wall:.2f} "
+            f"| {rec:.4f} | {exact_wall / wall:.1f}x |"
+        )
+    print(f"| IVF index build (amortized) | {ivf_build_wall:.2f} | - | - |")
+    print(f"| IVFPQ index build (amortized) | {build_wall:.2f} | - | - |")
 
 
 if __name__ == "__main__":
