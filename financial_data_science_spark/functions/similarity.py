@@ -205,6 +205,74 @@ def embedding_near_dups(
 
 # ---------------------------------------------------------------- minhash
 
+def minhash_band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-row LSH band keys as pure STATELESS projections — the
+    streaming-safe MinHash formulation.
+
+    The batch path (:func:`minhash_signatures`) computes each minhash as
+    a ``min()`` hash AGGREGATE over exploded shingles — optimal for a
+    standing corpus but an aggregation, which Structured Streaming
+    append mode cannot run per-doc without event-time grouping.  Here
+    the whole signature folds inside one row: base-hash the distinct
+    shingle array once (``transform``), then each of the ``num_hashes``
+    affine min-hashes is an ``array_min`` over that cached array, and
+    each band key is the same 2-row fold used by the banded bucket
+    join.  Same coefficients (``random.Random(seed)``), same portable
+    31-bit arithmetic, so values are identical to the batch/oracle
+    pipeline — proven by parity test.
+
+    Output: one row per (doc, band): ``id_col, band (int), bhash``.
+    Docs with no shingles are dropped (no dedup identity — same rule as
+    the batch path).  Works on static AND streaming frames; the k-wide
+    expression stays manageable because ``num_hashes`` here is the
+    streaming dial (default 8), not the batch 64."""
+    import random
+
+    from financial_data_science_spark.functions.porthash import MOD, tokhash31
+    from financial_data_science_spark.functions.text import word_shingles
+
+    assert num_hashes % bands == 0 and num_hashes // bands == 2, (
+        "band key fold is written for rows_per_band=2 (matches the "
+        "banded bucket join and its oracle)"
+    )
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
+              for _ in range(num_hashes)]
+    base = docs.withColumn(
+        "__hs__",
+        F.transform(word_shingles(text_col, shingle_k), lambda s: tokhash31(s)),
+    ).filter(F.size("__hs__") > 0)
+    def _affine(a: int, b: int):
+        # bind via closure, NOT lambda defaults: Spark maps the lambda's
+        # PARAMETER COUNT to the 1/2/3-arg higher-order variants
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD)
+
+    sig = [
+        F.array_min(F.transform(F.col("__hs__"), _affine(a, b)))
+        for a, b in coeffs
+    ]
+    bkeys = F.array(
+        *[
+            ((sig[2 * b] * F.lit(65537) + sig[2 * b + 1]) % F.lit(MOD)).alias(
+                f"b{b}"
+            )
+            for b in range(bands)
+        ]
+    )
+    other = [c for c in docs.columns if c != text_col and c != id_col]
+    return (
+        base.select(id_col, *other, F.posexplode(bkeys).alias("band", "bhash"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -854,6 +854,78 @@ def minhash_lsh_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["minhash_lsh_stopshingle"] = _minhash_oracle_sql(max_df=0.25)
 
 
+def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
+                               seed: int = 42) -> str:
+    """DuckDB recompute of the distinct MinHash LSH bucket set — the
+    deterministic projection of streaming first-seen-bucket dedup
+    (arrival order decides WHICH doc owns a bucket, but the bucket SET
+    is order-free)."""
+    import random
+
+    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
+              for _ in range(num_hashes)]
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
+    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM ex),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM h0 GROUP BY doc_id),
+    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig)
+    SELECT DISTINCT CAST(band AS INTEGER) AS band,
+           (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
+    FROM sa, range(0, {bands}) t(band)
+    """
+
+
+@query("stream_minhash_novelty", None)
+def stream_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 x LLM-pipeline crossover: STREAMING MinHash near-dup
+    detection — first-seen LSH bucket per (band, bhash) within the
+    watermark (streaming/windows.py::stream_novel_buckets).  The
+    signature is computed per-row with stateless projections
+    (similarity.minhash_band_keys — no aggregate, so append mode
+    works), and dedup state is one row per distinct bucket inside the
+    watermark horizon: the incremental form of the batch banded bucket
+    join, the shape a 100 TB/day ingestion dedup actually runs.
+    Projecting the bucket key makes the result deterministic (= the
+    DISTINCT bucket set) regardless of micro-batch arrival order."""
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        run_stream_to_memory,
+        stream_novel_buckets,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    res = stream_novel_buckets(stream, num_hashes=8, bands=4).select(
+        "band", "bhash"
+    )
+    out = run_stream_to_memory(
+        spark,
+        res,
+        f"gate_stream_minhash_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return out.select("band", "bhash")
+
+
+ORACLE["stream_minhash_novelty"] = _minhash_bucket_oracle_sql()
+
+
 def _simhash_oracle_sql(bits: int = 62) -> str:
     """DuckDB recompute of the portable 62-bit SimHash + band blocking +
     Hamming filter — token hash, sign votes, bit-pack, and the 16-bit band

@@ -132,3 +132,67 @@ def read_events_stream(
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """readStream over the documents parquet with a synthetic
+    deterministic event time (``ts = epoch2020 + doc_id seconds``) — the
+    ingestion-order clock a streaming curation pipeline needs for
+    watermarked dedup state; documents have no native timestamp."""
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1577836800) + F.col("doc_id"))
+    )
+
+
+def stream_novel_buckets(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 8,
+    bands: int = 4,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming MinHash near-dup detection: first-seen LSH bucket per
+    (band, bhash) within the watermark — the incremental form of the
+    batch banded bucket join.  An arriving doc whose every band key was
+    already seen is a near-duplicate of something in state; a doc
+    emitting at least one row here is novel.
+
+    Pipeline: per-row band keys (``similarity.minhash_band_keys`` —
+    pure stateless projections, no aggregate, so it runs in append
+    mode) -> watermark -> ``dropDuplicates`` on the bucket key.  State
+    = one row per distinct bucket inside the watermark horizon; at
+    100 TB/day ingestion the watermark bounds state exactly the way
+    the batch path's daily re-shuffle bounds its join.  The emitted
+    (band, bhash) set equals the batch-distinct bucket set regardless
+    of micro-batch arrival order (parity-tested)."""
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+
+    keys = minhash_band_keys(
+        stream, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+    )
+    return keys.withWatermark(ts_col, watermark).dropDuplicates(
+        ["band", "bhash"]
+    )

@@ -86,3 +86,60 @@ def test_session_window_counts(spark):
     g = got.groupby("user_id").size().sort_index()
     w = want.groupby("user_id").size().sort_index()
     pd.testing.assert_series_equal(g, w, check_names=False)
+
+
+def test_stream_minhash_novelty_parity(spark):
+    """Three-way parity for streaming MinHash near-dup detection:
+    (1) the per-row stateless band keys (minhash_band_keys), (2) the
+    batch aggregate pipeline (minhash_signatures + the banded fold),
+    and (3) the streaming first-seen-bucket dedup must all yield the
+    SAME distinct (band, bhash) set — proving the streaming form is the
+    incremental twin of the batch bucket join, independent of
+    micro-batch arrival order."""
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        stream_novel_buckets,
+    )
+
+    MOD = (1 << 31) - 1
+    docs = load_table(spark, SF, "documents")
+
+    perrow = (
+        minhash_band_keys(docs, num_hashes=8, bands=4)
+        .select("band", "bhash").distinct().toPandas()
+    )
+    sig = minhash_signatures(docs, num_hashes=8, portable=True)
+    folds = []
+    for b in range(4):
+        acc = (
+            (F.col(f"h{2*b}") * F.lit(65537) + F.col(f"h{2*b+1}")) % F.lit(MOD)
+        )
+        folds.append(sig.select(F.lit(b).alias("band"), acc.alias("bhash")))
+    batch = folds[0]
+    for f in folds[1:]:
+        batch = batch.unionByName(f)
+    batch = batch.distinct().toPandas()
+
+    stream = read_documents_stream(spark, SF)
+    res = stream_novel_buckets(stream, num_hashes=8, bands=4).select(
+        "band", "bhash"
+    )
+    got = run_stream_to_memory(
+        spark, res, "parity_stream_minhash", output_mode="append"
+    ).toPandas()
+
+    def norm(df):
+        return (
+            df.astype({"band": "int64", "bhash": "int64"})
+            .sort_values(["band", "bhash"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(norm(perrow), norm(batch))
+    pd.testing.assert_frame_equal(norm(got), norm(perrow))
+    # dedup really deduplicates: emitted rows are unique per bucket key
+    assert got.duplicated(["band", "bhash"]).sum() == 0
