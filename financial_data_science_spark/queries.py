@@ -6773,6 +6773,92 @@ ORACLE["bpe_segment_tokens"] = _bpe_chain_ctes(8, 4) + """
     ORDER BY cnt DESC, token ASC LIMIT 20"""
 
 
+def _bpe_word_chain_ctes(num_merges: int, passes: int) -> str:
+    """Variant of _bpe_chain_ctes that CARRIES the word through every
+    merge sweep (s0..s{n} keep a ``word`` column), so downstream CTEs
+    can map each distinct word to its segmented token count — needed by
+    the per-document tokenize-and-pack oracle.  Training decisions
+    (pair counts, argmax, rewrites) are identical: freq rides one row
+    per distinct word either way."""
+    head = """
+    WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+          '\\s+'), w -> w != '')) AS word
+        FROM documents) GROUP BY 1),
+    s0 AS MATERIALIZED (
+      SELECT word, array_to_string(regexp_split_to_array(word, ''), ' ')
+             || ' </w>' AS s, freq
+      FROM wf)"""
+    step = """,
+    p{k} AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT unnest(range(1, len(arr))) AS i, arr, freq
+            FROM (SELECT string_split(s, ' ') AS arr, freq FROM s{prev}))
+      GROUP BY 1, 2),
+    b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{k} AS MATERIALIZED (
+      SELECT word, trim({repl}) AS s, freq FROM s{prev}, b{k})"""
+    repl = "' ' || s || ' '"
+    for _ in range(passes):
+        repl = (
+            f"replace({repl}, ' ' || a || ' ' || b || ' ', "
+            "' ' || a || b || ' ')"
+        )
+    return head + "".join(
+        step.format(k=i, prev=i - 1, repl=repl)
+        for i in range(1, num_merges + 1)
+    )
+
+
+@query("bpe_tokenize_and_pack", None)
+def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer-to-shards pipeline — the step a training
+    data build runs after curation: train the BPE tokenizer on the
+    corpus, segment every document with the trained merges (bpe_apply:
+    literal replace chains, zero shuffle), count BPE tokens per doc,
+    and pack docs into ~4000-token training shards with the distributed
+    two-phase prefix sum (pack_token_budget — no single-partition
+    window, the plan that survives 100 TB).  One Catalyst DAG from raw
+    text to shard ids; the oracle re-trains the tokenizer, re-segments
+    per word, re-aggregates per doc, and replays the packing cumsum in
+    SQL."""
+    from financial_data_science_spark.functions.bpe import bpe_apply, bpe_train
+    from financial_data_science_spark.functions.pipeline import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=8, passes=4)
+    counted = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.size(bpe_apply(F.col("text"), merges, passes=4)), F.lit(0)
+        ).cast("long").alias("n_bpe"),
+    )
+    return pack_token_budget(counted, "doc_id", "n_bpe", budget=4000).select(
+        "doc_id", "n_bpe", "shard"
+    )
+
+
+ORACLE["bpe_tokenize_and_pack"] = _bpe_word_chain_ctes(8, 4) + """,
+    wc AS (SELECT word, len(string_split(s, ' ')) AS ntok FROM s8),
+    words AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        '\\s+'), w -> w != '')) AS word
+      FROM documents),
+    dt AS (
+      SELECT d.doc_id, CAST(COALESCE(sum(wc.ntok), 0) AS BIGINT) AS n_bpe
+      FROM documents d
+      LEFT JOIN words w ON w.doc_id = d.doc_id
+      LEFT JOIN wc ON wc.word = w.word
+      GROUP BY d.doc_id),
+    c AS (
+      SELECT doc_id, n_bpe, sum(n_bpe) OVER (ORDER BY doc_id) AS cum
+      FROM dt)
+    SELECT doc_id, n_bpe,
+           CAST(floor((cum - n_bpe) / 4000.0) AS BIGINT) AS shard
+    FROM c"""
+
+
 @query("bpe_train_batched", None)
 def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pins `bpe_train_batched` to classic BPE at batch=1: the batched
