@@ -6899,16 +6899,21 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 # Round-7 rotation (third gate rotation): with r6 every catalog query
 # has >= 1 recorded driver-green row, so the gate now REFRESHES the
 # oldest evidence.  Slots: 3 anchors (the flagship, plus both BPE rows
-# to prove the r7 HUGEINT-cast fix turned the only r6 reds green), 2
+# to prove the r7 HUGEINT-cast fix turned the only r6 reds green), 5
 # debut rows (bpe_train_batched: batch=1 === classic equivalence +
 # Store round-trip; hard_negative_mining_production: filtered-ANN
-# mining on the persisted index), and 45 drawn from the oldest-checked
-# cohort — seq_in_group (last driver row: r2) plus 44 of the 47 queries
-# whose last driver row is r4.  The 3 r4-cohort rows deferred to r8
-# (bpe_token_counts, next_trading_day, q5_nation_revenue) are the
-# simplest of that cohort and stay guarded by the full-catalog local
-# replica (tools/check_correctness.py — now hash-strict), as does
-# everything rotated out (r5/r6 records stand).
+# mining on the persisted IVFPQ index; hard_negative_mining_ivf:
+# full-precision filtered IVF; stream_minhash_novelty: streaming LSH
+# near-dup detection; bpe_tokenize_and_pack: tokenizer-to-shards
+# pipeline), and 42 drawn from the oldest-checked cohort —
+# seq_in_group (last driver row: r2) plus 41 of the 47 queries whose
+# last driver row is r4.  The 6 r4-cohort rows deferred to r8
+# (bpe_token_counts, next_trading_day, q5_nation_revenue, cube_revenue,
+# monthly_rollup, weighted_avg_price) are the simplest of that cohort
+# (single-concept aggregations whose classes other gate rows cover) and
+# stay guarded by the full-catalog local replica
+# (tools/check_correctness.py — hash-strict), as does everything
+# rotated out (r5/r6 records stand).
 _GATE_ORDER = [
     # anchors
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
@@ -6917,6 +6922,9 @@ _GATE_ORDER = [
     # debut rows
     "bpe_train_batched",
     "hard_negative_mining_production",
+    "hard_negative_mining_ivf",
+    "stream_minhash_novelty",
+    "bpe_tokenize_and_pack",
     # oldest-checked cohort: r2
     "seq_in_group",
     # oldest-checked cohort: r4 (44 of 47)
@@ -6924,7 +6932,6 @@ _GATE_ORDER = [
     "compound_by_year",
     "compound_returns_by_supplier",
     "cosine_topk",
-    "cube_revenue",
     "dedup_exact_docs",
     "dedup_keep_last",
     "delist_adjusted_compound",
@@ -6942,7 +6949,6 @@ _GATE_ORDER = [
     "lang_id",
     "minhash_lsh_candidates",
     "month_end_trading_days",
-    "monthly_rollup",
     "multimodal_features",
     "near_dup_clusters",
     "pivot_event_type_totals",
@@ -6961,7 +6967,6 @@ _GATE_ORDER = [
     "tick_bins_5min",
     "tw_value_5min",
     "users_click_no_purchase",
-    "weighted_avg_price",
     "window_group_share",
     "winsorized_price_stats",
 ]
