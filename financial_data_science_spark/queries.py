@@ -4781,6 +4781,60 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["contamination_overlap"] = _contamination_oracle_sql()
 
 
+@query("stream_contamination_flags", None)
+def stream_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 x LLM-pipeline crossover: STREAMING benchmark-contamination
+    screen — training docs are screened ON ARRIVAL against the static
+    benchmark n-gram set instead of in a batch decontamination pass.
+    Per-row distinct 5-gram hashes (stateless projection), stream-static
+    inner join to the broadcast benchmark hash set (only contaminated
+    grams survive), then a per-doc windowed count (each doc's synthetic
+    event time is unique, so the 1s window IS the doc).  Emits only
+    contaminated docs with their overlap counts — the block-list a
+    streaming ingestion pipeline acts on.  Same %17 benchmark split and
+    portable hash as `contamination_overlap`, so the oracle is that
+    query's SQL restricted to n_contaminated > 0."""
+    from financial_data_science_spark.functions.pipeline import ngram_hashes
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = F.broadcast(
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(ngram_hashes(F.col("text"), 5, True)).alias("__h__"))
+        .distinct()
+    )
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 17 != 0
+    )
+    g = stream.select(
+        "doc_id", "ts",
+        F.explode(ngram_hashes(F.col("text"), 5, True)).alias("__h__"),
+    )
+    agg = (
+        g.join(bench, "__h__")
+        .groupBy(F.window("ts", "1 second"), "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+        .select("doc_id", "n_contaminated")
+    )
+    out = run_stream_to_memory(
+        spark,
+        agg,
+        f"gate_stream_contam_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    )
+    return out.select("doc_id", "n_contaminated")
+
+
+ORACLE["stream_contamination_flags"] = f"""
+    SELECT doc_id, n_contaminated
+    FROM ({_contamination_oracle_sql()})
+    WHERE n_contaminated > 0
+    """
+
+
 def _embedding_near_dups_oracle_sql(
     n_planes: int = 4, n_tables: int = 3, threshold: float = 0.4
 ) -> str:

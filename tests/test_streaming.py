@@ -143,3 +143,32 @@ def test_stream_minhash_novelty_parity(spark):
     pd.testing.assert_frame_equal(norm(got), norm(perrow))
     # dedup really deduplicates: emitted rows are unique per bucket key
     assert got.duplicated(["band", "bhash"]).sum() == 0
+
+
+def test_stream_contamination_parity(spark):
+    """The streaming on-arrival contamination screen must flag exactly
+    the docs (with exactly the overlap counts) that the batch
+    decontamination pass (pipeline.contamination) reports with
+    n_contaminated > 0."""
+    from financial_data_science_spark.functions.pipeline import contamination
+    from financial_data_science_spark.queries import Q
+    from financial_data_science_spark.sources.testdata import load_table
+
+    got = (
+        Q["stream_contamination_flags"](spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    docs = load_table(spark, SF, "documents")
+    want = (
+        contamination(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 17 == 0),
+            n=5,
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select("doc_id", "n_contaminated")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
