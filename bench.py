@@ -85,6 +85,7 @@ EXTENDED_QUERIES = [
     "hard_negative_mining_ivf",
     "bpe_train_batched",
     "bpe_tokenize_and_pack",
+    "quality_classifier_irls",
 ]
 
 

@@ -4835,6 +4835,166 @@ ORACLE["stream_contamination_flags"] = f"""
     """
 
 
+def _irls_feats_sql() -> str:
+    """Shared feature CTE for the IRLS oracle: label = (lang = 'en'),
+    x1 = ln(1 + whitespace-token count), x2 = mean chars per token —
+    the same expressions the Spark entry builds (ln/exp are the only
+    engine-dependent steps and both sit upstream of the BIGINT
+    quantization, see functions/classifier.py)."""
+    ntok = ("len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "w -> w != ''))")
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+             ln(1.0 + {ntok}) AS x1,
+             CAST(n_chars AS DOUBLE) / (1.0 + {ntok}) AS x2
+      FROM documents)"""
+
+
+def _irls_oracle_sql(iters: int = 3, final: str | None = None) -> str:
+    """DuckDB replay of the FULL IRLS training trajectory: per
+    iteration, row-level eta/mu/w/z with the previous betas, the nine
+    BIGINT-quantized exact sums, and the adjugate 3x3 solve — the same
+    expression trees (identical parenthesization; IEEE + - * / are
+    correctly rounded, so identical inputs give identical doubles) and
+    the same guarded floor-rounding of the betas as
+    classifier.logistic_irls."""
+    q = "1000000.0"
+
+    def qsum(term: str, name: str) -> str:
+        return (f"CAST(sum(CAST(floor({term} * {q} + 0.5) AS BIGINT)) "
+                f"AS DOUBLE) / {q} AS {name}")
+
+    def r6(x: str) -> str:
+        return f"floor(floor(({x}) * 1e9 + 0.5) / 1e3 + 0.5) / 1e6"
+
+    xs = ["1.0", "x1", "x2"]
+    chain = ",\n    s0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, " \
+            "CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2)"
+    for k in range(1, iters + 1):
+        sums = []
+        for i in range(3):
+            for j in range(i, 3):
+                sums.append(qsum(f"w * {xs[i]} * {xs[j]}",
+                                 f"a{i + 1}{j + 1}"))
+        for i in range(3):
+            sums.append(qsum(f"w * {xs[i]} * z", f"v{i + 1}"))
+        sums_sql = ",\n      ".join(sums)
+        chain += f""",
+    r{k} AS (
+      SELECT y, x1, x2, eta, mu, mu * (1.0 - mu) AS w,
+             eta + (y - mu) / (mu * (1.0 - mu)) AS z
+      FROM (SELECT y, x1, x2, b0 + b1 * x1 + b2 * x2 AS eta,
+                   1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS mu
+            FROM feats, s{k - 1})),
+    t{k} AS (SELECT
+      {sums_sql}
+      FROM r{k}),
+    s{k} AS (
+      SELECT {r6("(c11 * v1 + c12 * v2 + c13 * v3) / det")} AS b0,
+             {r6("(c12 * v1 + c22 * v2 + c23 * v3) / det")} AS b1,
+             {r6("(c13 * v1 + c23 * v2 + c33 * v3) / det")} AS b2
+      FROM (SELECT *,
+              a11 * (a22 * a33 - a23 * a23)
+                - a12 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * a23 - a22 * a13) AS det,
+              a22 * a33 - a23 * a23 AS c11,
+              a13 * a23 - a12 * a33 AS c12,
+              a12 * a23 - a13 * a22 AS c13,
+              a11 * a33 - a13 * a13 AS c22,
+              a12 * a13 - a11 * a23 AS c23,
+              a11 * a22 - a12 * a12 AS c33
+            FROM t{k}))"""
+    if final is None:
+        unions = "\n      UNION ALL ".join(
+            f"SELECT {k} AS it, b0, b1, b2 FROM s{k}"
+            for k in range(1, iters + 1)
+        )
+        final = f"""
+    SELECT it, b0, b1, b2 FROM (
+      {unions})
+    ORDER BY it"""
+    return _irls_feats_sql() + chain + final
+
+
+def _doc_quality_feats(docs: DataFrame) -> DataFrame:
+    ntok = TXT.n_tokens("text").cast("double")
+    return docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.log(F.lit(1.0) + ntok).alias("x1"),
+        (F.col("n_chars").cast("double") / (F.lit(1.0) + ntok)).alias("x2"),
+    )
+
+
+@query("quality_classifier_irls", None)
+def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality filter for corpus curation: logistic regression
+    fit by distributed IRLS (functions/classifier.py) — each iteration
+    is ONE map-side-combinable aggregate (the 9 normal-equation sums,
+    BIGINT-quantized so the sums are exact and order-independent), a
+    single collected row, and a driver-side adjugate solve: ML training
+    as a handful of distributed sums, no gradient loop over the data.
+    Returns the full 3-iteration coefficient trajectory; the oracle
+    replays every training decision in SQL — the catalog's second
+    iterative-training operator (after BPE) with a hash-checked
+    trajectory."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    traj = logistic_irls(
+        _doc_quality_feats(docs), ["x1", "x2"], "y", iters=3
+    )
+    return spark.createDataFrame(
+        [(t["it"], t["b0"], t["b1"], t["b2"]) for t in traj],
+        "it int, b0 double, b1 double, b2 double",
+    )
+
+
+ORACLE["quality_classifier_irls"] = _irls_oracle_sql()
+
+
+@query("quality_classifier_score", None)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the IRLS-trained coefficients: one
+    map-side projection over the scan (classifier.logistic_score — the
+    shape that scores 100 TB), returning the 10 most-confident docs.
+    Ranking uses the 6dp-rounded probability (round-before-argmax
+    discipline) with doc_id tie-break."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+        logistic_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _doc_quality_feats(docs)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = logistic_score(feats, ["x1", "x2"], (b["b0"], b["b1"], b["b2"]))
+    return (
+        scored.select("doc_id", _r("prob", 6).alias("p6"))
+        .orderBy(F.col("p6").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("p6", 4).alias("prob"))
+    )
+
+
+_NTOK_SQL = ("len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+             "w -> w != ''))")
+ORACLE["quality_classifier_score"] = _irls_oracle_sql(final=f"""
+    SELECT doc_id, round(p6, 4) AS prob FROM (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(s3.b0 + s3.b1 * f.x1
+                                      + s3.b2 * f.x2))), 6) AS p6
+      FROM (SELECT doc_id,
+              ln(1.0 + {_NTOK_SQL}) AS x1,
+              CAST(n_chars AS DOUBLE) / (1.0 + {_NTOK_SQL}) AS x2
+            FROM documents) f, s3
+      ORDER BY p6 DESC, doc_id ASC LIMIT 10)""")
+
+
 def _embedding_near_dups_oracle_sql(
     n_planes: int = 4, n_tables: int = 3, threshold: float = 0.4
 ) -> str:

@@ -557,3 +557,49 @@ def test_ivfpq_index_store_roundtrip(spark, tmp_path):
         want.sort_values(key).reset_index(drop=True),
         got.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_logistic_irls_matches_numpy_reference(spark):
+    """classifier.logistic_irls (distributed BIGINT-quantized sums +
+    adjugate solve) must land within 1e-3 of an unquantized pure-numpy
+    IRLS on the same data, be near-stationary by iteration 3, and
+    logistic_score must rank by the fitted linear index."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+        logistic_score,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    x1 = rng.randn(n)
+    x2 = rng.randn(n)
+    eta = 0.5 + 1.2 * x1 - 0.7 * x2
+    y = (rng.rand(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"y": y, "x1": x1, "x2": x2})
+    ).repartition(8)
+
+    traj = logistic_irls(df, ["x1", "x2"], "y", iters=3)
+    got = np.array([traj[-1]["b0"], traj[-1]["b1"], traj[-1]["b2"]])
+
+    # pure-numpy IRLS reference, no quantization
+    X = np.column_stack([np.ones(n), x1, x2])
+    b = np.zeros(3)
+    for _ in range(3):
+        e = X @ b
+        mu = 1 / (1 + np.exp(-e))
+        w = mu * (1 - mu)
+        z = e + (y - mu) / w
+        b = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (w * z))
+    assert np.abs(got - b).max() < 1e-3, (got, b)
+
+    step = np.array([traj[2][k] - traj[1][k] for k in ("b0", "b1", "b2")])
+    assert np.abs(step).max() < 2e-1  # near-stationary by iteration 3
+
+    scored = logistic_score(df, ["x1", "x2"],
+                            (got[0], got[1], got[2])).toPandas()
+    lin = got[0] + got[1] * scored["x1"] + got[2] * scored["x2"]
+    assert (np.argsort(scored["prob"].values) == np.argsort(lin.values)).all()
