@@ -1753,5 +1753,55 @@ def load_ivfpq_index(
     ]
     coded = store.load(spark, f"{name}__coded")
     dim = len(books[0][0][1]) * nsub
+    # payload columns survive the parquet round trip inside __coded;
+    # restore the index's payload tuple by inference so filtered search
+    # works off a reloaded artifact exactly as off a fresh build
+    payload = tuple(
+        c for c in coded.columns
+        if c not in (id_col, vec_col, "codes", "cluster")
+    )
     return {"coarse": coarse, "books": books, "coded": coded,
-            "id_col": id_col, "vec_col": vec_col, "dim": dim}
+            "id_col": id_col, "vec_col": vec_col, "dim": dim,
+            "payload": payload}
+
+
+def save_ivf_index(index: dict, store, name: str) -> None:
+    """Persist a trained full-precision IVF index through the named
+    parquet Store — the artifact shape of :func:`ivf_build_index`, two
+    tables, no pickles:
+
+    ``{name}__centroids`` (cluster, cv)                    — quantizer
+    ``{name}__binned``    (id, vec, payload..., cluster)   — inverted lists
+
+    At scale write ``__binned`` bucketed by ``cluster`` so probes prune
+    files instead of scanning; payload columns (filtered search) ride
+    in the binned table."""
+    spark = index["binned"].sparkSession
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in index["centroids"]],
+        "cluster int, cv array<double>",
+    )
+    store.dump(cents, f"{name}__centroids")
+    store.dump(index["binned"], f"{name}__binned")
+
+
+def load_ivf_index(
+    spark,
+    store,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Load a persisted IVF index back into the dict shape
+    ivf_query_index consumes; payload columns are re-inferred from the
+    binned table so filtered search works unchanged."""
+    cents = sorted(
+        (r["cluster"], list(r["cv"]))
+        for r in store.load(spark, f"{name}__centroids").collect()
+    )
+    binned = store.load(spark, f"{name}__binned")
+    payload = tuple(
+        c for c in binned.columns if c not in (id_col, vec_col, "cluster")
+    )
+    return {"centroids": cents, "binned": binned, "id_col": id_col,
+            "vec_col": vec_col, "payload": payload}

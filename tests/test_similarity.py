@@ -603,3 +603,49 @@ def test_logistic_irls_matches_numpy_reference(spark):
                             (got[0], got[1], got[2])).toPandas()
     lin = got[0] + got[1] * scored["x1"] + got[2] * scored["x2"]
     assert (np.argsort(scored["prob"].values) == np.argsort(lin.values)).all()
+
+
+def test_ivf_index_store_roundtrip_with_payload(spark, tmp_path):
+    """save_ivf_index/load_ivf_index through the parquet Store: the
+    reloaded full-precision index must answer FILTERED queries exactly
+    like the in-memory one — payload columns survive the round trip and
+    are re-inferred on load."""
+    import numpy as np
+    import pandas as pd
+
+    import financial_data_science_spark.functions.similarity as S
+    from financial_data_science_spark.datasets.lookup import Store
+
+    rng = np.random.RandomState(5)
+    M = rng.randn(200, 8)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, M[i].tolist(), i % 3) for i in range(200)],
+            columns=["vec_id", "embedding", "label"],
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 6).select(
+        "vec_id", "embedding", F.col("label").alias("qlabel")
+    )
+    index = S.ivf_build_index(emb, nlist=4, iters=2, persist=True,
+                              payload=("label",))
+
+    def run(ix):
+        return S.ivf_query_index(
+            q, ix, k=3, nprobe=2, qkeep=("qlabel",),
+            candidate_filter=F.col("label") != F.col("qlabel"),
+        ).toPandas()
+
+    want = run(index)
+    store = Store(str(tmp_path))
+    S.save_ivf_index(index, store, "ix")
+    assert "ix__binned" in store
+    back = S.load_ivf_index(spark, store, "ix")
+    assert back["payload"] == ("label",)
+    got = run(back)
+    key = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        want.sort_values(key).reset_index(drop=True),
+        got.sort_values(key).reset_index(drop=True),
+    )
