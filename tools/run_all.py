@@ -53,12 +53,28 @@ def main() -> int:
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
 
     summary: dict = {"stages": {}, "ok": True}
+    prev_stages: dict = {}
+    try:
+        with open(os.path.join(REPO, "tools", "run_all_summary.json")) as fh:
+            prev_stages = json.load(fh).get("stages", {})
+    except (OSError, ValueError):
+        pass
 
     def stage(name: str, cmd: list[str], env: dict | None = None,
               check=None) -> None:
         if name in skip:
-            summary["stages"][name] = {"skipped": True}
-            print(f"[run_all] {name}: SKIPPED")
+            # carry the previous run's real result forward instead of
+            # erasing it — a --skip rerun of one stage must not destroy
+            # the record of the others (marked so readers can tell)
+            prev = prev_stages.get(name)
+            if prev and not prev.get("skipped"):
+                summary["stages"][name] = {**prev, "carried_forward": True}
+                summary["ok"] = summary["ok"] and bool(prev.get("ok"))
+                print(f"[run_all] {name}: SKIPPED "
+                      f"(carried previous: ok={prev.get('ok')})")
+            else:
+                summary["stages"][name] = {"skipped": True}
+                print(f"[run_all] {name}: SKIPPED")
             return
         r = _run(cmd, env)
         verdict = r["rc"] == 0 and (check is None or check(r))
