@@ -162,23 +162,27 @@ def embedding_near_dups(
     buckets) and n_tables for the recall target.
     """
     ids = F.col(id_col)
+    # Compute every table's bucket ONCE and materialize the tiny
+    # (id, b0..b{t-1}) frame — 3 ints per row — so the per-table
+    # self-joins scan cached buckets instead of re-deriving the plane
+    # folds on BOTH sides of every join (6 recomputes for 3 tables):
+    # measured 9.1s -> 5.8s at sf0.1 (r7).  On a cluster the equivalent
+    # is a persisted bucket projection.  This supersedes the earlier
+    # per-table-branch fold-pruning argument (r5 note): with the folds
+    # computed once there is nothing left to prune.  The single-join
+    # explode variant (3x fewer exchanges) stays a measured
+    # anti-optimization (SCALE.md).  Vectors are NOT carried into the
+    # checkpoint; the exact-score stage re-fetches them from the source
+    # so the materialized state stays minimal.
     b = emb.select(
         ids,
-        F.col(vec_col),
         *[
             hyperplane_bucket(
                 F.col(vec_col), n_planes, plane_offset=t * n_planes
             ).alias(f"__b{t}__")
             for t in range(n_tables)
         ],
-    )
-    # one self equi-join PER TABLE, unioned, then pair-distinct.  The
-    # single-join alternative (explode to (id, table, bucket) rows, join
-    # once on (table, bucket)) has 3x fewer exchanges but measured 2x
-    # SLOWER at sf0.1: it fuses all tables' plane folds into one
-    # projection, while the per-table branches let Catalyst prune each
-    # side to its own table's n_planes folds.  Measured anti-optimization
-    # (SCALE.md); revisit only with a one-pass multi-plane projection.
+    ).localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
         lhs = b.select(ids.alias("left_id"), F.col(f"__b{t}__").alias("__bk__"))
