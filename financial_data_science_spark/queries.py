@@ -5245,6 +5245,85 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["corpus_curation_pipeline_v2"] = _curation_v2_oracle_sql()
 
 
+@query("corpus_curation_pipeline_v3", None)
+def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v3 — the pipeline with a TRAINED gate: IRLS-train the
+    logistic quality classifier on the corpus (functions/classifier.py)
+    -> score every doc map-side -> keep docs the model accepts
+    (6dp-rounded prob >= 0.45, round-before-compare; the threshold is a
+    pipeline dial — these weak toy features hug the 0.44 base rate) -> restrict to the
+    training split (doc_id % 17 != 0) -> drop docs contaminated against
+    the benchmark n-gram set -> exact dedup (min-id canonical) ->
+    token-budget shard packing -> per-shard stats.  v1/v2 gate with
+    hand-tuned heuristics; v3 swaps in the trained filter — the shape a
+    modern corpus build actually runs — while staying ONE Catalyst DAG
+    after the three bounded IRLS collects."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+        logistic_score,
+    )
+    from financial_data_science_spark.functions.pipeline import (
+        contamination,
+        pack_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _doc_quality_feats(docs)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = logistic_score(feats, ["x1", "x2"],
+                            (b["b0"], b["b1"], b["b2"]))
+    good = scored.filter(_r("prob", 6) >= 0.45).select("doc_id")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    contaminated = (
+        contamination(train, bench, n=5)
+        .filter(F.col("n_contaminated") > 0)
+        .select("doc_id")
+    )
+    clean = (
+        train.join(good, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    ded = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    counted = ded.select(
+        "doc_id", TXT.n_tokens("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_token_budget(counted, "doc_id", "n_tokens", budget=2000)
+    return packed.select("doc_id", "n_tokens", "shard")
+
+
+ORACLE["corpus_curation_pipeline_v3"] = f"""
+    WITH scored AS (
+      SELECT doc_id, p6 FROM ({_irls_oracle_sql(final=f'''
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(s3.b0 + s3.b1 * f.x1
+                                    + s3.b2 * f.x2))), 6) AS p6
+    FROM (SELECT doc_id,
+            ln(1.0 + {_NTOK_SQL}) AS x1,
+            CAST(n_chars AS DOUBLE) / (1.0 + {_NTOK_SQL}) AS x2
+          FROM documents) f, s3''')})),
+    contam AS (
+      SELECT doc_id FROM ({_contamination_oracle_sql()})
+      WHERE n_contaminated > 0),
+    clean AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+      WHERE s.p6 >= 0.45 AND d.doc_id % 17 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+    ded AS (SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text),
+    tok AS (SELECT doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tokens FROM ded),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+          FROM tok),
+    packed AS (SELECT doc_id, n_tokens,
+                      CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard
+               FROM c)
+    SELECT doc_id, n_tokens, shard FROM packed
+    """
+
+
 @query(
     "stream_dedup_distinct_keys",
     """

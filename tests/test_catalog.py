@@ -49,6 +49,7 @@ def test_gate_prefix_is_pinned():
         "stream_contamination_flags",
         "quality_classifier_irls",
         "quality_classifier_score",
+        "corpus_curation_pipeline_v3",
     }
     import glob
     checked = set(_GATE_ORDER) | pending_first_driver_row
