@@ -5249,9 +5249,13 @@ ORACLE["corpus_curation_pipeline_v2"] = _curation_v2_oracle_sql()
 def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation v3 — the pipeline with a TRAINED gate: IRLS-train the
     logistic quality classifier on the corpus (functions/classifier.py)
-    -> score every doc map-side -> keep docs the model accepts
-    (6dp-rounded prob >= 0.45, round-before-compare; the threshold is a
-    pipeline dial — these weak toy features hug the 0.44 base rate) -> restrict to the
+    -> score every doc map-side -> keep the ABOVE-MEDIAN half by model
+    score (a score-rank corpus budget — absolute thresholds don't
+    transfer across corpora: these weak toy features concentrate the
+    probabilities around the base rate ever tighter as N grows, so any
+    fixed cut degenerates to all-or-nothing at other SFs; the median is
+    one exact-percentile scalar, collected and broadcast — at 100 TB
+    swap in approx_percentile and pin the cut) -> restrict to the
     training split (doc_id % 17 != 0) -> drop docs contaminated against
     the benchmark n-gram set -> exact dedup (min-id canonical) ->
     token-budget shard packing -> per-shard stats.  v1/v2 gate with
@@ -5271,9 +5275,11 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _doc_quality_feats(docs)
     traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
     b = traj[-1]
-    scored = logistic_score(feats, ["x1", "x2"],
-                            (b["b0"], b["b1"], b["b2"]))
-    good = scored.filter(_r("prob", 6) >= 0.45).select("doc_id")
+    scored = logistic_score(
+        feats, ["x1", "x2"], (b["b0"], b["b1"], b["b2"])
+    ).select("doc_id", _r("prob", 6).alias("p6"))
+    med = scored.agg(F.percentile("p6", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    good = scored.filter(F.col("p6") > F.lit(med)).select("doc_id")
     train = docs.filter(F.col("doc_id") % 17 != 0)
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     contaminated = (
@@ -5307,10 +5313,11 @@ ORACLE["corpus_curation_pipeline_v3"] = f"""
     contam AS (
       SELECT doc_id FROM ({_contamination_oracle_sql()})
       WHERE n_contaminated > 0),
+    med AS (SELECT quantile_cont(p6, 0.5) AS m FROM scored),
     clean AS (
       SELECT d.doc_id, d.text
-      FROM documents d JOIN scored s ON s.doc_id = d.doc_id
-      WHERE s.p6 >= 0.45 AND d.doc_id % 17 != 0
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id, med
+      WHERE s.p6 > med.m AND d.doc_id % 17 != 0
         AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
     ded AS (SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text),
     tok AS (SELECT doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tokens FROM ded),
