@@ -87,6 +87,7 @@ EXTENDED_QUERIES = [
     "bpe_tokenize_and_pack",
     "quality_classifier_irls",
     "corpus_curation_pipeline_v3",
+    "curation_v3_production",
 ]
 
 
@@ -184,11 +185,66 @@ def _production_contamination(spark, sf_dir):
     )
 
 
+def _production_curation_v3(spark, sf_dir):
+    """Curation v3 at production settings: xxhash64 contamination grams
+    (one JVM intrinsic per gram, vs the oracle path's per-character
+    portable fold — the dominant cost of the catalog entry) and
+    approx_percentile for the median score cut (exact percentile is a
+    full sort of the scored corpus; the sketch is one pass, mergeable
+    across 1000 executors).  Same DAG otherwise — trained IRLS gate on
+    the ONE materialized feature frame, decontaminate, exact dedup,
+    token-budget packing.  Parity vs the exact catalog entry is recorded
+    in SCALE.md (kept-row count within the approx-percentile ε)."""
+    from pyspark.sql import functions as F
+
+    import financial_data_science_spark.queries as QQ
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+        logistic_score,
+    )
+    from financial_data_science_spark.functions.pipeline import (
+        contamination,
+        pack_token_budget,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = QQ._doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = logistic_score(
+        feats, ["x1", "x2"], (b["b0"], b["b1"], b["b2"])
+    ).select("doc_id", QQ._r("prob", 6).alias("p6"))
+    med = scored.agg(
+        F.percentile_approx("p6", F.lit(0.5), F.lit(10000)).alias("m")
+    ).collect()[0]["m"]
+    good = scored.filter(F.col("p6") > F.lit(med)).select("doc_id")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    contaminated = (
+        contamination(train, bench, n=5, portable=False)
+        .filter(F.col("n_contaminated") > 0)
+        .select("doc_id")
+    )
+    clean = (
+        train.join(good, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    ded = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    counted = ded.select(
+        "doc_id", QQ.TXT.n_tokens("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_token_budget(counted, "doc_id", "n_tokens", budget=2000)
+    return packed.select("doc_id", "n_tokens", "shard")
+
+
 EXTRA = {
     "minhash_lsh_production": _production_minhash,
     "simhash_production": _production_simhash,
     "embedding_near_dups_production": _production_embedding_near_dups,
     "contamination_production": _production_contamination,
+    "curation_v3_production": _production_curation_v3,
 }
 
 

@@ -91,7 +91,15 @@ def logistic_irls(
     replays); the aggregation pattern generalizes to any k.
     Starting point b = 0 (so iteration 1's weights are exactly 1/4 —
     replayable).  One aggregate + one collected row per iteration."""
-    assert len(feature_cols) == 2, "3x3 adjugate solve: exactly 2 features"
+    if len(feature_cols) != 2:
+        # Hard contract, not a debug assert (asserts vanish under -O and
+        # 3 features would silently misindex xs): the 3x3 adjugate solve
+        # is written for exactly 2 features + intercept.  The k=2 pin is
+        # API — see MIGRATION.md "Trained quality classifier".
+        raise ValueError(
+            "logistic_irls is pinned to exactly 2 feature columns "
+            f"(intercept + 2 -> 3x3 adjugate solve); got {len(feature_cols)}"
+        )
     x1c, x2c = (F.col(c) for c in feature_cols)
     yc = F.col(label_col).cast("double")
 
