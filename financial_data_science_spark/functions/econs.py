@@ -217,7 +217,14 @@ def approximate_factors_rowmatrix(
     dmap = (
         df.select(date_col)
         .distinct()
-        .withColumn("__idx__", F.row_number().over(Window.orderBy(date_col)) - 1)
+        # bounded by construction: T distinct dates (documented driver
+        # altitude of the factor panel)
+        .withColumn(
+            "__idx__",
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(date_col)
+            ) - 1,
+        )
     )
     rows = (
         base.join(pos_df, series_col)
@@ -366,15 +373,24 @@ def hac_mean_stats(
     Bartlett-weighted long-run variance and t-stat are then one aggregate.
     Output per key: mean, nw_se, nw_tstat, n.
     """
+    from financial_data_science_spark.operators.windows import (
+        _guard,
+        tiny_ordered_window,
+    )
+
     order = [order] if isinstance(order, str) else list(order)
     keys_l = [keys] if isinstance(keys, str) else list(keys or [])
     w = (
         Window.partitionBy(*keys_l).orderBy(*order)
         if keys_l
-        else Window.orderBy(*order)
+        else tiny_ordered_window(*order)
     )
     x = F.col(value_col)
-    demeaned = x - F.avg(x).over(Window.partitionBy(*keys_l) if keys_l else Window.partitionBy())
+    demeaned = x - F.avg(x).over(
+        Window.partitionBy(*keys_l) if keys_l else Window.partitionBy(F.lit(0))
+    )
+    if not keys_l:
+        demeaned = _guard(demeaned, order)
     lagged = df.withColumn("__e__", demeaned)
     for l in range(1, lags + 1):
         lagged = lagged.withColumn(f"__e{l}__", F.lag("__e__", l).over(w))

@@ -183,16 +183,24 @@ def max_drawdown(
 ) -> DataFrame:
     """W4: cumulative log-wealth -> running max -> max gap per key
     (finance.py:286-307)."""
+    from financial_data_science_spark.operators.windows import (
+        _guard,
+        tiny_ordered_window,
+    )
+
     order = [order] if isinstance(order, str) else list(order)
     keys_l = [keys] if isinstance(keys, str) else list(keys or [])
     w = (
         Window.partitionBy(*keys_l).orderBy(*order)
         if keys_l
-        else Window.orderBy(*order)
+        else tiny_ordered_window(*order)
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wealth = F.sum(F.log1p(F.col(ret_col))).over(w)
     peak = F.max(wealth).over(w)
-    dd = df.withColumn("__dd__", F.lit(1.0) - F.exp(wealth - peak))
+    ddc = F.lit(1.0) - F.exp(wealth - peak)
+    if not keys_l:
+        ddc = _guard(ddc, order)
+    dd = df.withColumn("__dd__", ddc)
     grp = dd.groupBy(*keys_l) if keys_l else dd.groupBy()
     return grp.agg(F.max("__dd__").alias("max_drawdown"))
 

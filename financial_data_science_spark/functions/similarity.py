@@ -147,6 +147,7 @@ def embedding_near_dups(
     n_planes: int = 4,
     n_tables: int = 3,
     threshold: float = 0.4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at corpus scale: multi-table
     hyperplane-LSH blocking, then exact cosine only on bucket-collision
@@ -160,7 +161,16 @@ def embedding_near_dups(
     key, then one join back to fetch vectors for the exact score —
     never an all-pairs product.  At 100 TB tune n_planes up (smaller
     buckets) and n_tables for the recall target.
-    """
+
+    ``materialize`` (default True) eagerly localCheckpoints the tiny
+    (id, bucket...) projection so the 2 x n_tables join sides read it
+    instead of re-deriving the plane folds (measured 9.1s -> 5.8s at
+    sf0.1).  Block lifecycle: checkpoint blocks are freed by Spark's
+    ContextCleaner once the returned DataFrame (and its lineage) is no
+    longer referenced — repeated library calls in one long session pin
+    storage only for results the caller is still holding.  Pass
+    ``materialize=False`` on storage-tight clusters or when composing
+    into a plan the caller will persist wholesale."""
     ids = F.col(id_col)
     # Compute every table's bucket ONCE and materialize the tiny
     # (id, b0..b{t-1}) frame — 3 ints per row — so the per-table
@@ -182,7 +192,9 @@ def embedding_near_dups(
             ).alias(f"__b{t}__")
             for t in range(n_tables)
         ],
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        b = b.localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
         lhs = b.select(ids.alias("left_id"), F.col(f"__b{t}__").alias("__bk__"))
@@ -336,6 +348,9 @@ def minhash_signatures(
         # executor-local materialization for the second tokenize scan —
         # the standard persist tradeoff; drop it on storage-tight
         # clusters by pre-filtering with an explicit stop list instead.
+        # Blocks are freed by the ContextCleaner once the returned
+        # frame's lineage is dropped (same lifecycle note as
+        # embedding_near_dups) — not session-permanent.
         exploded = exploded.localCheckpoint(eager=True)
         # shingles are per-doc distinct, so count(*) per shingle IS the
         # document frequency; sklearn-style dispatch on TYPE, not value:
@@ -859,7 +874,10 @@ def _ivf_train_rows(
         train.orderBy(id_col)
         .limit(nlist)
         .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
+            # bounded by construction: nlist rows after the limit
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy(id_col))
+            .alias("cluster"),
             F.transform(v, lambda x: F.round(x.cast("double"), round_dp)).alias("cv"),
         )
     )

@@ -349,11 +349,16 @@ def rolling_ols(
     """
     from pyspark.sql import Window
 
+    from financial_data_science_spark.operators.windows import (
+        _guard,
+        tiny_ordered_window,
+    )
+
     keys_l = [keys] if isinstance(keys, str) else list(keys or [])
     w = (
         Window.partitionBy(*keys_l).orderBy(order)
         if keys_l
-        else Window.orderBy(order)
+        else tiny_ordered_window(order)
     ).rowsBetween(-(window - 1), 0)
     yc, xc = F.col(y).cast("double"), F.col(x).cast("double")
     both = yc.isNotNull() & xc.isNotNull()
@@ -369,6 +374,8 @@ def rolling_ols(
     r_denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
     r2 = F.when(r_denom > 0, F.pow(n * sxy - sx * sy, 2) / r_denom)
     full = n >= float(window)
+    if not keys_l:
+        slope = _guard(slope, [order])
     return df.select(
         *keys_l, order, y, x,
         F.when(full, slope).alias("slope"),

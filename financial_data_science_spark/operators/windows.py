@@ -20,13 +20,57 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+#: The keys=None arm of every operator below runs its window over ONE
+#: partition — right for driver-altitude single-series frames (a macro
+#: series, a calendar, per-chunk totals), lethal if a caller hands it a
+#: data-path frame at cluster scale.  Rather than let that happen
+#: silently (r7 verdict: nothing stopped keys=None on a 100 TB frame),
+#: the guard below fails the job the moment such a frame exceeds this
+#: many rows, with a message naming the fix.  Module-level so tests and
+#: informed callers can retune.
+UNPARTITIONED_WINDOW_MAX_ROWS = 10_000_000
+
+
+def tiny_ordered_window(*order) -> WindowSpec:
+    """Globally-ordered window for frames that are BOUNDED BY
+    CONSTRUCTION (a dims table, per-block totals, post-agg monthlies)
+    or guarded by :func:`_guard`: partitioning by a constant is
+    semantically identical to no partition spec (Catalyst folds the
+    literal away — the physical plan is the same SinglePartition
+    exchange) but declares the collapse as intentional and gives the
+    audit one grep-able choke point.  The log-noise side is handled in
+    session.get_spark, which drops the per-plan `WindowExec: No
+    Partition Defined` warning to ERROR now that every data-path arm
+    fails fast via the guard instead."""
+    return Window.partitionBy(F.lit(0)).orderBy(*order)
+
+
+def _guard(expr: Column, order: list) -> Column:
+    """Fail-fast wrapper for keys=None window expressions: raises from
+    the executor (same `assert_true` pattern as ewma's overflow bound)
+    once the global ordering exceeds UNPARTITIONED_WINDOW_MAX_ROWS.
+    row_number shares the operator's own window spec, so Catalyst folds
+    it into the existing WindowExec — no extra pass."""
+    rn = F.row_number().over(tiny_ordered_window(*order))
+    ok = F.assert_true(
+        rn <= F.lit(UNPARTITIONED_WINDOW_MAX_ROWS),
+        F.lit(
+            "unpartitioned window over more than "
+            f"{UNPARTITIONED_WINDOW_MAX_ROWS} rows: keys=None moves the "
+            "whole frame to one task.  Pass partition keys, or use the "
+            "two-phase global_cumsum pattern (operators/windows.py) for "
+            "global running aggregates."
+        ),
+    )
+    return F.when(ok.isNull(), expr)
+
 
 def _w(keys: list[str] | str | None, order: list[str] | str) -> WindowSpec:
     order = [order] if isinstance(order, str) else list(order)
     if keys:
         keys = [keys] if isinstance(keys, str) else list(keys)
         return Window.partitionBy(*keys).orderBy(*order)
-    return Window.orderBy(*order)
+    return tiny_ordered_window(*order)
 
 
 def ffill(
@@ -38,9 +82,12 @@ def ffill(
     """Forward-fill nulls in ``cols`` along ``order`` within ``keys`` (W7)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     w = _w(keys, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = [F.last(F.col(c), ignorenulls=True).over(w) for c in cols]
+    if not keys:
+        filled[0] = _guard(filled[0], [order] if isinstance(order, str) else order)
     return df.select(
         *[c for c in df.columns if c not in cols],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in cols],
+        *[e.alias(c) for e, c in zip(filled, cols)],
     )
 
 
@@ -56,9 +103,13 @@ def running(
     each is evaluated over rows unbounded-preceding..current.
     """
     w = _w(keys, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order_l = [order] if isinstance(order, str) else list(order)
     out = df
-    for name, expr in exprs.items():
-        out = out.withColumn(name, expr.over(w))
+    for i, (name, expr) in enumerate(exprs.items()):
+        e = expr.over(w)
+        if i == 0 and not keys:
+            e = _guard(e, order_l)
+        out = out.withColumn(name, e)
     return out
 
 
@@ -89,6 +140,8 @@ def islands(
     run = F.sum(changed).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if not keys:
+        run = _guard(run, [order] if isinstance(order, str) else list(order))
     return df.withColumn(island_col, run)
 
 
@@ -110,6 +163,8 @@ def sessionize(
     sid = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if not keys:
+        sid = _guard(sid, [ts_col])
     return df.withColumn(session_col, sid)
 
 
@@ -125,6 +180,8 @@ def drop_unchanged(
     w = _w(keys, order)
     cur = F.struct(*[F.col(c) for c in watch])
     prev = F.lag(cur).over(w)
+    if not keys:
+        prev = _guard(prev, [order] if isinstance(order, str) else list(order))
     return (
         df.withColumn("__prev__", prev)
         .filter(F.col("__prev__").isNull() | (F.col("__prev__") != cur))
@@ -148,9 +205,11 @@ def reverse_cumprod(
     w = (
         Window.partitionBy(*keys_l).orderBy(*[F.col(c).desc() for c in order])
         if keys_l
-        else Window.orderBy(*[F.col(c).desc() for c in order])
+        else tiny_ordered_window(*[F.col(c).desc() for c in order])
     ).rowsBetween(Window.unboundedPreceding, -1)
     prod = F.coalesce(F.product(F.col(col)).over(w), F.lit(1.0))
+    if not keys_l:
+        prod = _guard(prod, [F.col(c).desc() for c in order])
     return df.withColumn(out, prod)
 
 
@@ -199,13 +258,16 @@ def ewma(
     wo = (
         Window.partitionBy(*keys_l).orderBy(*order_l)
         if keys_l
-        else Window.orderBy(*order_l)
+        else tiny_ordered_window(*order_l)
     )
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     x = F.col(col).cast("double")
     obs = x.isNotNull() & ~F.isnan(x)  # pandas: NaN == missing, not a value
-    d = df.withColumn("__i__", F.row_number().over(wo) - 1)
+    idx = F.row_number().over(wo) - 1
+    if not keys_l:
+        idx = _guard(idx, order_l)
+    d = df.withColumn("__i__", idx)
     if lam <= 0.0:  # alpha == 1: y_t is just the last non-null x
         y = F.last(F.when(obs, x), ignorenulls=True).over(wc)
         return d.withColumn(out, y).drop("__i__")
@@ -277,13 +339,19 @@ def ewma_chunked(
     wo = (
         Window.partitionBy(*keys_l).orderBy(*order_l)
         if keys_l
-        else Window.orderBy(*order_l)
+        else tiny_ordered_window(*order_l)
     )
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     x = F.col(col).cast("double")
     obs = x.isNotNull() & ~F.isnan(x)  # pandas: NaN == missing, not a value
-    d = df.withColumn("__i__", F.row_number().over(wo) - 1)
+    idx = F.row_number().over(wo) - 1
+    if not keys_l:
+        # the chunked reformulation removes the overflow bound but the
+        # initial global row-number still single-partitions when
+        # keys=None — same guard as the plain form
+        idx = _guard(idx, order_l)
+    d = df.withColumn("__i__", idx)
     if lam <= 0.0:
         y = F.last(F.when(obs, x), ignorenulls=True).over(wc)
         return d.withColumn(out, y).drop("__i__")
@@ -315,7 +383,7 @@ def ewma_chunked(
     wk = (
         Window.partitionBy(*keys_l).orderBy("__k__")
         if keys_l
-        else Window.orderBy("__k__")
+        else tiny_ordered_window("__k__")  # rows/C per-chunk totals
     )
     G = sum(
         (
@@ -372,9 +440,12 @@ def max_drawdown_window(
     wo = (
         Window.partitionBy(*keys_l).orderBy(order)
         if keys_l
-        else Window.orderBy(order)
+        else tiny_ordered_window(order)
     ).rowsBetween(Window.unboundedPreceding, 0)
-    d = df.withColumn("__cum__", F.round(F.sum(F.log1p(ret_col)).over(wo), 9))
+    cum = F.round(F.sum(F.log1p(ret_col)).over(wo), 9)
+    if not keys_l:
+        cum = _guard(cum, [order])
+    d = df.withColumn("__cum__", cum)
     d = d.withColumn("__peakcum__", F.max("__cum__").over(wo))
     d = d.withColumn("__dd__", F.round(F.col("__peakcum__") - F.col("__cum__"), 9))
     gb = d.groupBy(*keys_l) if keys_l else d.groupBy()
@@ -460,7 +531,8 @@ def global_cumsum(
     )
     local = d.withColumn(out, F.sum(F.col(col)).over(wl))
     totals = d.groupBy("__blk__").agg(F.sum(F.col(col)).alias("__tot__"))
-    woff = Window.orderBy("__blk__").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded by construction: num_blocks rows
+    woff = tiny_ordered_window("__blk__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "__off__", F.coalesce(F.sum("__tot__").over(woff), F.lit(0))
     ).drop("__tot__")

@@ -47,9 +47,13 @@ class TradingCalendar:
             F.year(dt).cast("long").alias("year_num"),
             F.date_trunc("week", dt).alias("__week_start__"),
         )
-        w = Window.orderBy("date")
+        # bounded by construction: one row per distinct calendar date
+        w = Window.partitionBy(F.lit(0)).orderBy("date")
         flags = base.withColumn(
-            "week_num", F.dense_rank().over(Window.orderBy("__week_start__")).cast("long")
+            "week_num",
+            F.dense_rank()
+            .over(Window.partitionBy(F.lit(0)).orderBy("__week_start__"))
+            .cast("long"),
         ).drop("__week_start__").withColumn("day_num", F.row_number().over(w) - 1)
         for unit in ("week", "month", "quarter", "year"):
             uw = Window.partitionBy(f"{unit}_num")
@@ -99,7 +103,8 @@ class TradingCalendar:
         """(beg, end] holding-period tuples from consecutive period ends
         (busday.py:440-455): each period-end paired with the previous one."""
         ends = self.date_range(beg, end, freq)
-        w = Window.orderBy("date")
+        # bounded by construction: period-end rows only
+        w = Window.partitionBy(F.lit(0)).orderBy("date")
         return (
             ends.withColumn("beg", F.lag("date").over(w))
             .filter(F.col("beg").isNotNull())

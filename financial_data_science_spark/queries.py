@@ -691,7 +691,7 @@ def range_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, "tiny"), (10, "small"), (20, "medium"), (30, "large"), (40, "huge")],
         "start int, label string",
     )
-    w = Window.orderBy("start")
+    w = Window.partitionBy(F.lit(0)).orderBy("start")  # 5-row dim table
     r2 = ranges.withColumn("next_start", F.lead("start").over(w))
     out = p.join(
         F.broadcast(r2),
@@ -895,15 +895,20 @@ def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
 @query("stream_minhash_novelty", None)
 def stream_minhash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 x LLM-pipeline crossover: STREAMING MinHash near-dup
-    detection — first-seen LSH bucket per (band, bhash) within the
-    watermark (streaming/windows.py::stream_novel_buckets).  The
-    signature is computed per-row with stateless projections
+    detection — first-seen LSH bucket per (band, bhash)
+    (streaming/windows.py::stream_novel_buckets).  The signature is
+    computed per-row with stateless projections
     (similarity.minhash_band_keys — no aggregate, so append mode
-    works), and dedup state is one row per distinct bucket inside the
-    watermark horizon: the incremental form of the batch banded bucket
-    join, the shape a 100 TB/day ingestion dedup actually runs.
-    Projecting the bucket key makes the result deterministic (= the
-    DISTINCT bucket set) regardless of micro-batch arrival order."""
+    works); this arm's dedup state is the GLOBAL distinct-bucket set
+    (dropDuplicates without the event-time key is never evicted —
+    which is precisely what makes the output order-free and equal to
+    the batch-distinct bucket set).  For indefinite ingestion the
+    library's `bounded_state=True` arm switches to
+    dropDuplicatesWithinWatermark (state evicted at the horizon,
+    quiet buckets re-emit — approximate across horizons, so not the
+    oracle arm).  Projecting the bucket key makes the result
+    deterministic (= the DISTINCT bucket set) regardless of
+    micro-batch arrival order."""
     from financial_data_science_spark.streaming.windows import (
         read_documents_stream,
         run_stream_to_memory,
@@ -2100,7 +2105,8 @@ def backtest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_suppkey") % 2 == 1, F.col("l_extendedprice")).otherwise(0.0)
         ).alias("port"),
     )
-    w = Window.orderBy("mo")
+    # bounded by construction: one row per month after the groupBy
+    w = Window.partitionBy(F.lit(0)).orderBy("mo")
     r = m.select(
         "mo",
         (F.col("port") / F.lag("port").over(w) - 1).alias("pret"),

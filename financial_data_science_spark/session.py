@@ -58,4 +58,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence `WindowExec: No Partition Defined` (r8): every remaining
+    # unpartitioned window in this library is either (a) bounded by
+    # construction (dims/calendars/per-block totals — marked at the call
+    # site via tiny_ordered_window) or (b) guarded by an executor
+    # assert that fails past UNPARTITIONED_WINDOW_MAX_ROWS with an
+    # actionable message (operators/windows.py).  The blanket per-plan
+    # warning is strictly less informative than that guard and drowned
+    # real warnings in gate logs.
+    try:
+        jvm = spark.sparkContext._jvm
+        for cls in ("WindowExec", "WindowExecBase", "WindowGroupLimitExec"):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                f"org.apache.spark.sql.execution.window.{cls}",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+    except Exception:
+        pass  # logging backend not log4j2 (never fatal)
     return spark

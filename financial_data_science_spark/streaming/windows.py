@@ -170,21 +170,36 @@ def stream_novel_buckets(
     num_hashes: int = 8,
     bands: int = 4,
     watermark: str = "1 hour",
+    bounded_state: bool = False,
 ) -> DataFrame:
     """Streaming MinHash near-dup detection: first-seen LSH bucket per
-    (band, bhash) within the watermark — the incremental form of the
-    batch banded bucket join.  An arriving doc whose every band key was
-    already seen is a near-duplicate of something in state; a doc
-    emitting at least one row here is novel.
+    (band, bhash) — the incremental form of the batch banded bucket
+    join.  An arriving doc whose every band key was already seen is a
+    near-duplicate of something in state; a doc emitting at least one
+    row here is novel.
 
     Pipeline: per-row band keys (``similarity.minhash_band_keys`` —
     pure stateless projections, no aggregate, so it runs in append
-    mode) -> watermark -> ``dropDuplicates`` on the bucket key.  State
-    = one row per distinct bucket inside the watermark horizon; at
-    100 TB/day ingestion the watermark bounds state exactly the way
-    the batch path's daily re-shuffle bounds its join.  The emitted
-    (band, bhash) set equals the batch-distinct bucket set regardless
-    of micro-batch arrival order (parity-tested)."""
+    mode) -> watermark -> dedup on the bucket key.  Two state regimes:
+
+    - ``bounded_state=False`` (default, the oracle-checked arm):
+      ``dropDuplicates(["band", "bhash"])``.  Because the event-time
+      column is NOT in the dedup keys, Spark never evicts this state —
+      it is the GLOBAL distinct-bucket set, growing with corpus
+      distinct buckets (bands x effective vocabulary), not bounded by
+      the watermark.  That is exactly what makes the emitted set equal
+      the batch-distinct bucket set regardless of micro-batch arrival
+      order (parity-tested); it is the right arm for bounded backfills
+      and for corpora whose bucket cardinality fits state (the bucket
+      row is ~24 bytes; 1e9 buckets ~ 24 GB across the cluster).
+    - ``bounded_state=True`` (the indefinite-ingestion arm):
+      ``dropDuplicatesWithinWatermark`` — state rows ARE evicted once
+      the watermark passes them, so state is one row per distinct
+      bucket seen within the horizon.  A bucket quiet for longer than
+      the watermark is re-emitted on return (first-seen-within-horizon
+      semantics): dedup becomes approximate across horizons, which is
+      the standard production trade for unbounded streams and why this
+      arm is NOT the oracle-checked one."""
     from financial_data_science_spark.functions.similarity import (
         minhash_band_keys,
     )
@@ -193,6 +208,7 @@ def stream_novel_buckets(
         stream, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands,
     )
-    return keys.withWatermark(ts_col, watermark).dropDuplicates(
-        ["band", "bhash"]
-    )
+    wm = keys.withWatermark(ts_col, watermark)
+    if bounded_state:
+        return wm.dropDuplicatesWithinWatermark(["band", "bhash"])
+    return wm.dropDuplicates(["band", "bhash"])

@@ -145,6 +145,44 @@ def test_stream_minhash_novelty_parity(spark):
     assert got.duplicated(["band", "bhash"]).sum() == 0
 
 
+def test_stream_minhash_novelty_bounded_state(spark):
+    """The bounded-state production arm (dropDuplicatesWithinWatermark —
+    state evicted at the horizon) must emit the same distinct bucket set
+    as the default global-state arm when all event times fit inside one
+    watermark horizon (sf0.001 spans doc_id seconds << the 1h watermark),
+    and must never emit a duplicate bucket within that horizon."""
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        stream_novel_buckets,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    want = (
+        minhash_band_keys(docs, num_hashes=8, bands=4)
+        .select("band", "bhash").distinct().toPandas()
+    )
+    stream = read_documents_stream(spark, SF)
+    res = stream_novel_buckets(
+        stream, num_hashes=8, bands=4, bounded_state=True
+    ).select("band", "bhash")
+    got = run_stream_to_memory(
+        spark, res, "parity_stream_minhash_bounded", output_mode="append"
+    ).toPandas()
+
+    def norm(df):
+        return (
+            df.astype({"band": "int64", "bhash": "int64"})
+            .sort_values(["band", "bhash"]).reset_index(drop=True)
+        )
+
+    assert got.duplicated(["band", "bhash"]).sum() == 0
+    pd.testing.assert_frame_equal(norm(got), norm(want))
+
+
 def test_stream_contamination_parity(spark):
     """The streaming on-arrival contamination screen must flag exactly
     the docs (with exactly the overlap counts) that the batch

@@ -268,3 +268,46 @@ def test_max_drawdown_window_vs_pandas(spark):
         assert got.loc[g, "mdd"] == pytest.approx(
             np.exp(cumsum[end] - cumsum[beg]) - 1
         )
+
+
+def test_unpartitioned_window_guard(spark):
+    """keys=None operators fail fast (executor assert, not a silent
+    single-partition crawl) once the frame exceeds the documented bound,
+    and stay exact below it."""
+    import pytest
+
+    import financial_data_science_spark.operators.windows as W
+
+    df = spark.range(200).select(
+        F.col("id").alias("t"), (F.col("id") % 7).cast("double").alias("x")
+    )
+    old = W.UNPARTITIONED_WINDOW_MAX_ROWS
+    try:
+        W.UNPARTITIONED_WINDOW_MAX_ROWS = 100
+        with pytest.raises(Exception, match="unpartitioned window"):
+            W.running(df, {"cs": F.sum("x")}, order="t").collect()
+        with pytest.raises(Exception, match="unpartitioned window"):
+            W.sessionize(df, "t", gap=2).collect()
+        W.UNPARTITIONED_WINDOW_MAX_ROWS = 100_000
+        got = W.running(df, {"cs": F.sum("x")}, order="t").orderBy("t").toPandas()
+        want = got["x"].cumsum()
+        assert (got["cs"] == want).all()
+    finally:
+        W.UNPARTITIONED_WINDOW_MAX_ROWS = old
+
+
+def test_tiny_ordered_window_semantics(spark):
+    """The declared-bounded window is semantically identical to a global
+    orderBy (Catalyst folds the constant partition key away — same
+    SinglePartition plan); the marker is for audit/grep, the protection
+    is the _guard assert and the session-level log demotion."""
+    from financial_data_science_spark.operators.windows import (
+        tiny_ordered_window,
+    )
+
+    df = spark.range(50).select(F.col("id").alias("t"))
+    out = df.withColumn(
+        "rn", F.row_number().over(tiny_ordered_window("t"))
+    )
+    got = out.orderBy("t").toPandas()
+    assert (got["rn"].values == np.arange(1, 51)).all()
