@@ -76,6 +76,60 @@ def _solve3_adjugate(a11, a12, a13, a22, a23, a33, v1, v2, v3):
     return b1, b2, b3
 
 
+def ldlt_solve_steps(n: int) -> list[tuple[str, str]]:
+    """Generate the EXACT arithmetic sequence solving the symmetric
+    ``n x n`` system ``A b = v`` via LDL^T (no pivoting, no sqrt) as
+    ``(name, expression)`` assignment pairs over names ``a{i}{j}``
+    (i <= j, 1-based) and ``v{i}``, producing ``b1..b{n}``.
+
+    Every expression is FULLY parenthesized and uses only ``+ - * /``,
+    so the identical string evaluates to the identical IEEE double in
+    Python ``eval`` and in DuckDB SQL (both engines' + - * / are
+    correctly rounded) — this single generator IS the cross-engine
+    determinism contract for k != 2 IRLS: the driver solve and the
+    oracle replay the same expression tree by construction, the same
+    discipline the hand-written 3x3 adjugate gives the k=2 path.
+    LDL^T without pivoting is stable here because X'WX is symmetric
+    positive definite (w > 0) — the standard normal-equations setting."""
+    steps: list[tuple[str, str]] = []
+
+    def a(i: int, j: int) -> str:
+        i, j = min(i, j), max(i, j)
+        return f"a{i}{j}"
+
+    for j in range(1, n + 1):
+        e = a(j, j)
+        for k in range(1, j):
+            e = f"({e} - ((l{j}{k} * l{j}{k}) * d{k}))"
+        steps.append((f"d{j}", e))
+        for i in range(j + 1, n + 1):
+            e = a(i, j)
+            for k in range(1, j):
+                e = f"({e} - ((l{i}{k} * l{j}{k}) * d{k}))"
+            steps.append((f"l{i}{j}", f"({e} / d{j})"))
+    for i in range(1, n + 1):
+        e = f"v{i}"
+        for k in range(1, i):
+            e = f"({e} - (l{i}{k} * y{k}))"
+        steps.append((f"y{i}", e))
+    for i in range(n, 0, -1):
+        e = f"(y{i} / d{i})"
+        for k in range(i + 1, n + 1):
+            e = f"({e} - (l{k}{i} * b{k}))"
+        steps.append((f"b{i}", e))
+    return steps
+
+
+def _eval_steps(steps: list[tuple[str, str]], env: dict) -> dict:
+    """Evaluate generated assignment steps in order.  The expressions
+    come from :func:`ldlt_solve_steps` (our own generator — arithmetic
+    over known names only), evaluated with builtins stripped."""
+    env = dict(env)
+    for name, expr in steps:
+        env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+    return env
+
+
 def logistic_irls(
     df: DataFrame,
     feature_cols: list[str],
@@ -84,53 +138,58 @@ def logistic_irls(
 ) -> list[dict]:
     """Train logistic regression by IRLS over (intercept, *feature_cols)
     and return the FULL coefficient trajectory
-    ``[{"it": 1, "b0": ., "b1": ., "b2": .}, ...]`` (6dp grid).
+    ``[{"it": 1, "b0": ., "b1": ., ...}, ...]`` (6dp grid).
 
-    Currently k = 2 features + intercept (the adjugate solve is written
-    for the symmetric 3x3 — the same closed form the min-variance oracle
-    replays); the aggregation pattern generalizes to any k.
-    Starting point b = 0 (so iteration 1's weights are exactly 1/4 —
-    replayable).  One aggregate + one collected row per iteration."""
-    if len(feature_cols) != 2:
-        # Hard contract, not a debug assert (asserts vanish under -O and
-        # 3 features would silently misindex xs): the 3x3 adjugate solve
-        # is written for exactly 2 features + intercept.  The k=2 pin is
-        # API — see MIGRATION.md "Trained quality classifier".
-        raise ValueError(
-            "logistic_irls is pinned to exactly 2 feature columns "
-            f"(intercept + 2 -> 3x3 adjugate solve); got {len(feature_cols)}"
-        )
-    x1c, x2c = (F.col(c) for c in feature_cols)
+    Any number of features k >= 1: the normal-equation sums are
+    (k+1)(k+2)/2 + (k+1) BIGINT-quantized columns in ONE map-side
+    combinable aggregate per iteration, one collected row, and a
+    driver-side (k+1) x (k+1) solve.  k = 2 keeps the original
+    hand-written symmetric 3x3 adjugate (bit-stable vs the r7 driver
+    records); every other k solves via the generated LDL^T sequence
+    (:func:`ldlt_solve_steps`) whose oracle replays the identical
+    expression strings.  Starting point b = 0 (so iteration 1's weights
+    are exactly 1/4 — replayable)."""
+    k = len(feature_cols)
+    if k < 1:
+        raise ValueError("logistic_irls needs at least 1 feature column")
+    n = k + 1
+    xcols = [F.col(c) for c in feature_cols]
     yc = F.col(label_col).cast("double")
+    steps = None if k == 2 else ldlt_solve_steps(n)
 
-    beta = (0.0, 0.0, 0.0)
+    beta = [0.0] * n
     traj: list[dict] = []
     for it in range(1, iters + 1):
-        b0, b1, b2 = beta
-        eta = F.lit(b0) + F.lit(b1) * x1c + F.lit(b2) * x2c
+        eta = F.lit(beta[0])
+        for bi, xc in zip(beta[1:], xcols):
+            eta = eta + F.lit(bi) * xc
         mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
         w = mu * (F.lit(1.0) - mu)
         z = eta + (yc - mu) / w
-        xs = [F.lit(1.0), x1c, x2c]
+        xs = [F.lit(1.0), *xcols]
         aggs = []
         names_a = []
-        for i in range(3):
-            for j in range(i, 3):
-                n = f"a{i + 1}{j + 1}"
-                names_a.append(n)
-                aggs.append(F.sum(_quant(w * xs[i] * xs[j])).alias(n))
-        for i in range(3):
-            aggs.append(F.sum(_quant(w * xs[i] * z)).alias(f"v{i + 1}"))
+        for i in range(n):
+            for j in range(i, n):
+                nm = f"a{i + 1}{j + 1}"
+                names_a.append(nm)
+                aggs.append(F.sum(_quant(w * xs[i] * xs[j])).alias(nm))
+        names_v = [f"v{i + 1}" for i in range(n)]
+        for i in range(n):
+            aggs.append(F.sum(_quant(w * xs[i] * z)).alias(names_v[i]))
         row = df.agg(*aggs).collect()[0]  # ONE bounded row per iteration
-        vals = {n: row[n] / float(_Q) for n in
-                names_a + ["v1", "v2", "v3"]}
-        nb = _solve3_adjugate(
-            vals["a11"], vals["a12"], vals["a13"], vals["a22"],
-            vals["a23"], vals["a33"], vals["v1"], vals["v2"], vals["v3"],
-        )
-        beta = tuple(_round6(b) for b in nb)
-        traj.append({"it": it, "b0": beta[0], "b1": beta[1],
-                     "b2": beta[2]})
+        vals = {nm: row[nm] / float(_Q) for nm in names_a + names_v}
+        if k == 2:
+            nb = _solve3_adjugate(
+                vals["a11"], vals["a12"], vals["a13"], vals["a22"],
+                vals["a23"], vals["a33"], vals["v1"], vals["v2"],
+                vals["v3"],
+            )
+        else:
+            env = _eval_steps(steps, vals)
+            nb = [env[f"b{i + 1}"] for i in range(n)]
+        beta = [_round6(b) for b in nb]
+        traj.append({"it": it, **{f"b{i}": beta[i] for i in range(n)}})
     return traj
 
 
@@ -142,10 +201,12 @@ def logistic_score(
 ) -> DataFrame:
     """Map-side scoring with trained coefficients: one projection, no
     shuffle — the shape that scores a 100 TB corpus on the scan."""
-    b0, b1, b2 = beta
-    eta = (
-        F.lit(b0)
-        + F.lit(b1) * F.col(feature_cols[0])
-        + F.lit(b2) * F.col(feature_cols[1])
-    )
+    if len(beta) != len(feature_cols) + 1:
+        raise ValueError(
+            f"beta has {len(beta)} coefficients; expected intercept + "
+            f"{len(feature_cols)} features = {len(feature_cols) + 1}"
+        )
+    eta = F.lit(beta[0])
+    for bi, c in zip(beta[1:], feature_cols):
+        eta = eta + F.lit(bi) * F.col(c)
     return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))

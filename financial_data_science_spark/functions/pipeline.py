@@ -25,7 +25,7 @@ unstructured/unstructured.py + vocab.py):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_data_science_spark.functions.porthash import MOD, keyhash
@@ -163,6 +163,56 @@ def contamination(
             F.coalesce(F.sum("__hit__"), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("contamination_rate"),
     )
+
+
+def contamination_screen(
+    df: DataFrame,
+    spark: SparkSession,
+    bench_hashes,
+    text_col: str = "text",
+    n: int = 5,
+    portable: bool = True,
+) -> DataFrame:
+    """Drop rows whose ``text_col`` shares ANY n-gram hash with the
+    (driver-collected) benchmark set — the per-ROW, stateless
+    formulation of :func:`contamination` for streaming append mode.
+
+    `contamination` is an explode -> join -> groupBy: an aggregation
+    (which an append-mode stream can only run windowed) whose inner
+    join drops the CLEAN docs a screen must pass through.  Screening
+    per row instead keeps a composed curation DAG at exactly ONE
+    stateful operator and adds NO shuffle.  Benchmark suites are tiny
+    next to a training corpus by construction, so the broadcast set is
+    bounded the same way the join's broadcast side is.
+
+    Physical shape: the gram hashes are computed JVM-side
+    (:func:`ngram_hashes`, the same values the batch join uses), then
+    ``mapInPandas`` does the Arrow-batched membership test against the
+    broadcast frozenset and filters.  NOT a scalar pandas UDF: in
+    Spark 4.1 a Python UDF whose input expression contains
+    higher-order lambda functions is never extracted into
+    ArrowEvalPython (batch AND streaming fail with INTERNAL_ERROR
+    "Cannot evaluate expression: udf(...)"), and pre-projecting the
+    array collapses back into the UDF's input under CollapseProject.
+    A mapInPandas node takes its child's output ATTRIBUTES as-is, so
+    the gram projection below it stays a JVM projection.  Cost note:
+    the doc's columns ride through Arrow once — that is the screen's
+    pass-through anyway."""
+    bc = spark.sparkContext.broadcast(frozenset(int(h) for h in bench_hashes))
+    out_schema = df.schema
+
+    def _screen(batches):
+        s = bc.value
+        for pdf in batches:
+            keep = pdf["__grams__"].apply(
+                lambda arr: not any(int(h) in s for h in arr)
+            )
+            yield pdf.loc[keep].drop(columns="__grams__")
+
+    g = df.withColumn(
+        "__grams__", ngram_hashes(F.col(text_col), n, portable)
+    )
+    return g.mapInPandas(_screen, out_schema)
 
 
 def chunk_documents(

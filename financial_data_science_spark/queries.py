@@ -855,11 +855,14 @@ ORACLE["minhash_lsh_stopshingle"] = _minhash_oracle_sql(max_df=0.25)
 
 
 def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
-                               seed: int = 42) -> str:
+                               seed: int = 42,
+                               source: str = "documents") -> str:
     """DuckDB recompute of the distinct MinHash LSH bucket set — the
     deterministic projection of streaming first-seen-bucket dedup
     (arrival order decides WHICH doc owns a bucket, but the bucket SET
-    is order-free)."""
+    is order-free).  ``source`` names the (doc_id, text) relation to
+    bucket — a CTE from an enclosing WITH works (the whole statement
+    embeds as a parenthesized subquery)."""
     import random
 
     from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
@@ -874,7 +877,7 @@ def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
     return f"""
     WITH toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
-      FROM documents),
+      FROM {source}),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -5014,6 +5017,135 @@ ORACLE["quality_classifier_score"] = _irls_oracle_sql(final=f"""
       ORDER BY p6 DESC, doc_id ASC LIMIT 10)""")
 
 
+def _irls_oracle_sql_k(feature_sql: list[str], iters: int = 3) -> str:
+    """DuckDB replay of the k-feature IRLS trajectory.  The per-row
+    eta/mu/w/z, the BIGINT-quantized exact sums, and — the general-k
+    novelty — the LDL^T solve spelled as the SAME expression strings
+    the driver evaluates (classifier.ldlt_solve_steps generates both
+    sides, so the solve matches bit-for-bit by construction; see that
+    docstring for why no-pivot LDL^T is safe on X'WX)."""
+    from financial_data_science_spark.functions.classifier import (
+        ldlt_solve_steps,
+    )
+
+    n = len(feature_sql) + 1
+    q = "1000000.0"
+
+    def qsum(term: str, name: str) -> str:
+        return (f"CAST(sum(CAST(floor({term} * {q} + 0.5) AS BIGINT)) "
+                f"AS DOUBLE) / {q} AS {name}")
+
+    def r6(x: str) -> str:
+        return f"floor(floor(({x}) * 1e9 + 0.5) / 1e3 + 0.5) / 1e6"
+
+    feats_cols = ",\n             ".join(
+        f"{e} AS x{i + 1}" for i, e in enumerate(feature_sql)
+    )
+    sql = f"""
+    WITH feats AS MATERIALIZED (
+      SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+             {feats_cols}
+      FROM documents)"""
+    xs = ["1.0"] + [f"x{i + 1}" for i in range(n - 1)]
+    xlist = ", ".join(xs[1:])
+    zeros = ", ".join(f"CAST(0.0 AS DOUBLE) AS b{i}" for i in range(n))
+    sql += f",\n    s0 AS (SELECT {zeros})"
+    eta = " + ".join(["b0"] + [f"b{i + 1} * x{i + 1}" for i in range(n - 1)])
+    steps = ldlt_solve_steps(n)
+    step_aliases = ",\n                    ".join(
+        f"{expr} AS {nm}" for nm, expr in steps
+    )
+    # two nesting levels below the rounding layer so the final b0..b{k}
+    # aliases can never collide with the solve's own b1..b{n} step names
+    renames = ", ".join(f"b{i + 1} AS sb{i + 1}" for i in range(n))
+    outsel = ",\n             ".join(
+        f"{r6(f'sb{i + 1}')} AS b{i}" for i in range(n)
+    )
+    for it in range(1, iters + 1):
+        sums = []
+        for i in range(n):
+            for j in range(i, n):
+                sums.append(qsum(f"w * {xs[i]} * {xs[j]}",
+                                 f"a{i + 1}{j + 1}"))
+        for i in range(n):
+            sums.append(qsum(f"w * {xs[i]} * z", f"v{i + 1}"))
+        sums_sql = ",\n      ".join(sums)
+        sql += f""",
+    r{it} AS (
+      SELECT y, {xlist}, eta, mu, mu * (1.0 - mu) AS w,
+             eta + (y - mu) / (mu * (1.0 - mu)) AS z
+      FROM (SELECT y, {xlist}, {eta} AS eta,
+                   1.0 / (1.0 + exp(-({eta}))) AS mu
+            FROM feats, s{it - 1})),
+    t{it} AS (SELECT
+      {sums_sql}
+      FROM r{it}),
+    s{it} AS (
+      SELECT {outsel}
+      FROM (SELECT {renames}
+            FROM (SELECT *,
+                    {step_aliases}
+                  FROM t{it})))"""
+    blist = ", ".join(f"b{i}" for i in range(n))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {it} AS it, {blist} FROM s{it}"
+        for it in range(1, iters + 1)
+    )
+    sql += f"""
+    SELECT it, {blist} FROM (
+      {unions})
+    ORDER BY it"""
+    return sql
+
+
+@query("quality_classifier_irls_k3", None)
+def quality_classifier_irls_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k = 3 trained quality filter — the general-k IRLS path (r7
+    VERDICT item 6: 'a trained gate users can't extend past 2 features
+    will be the first thing a real pipeline hits').  Same distributed
+    shape as the k=2 query (one BIGINT-quantized aggregate + one
+    collected row per iteration) but the driver solve is the generated
+    no-pivot LDL^T sequence and the oracle replays the identical
+    expression strings (classifier.ldlt_solve_steps emits both sides).
+    Features: x1 = ln(1+ntok), x2 = chars/token, x3 = type-token ratio
+    (distinct tokens / tokens — the repetition-quality signal; chosen
+    over ln(1+n_chars), which is 0.998-correlated with x1 and drives
+    IRLS into near-separation blowup |beta|~70 on this corpus)."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two-step projection: materialize the token array ONCE, then
+    # derive all three features from it — referencing the
+    # higher-order-function tokenizer expression 5x in one select
+    # duplicates it per reference (measured 2x the checkpoint wall)
+    ntok = F.size("__t__").cast("double")
+    feats = docs.select(
+        "lang", "n_chars", TXT.tokens("text").alias("__t__")
+    ).select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.log(F.lit(1.0) + ntok).alias("x1"),
+        (F.col("n_chars").cast("double") / (F.lit(1.0) + ntok)).alias("x2"),
+        (F.size(F.array_distinct("__t__")).cast("double")
+         / (F.lit(1.0) + ntok)).alias("x3"),
+    ).localCheckpoint(eager=True)  # one tokenization pass for 3 iterations
+    traj = logistic_irls(feats, ["x1", "x2", "x3"], "y", iters=3)
+    return spark.createDataFrame(
+        [(t["it"], t["b0"], t["b1"], t["b2"], t["b3"]) for t in traj],
+        "it int, b0 double, b1 double, b2 double, b3 double",
+    )
+
+
+_NDISTINCT_SQL = ("len(list_distinct(list_filter(regexp_split_to_array("
+                  "trim(text), '\\s+'), w -> w != '')))")
+ORACLE["quality_classifier_irls_k3"] = _irls_oracle_sql_k([
+    f"ln(1.0 + {_NTOK_SQL})",
+    f"CAST(n_chars AS DOUBLE) / (1.0 + {_NTOK_SQL})",
+    f"CAST({_NDISTINCT_SQL} AS DOUBLE) / (1.0 + {_NTOK_SQL})",
+])
+
+
 def _embedding_near_dups_oracle_sql(
     n_planes: int = 4, n_tables: int = 3, threshold: float = 0.4
 ) -> str:
@@ -5350,6 +5482,124 @@ ORACLE["corpus_curation_pipeline_v3"] = f"""
                       CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard
                FROM c)
     SELECT doc_id, n_tokens, shard FROM packed
+    """
+
+
+@query("stream_curation_pipeline", None)
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB/day INGESTION shape, composed (r7 VERDICT item 7):
+    arrival-time contamination screen -> trained-quality gate -> MinHash
+    novelty dedup, all in ONE streaming DAG — the pieces exist as
+    separate gate queries (stream_contamination_flags,
+    quality_classifier_*, stream_minhash_novelty); a real pipeline runs
+    them fused, and that composition is what this query proves out.
+
+    Deployment split: the EXPENSIVE decisions are made offline in batch
+    (IRLS-train the quality model; collect the score median; collect the
+    benchmark 5-gram hash set — eval suites are tiny by construction) and
+    enter the stream as broadcast scalars/sets.  The stream itself is
+    then stateless projections — JVM-side per-row gram hashes screened
+    against the broadcast set via an Arrow-batched mapInPandas
+    membership test (pipeline.contamination_screen: keeps the composed
+    DAG at exactly ONE stateful operator and ZERO extra shuffles, where
+    the join+windowed-count alternative would chain two stateful ops;
+    the set is benchmark-sized, not corpus-sized) and the map-side
+    logistic score gate — until the single stateful op: the
+    novel-bucket dropDuplicates.  Output = the distinct LSH bucket
+    inventory of clean, high-quality docs (order-free, so the oracle is
+    the batch replay: IRLS chain -> median -> contamination -> bucket
+    SQL over the kept set)."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+    from financial_data_science_spark.functions.pipeline import (
+        contamination_screen,
+        ngram_hashes,
+    )
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ---- batch prep (bounded collects, the offline leg) ----
+    feats = _doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = feats.select(
+        _r(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(b["b0"]) + F.lit(b["b1"]) * F.col("x1")
+                                    + F.lit(b["b2"]) * F.col("x2")))),
+            6,
+        ).alias("p6")
+    )
+    med = scored.agg(F.percentile("p6", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    bench_set = [
+        r["__h__"]
+        for r in docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(ngram_hashes(F.col("text"), 5, True)).alias("__h__"))
+        .distinct()
+        .collect()
+    ]
+
+    # ---- the streaming DAG ----
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 17 != 0
+    )
+    ntok = TXT.n_tokens("text").cast("double")
+    p6 = _r(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(
+            F.lit(b["b0"])
+            + F.lit(b["b1"]) * F.log(F.lit(1.0) + ntok)
+            + F.lit(b["b2"]) * (F.col("n_chars").cast("double")
+                                / (F.lit(1.0) + ntok))
+        ))),
+        6,
+    )
+    curated = contamination_screen(
+        stream, spark, bench_set, text_col="text", n=5
+    ).filter(p6 > F.lit(med))
+    buckets = (
+        minhash_band_keys(curated, num_hashes=8, bands=4)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["band", "bhash"])
+        .select("band", "bhash")
+    )
+    out = run_stream_to_memory(
+        spark,
+        buckets,
+        f"gate_stream_curation_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return out.select("band", "bhash")
+
+
+ORACLE["stream_curation_pipeline"] = f"""
+    WITH scored AS (
+      SELECT doc_id, p6 FROM ({_irls_oracle_sql(final=f'''
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(s3.b0 + s3.b1 * f.x1
+                                    + s3.b2 * f.x2))), 6) AS p6
+    FROM (SELECT doc_id,
+            ln(1.0 + {_NTOK_SQL}) AS x1,
+            CAST(n_chars AS DOUBLE) / (1.0 + {_NTOK_SQL}) AS x2
+          FROM documents) f, s3''')})),
+    contam AS (
+      SELECT doc_id FROM ({_contamination_oracle_sql()})
+      WHERE n_contaminated > 0),
+    med AS (SELECT quantile_cont(p6, 0.5) AS m FROM scored),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id, med
+      WHERE s.p6 > med.m AND d.doc_id % 17 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam))
+    SELECT band, bhash
+    FROM ({_minhash_bucket_oracle_sql(source="kept")})
     """
 
 
@@ -7218,79 +7468,88 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-7 rotation (third gate rotation): with r6 every catalog query
-# has >= 1 recorded driver-green row, so the gate now REFRESHES the
-# oldest evidence.  Slots: 3 anchors (the flagship, plus both BPE rows
-# to prove the r7 HUGEINT-cast fix turned the only r6 reds green), 5
-# debut rows (bpe_train_batched: batch=1 === classic equivalence +
-# Store round-trip; hard_negative_mining_production: filtered-ANN
-# mining on the persisted IVFPQ index; hard_negative_mining_ivf:
-# full-precision filtered IVF; stream_minhash_novelty: streaming LSH
-# near-dup detection; bpe_tokenize_and_pack: tokenizer-to-shards
-# pipeline), and 42 drawn from the oldest-checked cohort —
-# seq_in_group (last driver row: r2) plus 41 of the 47 queries whose
-# last driver row is r4.  The 6 r4-cohort rows deferred to r8
-# (bpe_token_counts, next_trading_day, q5_nation_revenue, cube_revenue,
-# monthly_rollup, weighted_avg_price) are the simplest of that cohort
-# (single-concept aggregations whose classes other gate rows cover) and
-# stay guarded by the full-catalog local replica
-# (tools/check_correctness.py — hash-strict), as does everything
-# rotated out (r5/r6 records stand).
+# Round-8 rotation (fourth gate rotation).  Slots: 1 anchor (the
+# flagship), 6 debut rows — the 4 catalog entries with no driver
+# CORRECTNESS row ever (added after the r7 gate was sealed; r7
+# VERDICT.md item 1 puts them at the head): the trained IRLS quality
+# classifier (train + score), the streaming contamination screen, and
+# curation pipeline v3 with the trained gate — plus the 2 queries BUILT
+# this round (general-k IRLS at k=3; the composed streaming curation
+# DAG) — then the refresh draw from the oldest-driver-checked cohorts:
+# all 6 rows whose last driver record is r4 (deferred from the r7
+# rotation) and 37 of the 43 rows whose last record is r5.  The
+# r5-cohort rows deferred to r9 each
+# have an r7-green sibling exercising the SAME kernel:
+#   coercion_roundtrip      (sources/coercion.py:49   — coercion_keep_drop_replace r5->
+#                            csv_load_coercion r6 covers the kernel; keep_drop is in this gate)
+#   parametric_risk_summary (functions/stats.py:83     — risk_summary r7)
+#   max_drawdown_windows    (operators/windows.py:354  — running_peak_drawdown r7)
+#   outlier_fences_tukey    (operators/fractiles.py:135 — winsorized_price_stats r7)
+#   dedup_canonical_keep    (operators/prevailing.py:20 — dedup_keep_last r7)
+#   stream_tick_bins_5min   (streaming/windows.py:18 — same aggregate
+#                            exprs as tick_bins_5min r7; stream harness
+#                            covered by 3 other stream rows this gate)
+# Their slots go to r8-built debut rows (general-k IRLS, streaming
+# curation composition) so new capability earns an official record in
+# the round it ships.
+# Everything rotated out stays guarded by the full-catalog hash-strict
+# local replica (tools/check_correctness.py), and its r5–r7 driver
+# records stand.
 _GATE_ORDER = [
-    # anchors
+    # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    "bpe_train_merges",         # r6 red -> r7 green (oracle BIGINT cast)
-    "bpe_segment_tokens",       # r6 red -> r7 green (oracle BIGINT cast)
-    # debut rows
-    "bpe_train_batched",
-    "hard_negative_mining_production",
-    "hard_negative_mining_ivf",
-    "stream_minhash_novelty",
-    "bpe_tokenize_and_pack",
-    # oldest-checked cohort: r2
-    "seq_in_group",
-    # oldest-checked cohort: r4 (44 of 47)
-    "binary_payload_metadata",
-    "compound_by_year",
-    "compound_returns_by_supplier",
-    "cosine_topk",
-    "dedup_exact_docs",
-    "dedup_keep_last",
-    "delist_adjusted_compound",
-    "doc_fingerprints",
-    "event_range_agg_1h",
-    "event_window_trading_days",
-    "ffill_last_error",
-    "fractile_deciles",
-    "group_ols",
-    "holdings_turnover",
-    "jaccard_near_dups",
-    "keydev_event_labels",
-    "kupiec_var_backtest",
-    "label_cosine_stats",
-    "lang_id",
-    "minhash_lsh_candidates",
-    "month_end_trading_days",
-    "multimodal_features",
-    "near_dup_clusters",
-    "pivot_event_type_totals",
-    "prevailing_latest_event",
-    "purchase_day_click_value",
-    "range_bucket_lookup",
-    "risk_summary",
-    "running_peak_drawdown",
-    "sessionization",
-    "simhash_near_dups",
-    "supply_communities",
-    "supply_graph_degrees",
-    "supply_graph_pagerank",
-    "supply_link_prediction",
-    "text_quality",
-    "tick_bins_5min",
-    "tw_value_5min",
-    "users_click_no_purchase",
-    "window_group_share",
-    "winsorized_price_stats",
+    # debut rows: the last 4 queries with no official driver record
+    "quality_classifier_irls",
+    "quality_classifier_score",
+    "stream_contamination_flags",
+    "corpus_curation_pipeline_v3",
+    "quality_classifier_irls_k3",   # built this round (general-k IRLS)
+    "stream_curation_pipeline",     # built this round (composed DAG)
+    # oldest-checked cohort: r4 (all 6 deferred from the r7 rotation)
+    "bpe_token_counts",
+    "cube_revenue",
+    "monthly_rollup",
+    "next_trading_day",
+    "q5_nation_revenue",
+    "weighted_avg_price",
+    # oldest-checked cohort: r5 (39 of 43)
+    "adf_by_user",
+    "backtest_attribution",
+    "car_by_relative_day",
+    "clean_trades_stats",
+    "coercion_keep_drop_replace",
+    "cosine_ann_bucketed",
+    "dated_lookup_apply",
+    "doc_chunking",
+    "document_filter_gate",
+    "ewma_riskmetrics_vol",
+    "ff_scale_sentinels",
+    "hac_mean_discount",
+    "io_regroup",
+    "lapsed_supplier_parts",
+    "minhash_lsh_stopshingle",
+    "mixture_sample_sources",
+    "ohlc_volatility",
+    "permno_links_asof",
+    "pii_pattern_census",
+    "portfolio_monthly_returns",
+    "prevailing_click_at_purchase",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "repetition_quality",
+    "rolling_beta_12m",
+    "smoothed_holdings",
+    "split_back_adjust",
+    "stream_session_windows",
+    "structural_break_fstats",
+    "supply_betweenness_sampled",
+    "supply_eigenvector",
+    "supply_kcore",
+    "tcode_transforms",
+    "tfidf_top_terms",
+    "unpivot_flag_revenue",
+    "upsert_insert_ignore",
+    "vintage_latest_asof",
 ]
 
 

@@ -19,38 +19,33 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-7
+    """The driver checks the first 50 queries() entries; the round-8
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    BPE cast-fix proof rows + the r7 debut rows, and must draw the rest
-    from the oldest-driver-checked cohort (refresh rotation)."""
+    four r8 debut rows (the only catalog entries that had no driver
+    CORRECTNESS record before this round), and must draw the rest from
+    the oldest-driver-checked cohort (refresh rotation)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
     assert list(Q)[:50] == _GATE_ORDER
     required = {
-        # anchors: flagship + the two r6-red rows that must go green
-        "universe_assembly", "bpe_train_merges", "bpe_segment_tokens",
-        # r7 debut rows
-        "bpe_train_batched", "hard_negative_mining_production",
-        "hard_negative_mining_ivf", "stream_minhash_novelty",
-        "bpe_tokenize_and_pack",
-        # oldest-checked cohort representatives (r2 + r4-era)
-        "seq_in_group", "cosine_topk", "fractile_deciles",
-        "supply_graph_pagerank", "minhash_lsh_candidates",
-        "sessionization", "kupiec_var_backtest", "text_quality",
+        # anchor
+        "universe_assembly",
+        # r8 debut rows: first-ever driver records
+        "quality_classifier_irls", "quality_classifier_score",
+        "stream_contamination_flags", "corpus_curation_pipeline_v3",
+        # oldest-checked cohort representatives (r4 + r5-era)
+        "bpe_token_counts", "q5_nation_revenue", "monthly_rollup",
+        "q1_pricing_summary", "tcode_transforms", "vintage_latest_asof",
+        "minhash_lsh_stopshingle", "stream_session_windows",
+        "supply_betweenness_sampled", "rolling_beta_12m",
     }
     assert required <= set(_GATE_ORDER)
-    # every catalog query keeps at least one recorded driver round:
-    # union(r1..r6 records, round-7 gate) covers Q — except the entries
-    # added AFTER the r7 rotation was sealed, which are guarded by the
-    # hash-strict local replica until their r8 gate debut
-    pending_first_driver_row = {
-        "stream_contamination_flags",
-        "quality_classifier_irls",
-        "quality_classifier_score",
-        "corpus_curation_pipeline_v3",
-    }
+    # every catalog query has at least one recorded driver round OR is
+    # in this round's gate (the refresh rotation keeps the oldest
+    # evidence bounded): union(r1..rN records, round-8 gate) covers Q
+    pending_first_driver_row = set()
     import glob
     checked = set(_GATE_ORDER) | pending_first_driver_row
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):

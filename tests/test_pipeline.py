@@ -108,6 +108,46 @@ def test_contamination_hand_example(spark):
     assert out.loc[2, "n_contaminated"] == 0
 
 
+def test_contamination_screen_matches_join_form(spark):
+    """The stateless per-row screen (mapInPandas membership test) must
+    keep exactly the docs the explode-join-aggregate `contamination`
+    reports as n_contaminated == 0 — plus the gram-less docs the join
+    form drops entirely (no 5-grams -> nothing to screen -> clean)."""
+    from financial_data_science_spark.functions.pipeline import (
+        contamination_screen,
+        ngram_hashes,
+    )
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench_hashes = [
+        r["__h__"]
+        for r in docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(ngram_hashes(F.col("text"), 5, True)).alias("__h__"))
+        .distinct()
+        .collect()
+    ]
+    got = {
+        r["doc_id"]
+        for r in contamination_screen(train, spark, bench_hashes, n=5)
+        .select("doc_id")
+        .collect()
+    }
+    cont = contamination(
+        train, docs.filter(F.col("doc_id") % 17 == 0), n=5
+    ).toPandas()
+    flagged = set(cont.loc[cont["n_contaminated"] > 0, "doc_id"])
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    want = all_train - flagged
+    assert got == want and len(got) > 0
+    # schema passes through unchanged (screen is a pure row filter)
+    assert (
+        contamination_screen(train, spark, bench_hashes, n=5).schema
+        == train.schema
+    )
+
+
 def test_embedding_near_dups_subset_of_exact(spark):
     from financial_data_science_spark.functions.similarity import (
         cosine,

@@ -605,6 +605,73 @@ def test_logistic_irls_matches_numpy_reference(spark):
     assert (np.argsort(scored["prob"].values) == np.argsort(lin.values)).all()
 
 
+def test_ldlt_solve_steps_matches_numpy():
+    """The generated LDL^T assignment sequence (the general-k IRLS
+    solve AND its oracle — one generator emits both sides) must solve
+    random SPD systems to numpy accuracy for n = 2..6."""
+    import numpy as np
+
+    from financial_data_science_spark.functions.classifier import (
+        _eval_steps,
+        ldlt_solve_steps,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in range(2, 7):
+        G = rng.randn(n, n)
+        A = G @ G.T + n * np.eye(n)  # SPD
+        v = rng.randn(n)
+        env = {}
+        for i in range(n):
+            for j in range(i, n):
+                env[f"a{i + 1}{j + 1}"] = A[i, j]
+            env[f"v{i + 1}"] = v[i]
+        out = _eval_steps(ldlt_solve_steps(n), env)
+        got = np.array([out[f"b{i + 1}"] for i in range(n)])
+        want = np.linalg.solve(A, v)
+        assert np.abs(got - want).max() < 1e-10, (n, got, want)
+
+
+def test_logistic_irls_k3_matches_numpy_reference(spark):
+    """General-k path (k=3 -> 4x4 LDL^T driver solve): must land within
+    1e-3 of unquantized numpy IRLS, and logistic_score must enforce the
+    beta-length contract."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+        logistic_score,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    X = np.column_stack([np.ones(n), rng.randn(n), rng.randn(n),
+                         rng.randn(n)])
+    eta = X @ np.array([0.3, 1.0, -0.6, 0.4])
+    y = (rng.rand(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"y": y, "x1": X[:, 1], "x2": X[:, 2],
+                      "x3": X[:, 3]})
+    ).repartition(8)
+
+    traj = logistic_irls(df, ["x1", "x2", "x3"], "y", iters=3)
+    got = np.array([traj[-1][f"b{i}"] for i in range(4)])
+
+    b = np.zeros(4)
+    for _ in range(3):
+        e = X @ b
+        mu = 1 / (1 + np.exp(-e))
+        w = mu * (1 - mu)
+        z = e + (y - mu) / w
+        b = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (w * z))
+    assert np.abs(got - b).max() < 1e-3, (got, b)
+
+    with pytest.raises(ValueError, match="coefficients"):
+        logistic_score(df, ["x1", "x2", "x3"], (0.0, 1.0))
+
+
 def test_ivf_index_store_roundtrip_with_payload(spark, tmp_path):
     """save_ivf_index/load_ivf_index through the parquet Store: the
     reloaded full-precision index must answer FILTERED queries exactly

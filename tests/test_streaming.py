@@ -210,3 +210,61 @@ def test_stream_contamination_parity(spark):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64")
     )
+
+
+def test_stream_curation_pipeline_parity(spark):
+    """The composed streaming curation DAG (contamination screen ->
+    trained-quality gate -> novel-bucket dedup, ONE streaming query)
+    must emit exactly the bucket set its batch replay produces:
+    batch-train the same model, apply the same median cut and
+    contamination drop, bucket the kept docs with the SAME band-key
+    projections, distinct."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+    from financial_data_science_spark.functions.pipeline import contamination
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+    from financial_data_science_spark.queries import Q, _doc_quality_feats, _r
+    from financial_data_science_spark.sources.testdata import load_table
+
+    got = set(
+        map(tuple, Q["stream_curation_pipeline"](spark, SF)
+            .toPandas()[["band", "bhash"]].itertuples(index=False))
+    )
+
+    docs = load_table(spark, SF, "documents")
+    feats = _doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = feats.select(
+        "doc_id",
+        _r(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(
+                -(F.lit(b["b0"]) + F.lit(b["b1"]) * F.col("x1")
+                  + F.lit(b["b2"]) * F.col("x2")))),
+            6,
+        ).alias("p6"),
+    )
+    med = scored.agg(F.percentile("p6", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    contaminated = (
+        contamination(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 17 == 0),
+            n=5,
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select("doc_id")
+    )
+    kept = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .join(scored.filter(F.col("p6") > F.lit(med)), "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    want = set(
+        map(tuple, minhash_band_keys(kept, num_hashes=8, bands=4)
+            .select("band", "bhash").distinct()
+            .toPandas()[["band", "bhash"]].itertuples(index=False))
+    )
+    assert got == want and len(got) > 0

@@ -86,3 +86,54 @@ for mult in (1, 10):
     w2 = time.time() - t0
     print(f"mult={mult:3d} docs={n:7d} contamination   wall={w2:6.2f}s "
           f"({n / w2:,.0f} docs/s)", flush=True)
+
+# ---- composed curation pipeline (r8): the three stages FUSED in one
+# streaming DAG — mapInPandas contamination screen (xxhash64 grams, the
+# production hash) -> trained logistic gate (betas trained offline in
+# batch, entering as literals) -> band keys -> ONE dropDuplicates.
+# This composition, not the pieces, is the 100 TB/day ingestion shape.
+from financial_data_science_spark.functions.classifier import logistic_irls
+from financial_data_science_spark.functions.pipeline import (
+    contamination_screen,
+)
+from financial_data_science_spark.functions.similarity import (
+    minhash_band_keys,
+)
+from financial_data_science_spark.functions.text import n_tokens
+
+_ntok_d = (F.lit(1.0) + n_tokens("text").cast("double"))
+feats = docs.select(
+    (F.col("lang") == "en").cast("double").alias("y"),
+    F.log(_ntok_d).alias("x1"),
+    (F.col("n_chars").cast("double") / _ntok_d).alias("x2"),
+).localCheckpoint(eager=True)
+_tb = logistic_irls(feats, ["x1", "x2"], "y", iters=3)[-1]
+bench_set = [r["__h__"] for r in bench_hashes.collect()]
+
+for mult in (1, 10):
+    d, n = make_source(mult)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*.parquet"))
+    # schema has no n_chars; length(text) is the same signal here
+    _nt = (F.lit(1.0) + n_tokens("text").cast("double"))
+    p6 = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(
+            F.lit(_tb["b0"]) + F.lit(_tb["b1"]) * F.log(_nt)
+            + F.lit(_tb["b2"]) * (F.length("text").cast("double") / _nt)
+        ))),
+        6,
+    )
+    curated = contamination_screen(
+        stream, spark, bench_set, n=5, portable=False
+    ).filter(p6 > F.lit(0.5))
+    buckets = (minhash_band_keys(curated, num_hashes=8, bands=4)
+               .withWatermark("ts", "100 days")
+               .dropDuplicates(["band", "bhash"]))
+    t0 = time.time()
+    q = (buckets.writeStream.outputMode("append").format("noop")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(1200)
+    w3 = time.time() - t0
+    print(f"mult={mult:3d} docs={n:7d} composed-curate wall={w3:6.2f}s "
+          f"({n / w3:,.0f} docs/s: screen+gate+novelty in ONE DAG)",
+          flush=True)
