@@ -86,6 +86,7 @@ EXTENDED_QUERIES = [
     "bpe_train_batched",
     "bpe_tokenize_and_pack",
     "quality_classifier_irls",
+    "quality_classifier_irls_k3",
     "corpus_curation_pipeline_v3",
     "curation_v3_production",
 ]

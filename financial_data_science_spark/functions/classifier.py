@@ -193,6 +193,51 @@ def logistic_irls(
     return traj
 
 
+def save_model(traj: list[dict], feature_cols: list[str], spark, store,
+               name: str) -> None:
+    """Persist a trained IRLS model through the named parquet Store
+    (datasets.lookup.Store — S19, the same pattern as the IVFPQ index
+    and the BPE merge table): one table ``{name}__logit`` holding the
+    FULL trajectory plus the feature-column names, so a later session
+    can audit convergence, not just score.  A trained quality gate is a
+    first-class artifact — train once on the full corpus, then every
+    scoring job (batch backfills, the streaming curation DAG's offline
+    leg) reloads coefficients without touching the corpus again."""
+    n = len(feature_cols) + 1
+    rows = [
+        (t["it"], i, f"b{i}",
+         feature_cols[i - 1] if i else "__intercept__", t[f"b{i}"])
+        for t in traj
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "it int, pos int, coef string, feature string, value double"
+    )
+    store.dump(df, f"{name}__logit")
+
+
+def load_model(spark, store, name: str) -> tuple[tuple, list[str], list[dict]]:
+    """Load a persisted IRLS model: returns (final betas tuple, the
+    feature column names in training order, the full trajectory).  The
+    table is iters x (k+1) rows — driver-literal scale by
+    construction."""
+    rows = store.load(spark, f"{name}__logit").orderBy("it", "pos").collect()
+    iters = max(r["it"] for r in rows)
+    traj = []
+    feats: list[str] = []
+    for it in range(1, iters + 1):
+        step = {"it": it}
+        for r in rows:
+            if r["it"] == it:
+                step[r["coef"]] = r["value"]
+                if it == 1 and r["pos"] > 0:
+                    feats.append(r["feature"])
+        traj.append(step)
+    last = traj[-1]
+    beta = tuple(last[f"b{i}"] for i in range(len(feats) + 1))
+    return beta, feats, traj
+
+
 def logistic_score(
     df: DataFrame,
     feature_cols: list[str],

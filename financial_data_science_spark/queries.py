@@ -5017,6 +5017,47 @@ ORACLE["quality_classifier_score"] = _irls_oracle_sql(final=f"""
       ORDER BY p6 DESC, doc_id ASC LIMIT 10)""")
 
 
+@query("quality_classifier_model_store", None)
+def quality_classifier_model_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAIN-ONCE / SCORE-ANYWHERE deployment split for the trained
+    quality gate (the classifier sibling of `ann_ivfpq_query_only` and
+    the persisted BPE merges): IRLS-train, persist the full coefficient
+    trajectory + feature names through the parquet Store
+    (classifier.save_model), reload in-query (classifier.load_model),
+    and score with the RELOADED betas.  At 100 TB the training pass runs
+    once; every scoring job — nightly backfills, the streaming curation
+    DAG's offline leg — starts from the artifact.  Output (and oracle)
+    identical to quality_classifier_score: the round trip must be
+    value-exact or the artifact is corrupt."""
+    import tempfile
+
+    from financial_data_science_spark.datasets.lookup import Store
+    from financial_data_science_spark.functions.classifier import (
+        load_model,
+        logistic_irls,
+        logistic_score,
+        save_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    store = Store(tempfile.mkdtemp(prefix="logit_gate_"))
+    save_model(traj, ["x1", "x2"], spark, store, "quality")
+    beta, feat_names, _ = load_model(spark, store, "quality")
+    assert feat_names == ["x1", "x2"]
+    scored = logistic_score(feats, feat_names, beta)
+    return (
+        scored.select("doc_id", _r("prob", 6).alias("p6"))
+        .orderBy(F.col("p6").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("p6", 4).alias("prob"))
+    )
+
+
+ORACLE["quality_classifier_model_store"] = ORACLE["quality_classifier_score"]
+
+
 def _irls_oracle_sql_k(feature_sql: list[str], iters: int = 3) -> str:
     """DuckDB replay of the k-feature IRLS trajectory.  The per-row
     eta/mu/w/z, the BIGINT-quantized exact sums, and — the general-k
@@ -7469,15 +7510,16 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-8 rotation (fourth gate rotation).  Slots: 1 anchor (the
-# flagship), 6 debut rows — the 4 catalog entries with no driver
+# flagship), 7 debut rows — the 4 catalog entries with no driver
 # CORRECTNESS row ever (added after the r7 gate was sealed; r7
 # VERDICT.md item 1 puts them at the head): the trained IRLS quality
 # classifier (train + score), the streaming contamination screen, and
-# curation pipeline v3 with the trained gate — plus the 2 queries BUILT
+# curation pipeline v3 with the trained gate — plus the 3 queries BUILT
 # this round (general-k IRLS at k=3; the composed streaming curation
-# DAG) — then the refresh draw from the oldest-driver-checked cohorts:
+# DAG; the train-once/score-anywhere model-Store round trip) — then
+# the refresh draw from the oldest-driver-checked cohorts:
 # all 6 rows whose last driver record is r4 (deferred from the r7
-# rotation) and 37 of the 43 rows whose last record is r5.  The
+# rotation) and 36 of the 43 rows whose last record is r5.  The
 # r5-cohort rows deferred to r9 each
 # have an r7-green sibling exercising the SAME kernel:
 #   coercion_roundtrip      (sources/coercion.py:49   — coercion_keep_drop_replace r5->
@@ -7489,6 +7531,8 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #   stream_tick_bins_5min   (streaming/windows.py:18 — same aggregate
 #                            exprs as tick_bins_5min r7; stream harness
 #                            covered by 3 other stream rows this gate)
+#   lapsed_supplier_parts   (§2.7/J15 semi-anti kernel —
+#                            users_click_no_purchase r7)
 # Their slots go to r8-built debut rows (general-k IRLS, streaming
 # curation composition) so new capability earns an official record in
 # the round it ships.
@@ -7505,6 +7549,7 @@ _GATE_ORDER = [
     "corpus_curation_pipeline_v3",
     "quality_classifier_irls_k3",   # built this round (general-k IRLS)
     "stream_curation_pipeline",     # built this round (composed DAG)
+    "quality_classifier_model_store",  # built this round (train-once split)
     # oldest-checked cohort: r4 (all 6 deferred from the r7 rotation)
     "bpe_token_counts",
     "cube_revenue",
@@ -7526,7 +7571,6 @@ _GATE_ORDER = [
     "ff_scale_sentinels",
     "hac_mean_discount",
     "io_regroup",
-    "lapsed_supplier_parts",
     "minhash_lsh_stopshingle",
     "mixture_sample_sources",
     "ohlc_volatility",

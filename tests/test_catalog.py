@@ -35,6 +35,9 @@ def test_gate_prefix_is_pinned():
         # r8 debut rows: first-ever driver records
         "quality_classifier_irls", "quality_classifier_score",
         "stream_contamination_flags", "corpus_curation_pipeline_v3",
+        # r8-built queries: debut in the round they ship
+        "quality_classifier_irls_k3", "stream_curation_pipeline",
+        "quality_classifier_model_store",
         # oldest-checked cohort representatives (r4 + r5-era)
         "bpe_token_counts", "q5_nation_revenue", "monthly_rollup",
         "q1_pricing_summary", "tcode_transforms", "vintage_latest_asof",

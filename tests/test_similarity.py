@@ -672,6 +672,38 @@ def test_logistic_irls_k3_matches_numpy_reference(spark):
         logistic_score(df, ["x1", "x2", "x3"], (0.0, 1.0))
 
 
+def test_logistic_model_store_roundtrip(spark, tmp_path):
+    """save_model/load_model through the parquet Store must round-trip
+    the betas VALUE-EXACT (the 6dp-grid floats are stored as doubles —
+    any drift corrupts downstream score gates), the feature names in
+    training order, and the full trajectory."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.datasets.lookup import Store
+    from financial_data_science_spark.functions.classifier import (
+        load_model,
+        logistic_irls,
+        save_model,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 1000
+    x1, x2, x3 = rng.randn(n), rng.randn(n), rng.randn(n)
+    y = (rng.rand(n) < 1 / (1 + np.exp(-(0.2 + x1 - x2 + 0.5 * x3)))
+         ).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"y": y, "x1": x1, "x2": x2, "x3": x3})
+    )
+    traj = logistic_irls(df, ["x1", "x2", "x3"], "y", iters=2)
+    store = Store(str(tmp_path))
+    save_model(traj, ["x1", "x2", "x3"], spark, store, "m")
+    beta, feats, traj2 = load_model(spark, store, "m")
+    assert feats == ["x1", "x2", "x3"]
+    assert beta == tuple(traj[-1][f"b{i}"] for i in range(4))
+    assert traj2 == traj
+
+
 def test_ivf_index_store_roundtrip_with_payload(spark, tmp_path):
     """save_ivf_index/load_ivf_index through the parquet Store: the
     reloaded full-precision index must answer FILTERED queries exactly
