@@ -5553,12 +5553,9 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_science_spark.functions.classifier import (
         logistic_irls,
     )
-    from financial_data_science_spark.functions.pipeline import (
-        contamination_screen,
-        ngram_hashes,
-    )
-    from financial_data_science_spark.functions.similarity import (
-        minhash_band_keys,
+    from financial_data_science_spark.functions.pipeline import ngram_hashes
+    from financial_data_science_spark.streaming.curation import (
+        curate_document_stream,
     )
     from financial_data_science_spark.streaming.windows import (
         read_documents_stream,
@@ -5587,30 +5584,16 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
 
-    # ---- the streaming DAG ----
+    # ---- the streaming DAG (streaming/curation.py assembles it) ----
     stream = read_documents_stream(spark, sf_dir).filter(
         F.col("doc_id") % 17 != 0
     )
-    ntok = TXT.n_tokens("text").cast("double")
-    p6 = _r(
-        F.lit(1.0)
-        / (F.lit(1.0) + F.exp(-(
-            F.lit(b["b0"])
-            + F.lit(b["b1"]) * F.log(F.lit(1.0) + ntok)
-            + F.lit(b["b2"]) * (F.col("n_chars").cast("double")
-                                / (F.lit(1.0) + ntok))
-        ))),
-        6,
-    )
-    curated = contamination_screen(
-        stream, spark, bench_set, text_col="text", n=5
-    ).filter(p6 > F.lit(med))
-    buckets = (
-        minhash_band_keys(curated, num_hashes=8, bands=4)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["band", "bhash"])
-        .select("band", "bhash")
-    )
+    buckets = curate_document_stream(
+        stream, spark,
+        beta=(b["b0"], b["b1"], b["b2"]),
+        score_cut=med,
+        bench_hashes=bench_set,
+    ).select("band", "bhash")
     out = run_stream_to_memory(
         spark,
         buckets,

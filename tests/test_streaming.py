@@ -271,16 +271,16 @@ def test_stream_curation_pipeline_parity(spark):
 
 
 def test_stream_curation_plan_has_one_stateful_op(spark):
-    """Structural pin for the composed curation DAG: the analyzed
-    streaming plan must contain exactly ONE stateful operator (the
-    bucket Deduplicate) and exactly one Python stage (the mapInPandas
-    screen) — no Aggregate anywhere in the stream leg.  Values don't
-    matter for plan shape, so the gate uses dummy betas/median/set."""
-    from financial_data_science_spark.functions.pipeline import (
-        contamination_screen,
-    )
-    from financial_data_science_spark.functions.similarity import (
-        minhash_band_keys,
+    """Structural pin for the composed curation DAG (the library
+    surface streaming/curation.py): the analyzed streaming plan must
+    contain exactly ONE stateful operator (the bucket Deduplicate) and
+    exactly one Python stage (the mapInPandas screen) — no Aggregate
+    anywhere in the stream leg.  Values don't matter for plan shape,
+    so dummy betas/cut/set."""
+    import pytest
+
+    from financial_data_science_spark.streaming.curation import (
+        curate_document_stream,
     )
     from financial_data_science_spark.streaming.windows import (
         read_documents_stream,
@@ -289,23 +289,25 @@ def test_stream_curation_plan_has_one_stateful_op(spark):
     stream = read_documents_stream(spark, SF).filter(
         F.col("doc_id") % 17 != 0
     )
-    p6 = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-(
-            F.lit(0.1) + F.lit(0.2) * F.log(
-                F.lit(1.0) + F.col("n_chars").cast("double"))
-        ))), 6,
-    )
-    curated = contamination_screen(stream, spark, [1, 2, 3], n=5).filter(
-        p6 > F.lit(0.5)
-    )
-    buckets = (
-        minhash_band_keys(curated, num_hashes=8, bands=4)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["band", "bhash"])
-        .select("band", "bhash")
-    )
+    buckets = curate_document_stream(
+        stream, spark, beta=(0.1, 0.2, -0.3), score_cut=0.5,
+        bench_hashes=[1, 2, 3],
+    ).select("band", "bhash")
     plan = buckets._jdf.queryExecution().analyzed().toString()
     assert plan.count("Deduplicate") == 1, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "Aggregate" not in plan, plan
     assert buckets.isStreaming
+    # the bounded-state arm swaps the dedup operator, still exactly one
+    bounded = curate_document_stream(
+        stream, spark, beta=(0.1, 0.2, -0.3), score_cut=0.5,
+        bench_hashes=[1, 2, 3], bounded_state=True,
+    )
+    bplan = bounded._jdf.queryExecution().analyzed().toString()
+    assert bplan.count("DeduplicateWithinWatermark") == 1, bplan
+    # beta-length contract
+    with pytest.raises(ValueError, match="coefficients"):
+        curate_document_stream(
+            stream, spark, beta=(0.1, 0.2), score_cut=0.5,
+            bench_hashes=[1],
+        )

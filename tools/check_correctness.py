@@ -159,6 +159,20 @@ def main() -> int:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
+    # logging is NOT query-affecting conf, so demoting the unpartitioned-
+    # window warning here keeps the plain-session discipline while
+    # matching get_spark's rationale: every remaining unpartitioned
+    # window is bounded-by-construction or guarded by the executor
+    # assert (operators/windows.py), which is strictly more informative
+    try:
+        jvm = spark.sparkContext._jvm
+        for cls in ("WindowExec", "WindowExecBase", "WindowGroupLimitExec"):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                f"org.apache.spark.sql.execution.window.{cls}",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+    except Exception:
+        pass
     con = duck_connection()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in Q.items():
