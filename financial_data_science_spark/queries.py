@@ -1038,12 +1038,19 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_cosine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-label pairwise cosine aggregate (embedding-column analytics)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    # norms hoisted per side — one fold per row, not three per pair;
+    # bit-identical (see similarity.embedding_near_dups)
+    a = emb.select("label", F.col("vec_id").alias("ida"),
+                   F.col("embedding").alias("va"),
+                   SIM.norm(F.col("embedding")).alias("na"))
+    b = emb.select("label", F.col("vec_id").alias("idb"),
+                   F.col("embedding").alias("vb"),
+                   SIM.norm(F.col("embedding")).alias("nb"))
     pairs = a.join(b, ["label"]).filter(F.col("ida") < F.col("idb"))
+    cos = SIM.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        _r(F.avg(SIM.cosine(F.col("va"), F.col("vb"))), 6).alias("avg_cos"),
+        _r(F.avg(cos), 6).alias("avg_cos"),
     )
 
 
@@ -3904,9 +3911,11 @@ def cosine_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The arithmetic plane signs are engine-agnostic, so the DuckDB oracle
     re-derives buckets and per-bucket top-3 value-for-value."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # bucket AND norm computed once per row below the self-join — the
+    # norm hoist is bit-identical (see similarity.embedding_near_dups)
     b = emb.withColumn(
         "bucket", SIM.hyperplane_bucket(F.col("embedding"), n_planes=6)
-    )
+    ).withColumn("__n__", SIM.norm(F.col("embedding")))
     qs = b.filter(F.col("vec_id") < 20)
     cand = (
         qs.alias("q")
@@ -3915,7 +3924,8 @@ def cosine_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            SIM.cosine(F.col("q.embedding"), F.col("c.embedding")).alias("score"),
+            (SIM.dot(F.col("q.embedding"), F.col("c.embedding"))
+             / (F.col("q.__n__") * F.col("c.__n__"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -7065,22 +7075,29 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-top-k shape as cosine_topk with the label-inequality pushed
     into the join condition, so excluded same-label rows never reach
     scoring."""
-    from financial_data_science_spark.functions.similarity import cosine
+    from financial_data_science_spark.functions.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted per side — bit-identical, see embedding_near_dups
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("qlabel"),
             F.col("embedding").alias("__qv__"),
+            norm(F.col("embedding")).alias("__qn__"),
         )
     )
-    scored = emb.join(q, F.col("label") != F.col("qlabel")).select(
+    c = emb.withColumn("__cn__", norm(F.col("embedding")))
+    scored = c.join(q, F.col("label") != F.col("qlabel")).select(
         "query_id",
         "qlabel",
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("neg_label"),
-        F.round(cosine(F.col("__qv__"), F.col("embedding")), 6).alias("s"),
+        F.round(
+            dot(F.col("__qv__"), F.col("embedding"))
+            / (F.col("__qn__") * F.col("__cn__")),
+            6,
+        ).alias("s"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("s").desc(), F.col("negative_id").asc()

@@ -173,3 +173,35 @@ def test_long_only_gmv_is_feasible_and_no_worse_than_equal_weight(n, seed):
     assert (w >= -1e-10).all()
     ew = np.full(n, 1.0 / n)
     assert w @ cov @ w <= ew @ cov @ ew + 1e-12
+
+
+@given(
+    n=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+    scale=st.floats(min_value=1e-3, max_value=1e3),
+)
+@SLOW
+def test_ldlt_solve_steps_property(n, seed, scale):
+    """The generated LDL^T assignment sequence (general-k IRLS driver
+    solve AND its SQL oracle — one generator, both sides) must solve
+    ANY SPD system to relative numpy accuracy, across sizes, seeds and
+    magnitudes (the IRLS sums span ~1e-3..1e3 after quantization)."""
+    from financial_data_science_spark.functions.classifier import (
+        _eval_steps,
+        ldlt_solve_steps,
+    )
+
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(n, n))
+    a = (g @ g.T + n * np.eye(n)) * scale
+    v = rng.normal(size=n) * scale
+    env = {}
+    for i in range(n):
+        for j in range(i, n):
+            env[f"a{i + 1}{j + 1}"] = a[i, j]
+        env[f"v{i + 1}"] = v[i]
+    out = _eval_steps(ldlt_solve_steps(n), env)
+    got = np.array([out[f"b{i + 1}"] for i in range(n)])
+    want = np.linalg.solve(a, v)
+    denom = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() / denom < 1e-9
