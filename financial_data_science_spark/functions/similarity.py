@@ -1177,6 +1177,41 @@ def _vec_array_literal(cent_rows: list) -> Column:
     return F.expr("array(" + ",".join(parts) + ")")
 
 
+def _adc_luts(qvec: str, books: list, sub: int) -> dict:
+    """Per-query ADC lookup tables (faiss's dist_table): LUT j is an
+    array<double> whose entry c = ||q_j - book_j[c]||^2, computed ONCE
+    on the (broadcast) query/probe side.  Per candidate the ADC
+    distance is then m array lookups + adds instead of m interpreted
+    subvector sqdist folds — the work drops from m*sub ops per pair to
+    m, paying m*k*sub once per query row (wins whenever a probe scores
+    more than k candidates, i.e. always at corpus scale).
+    BIT-IDENTICAL to the per-pair form: entry c is the same sqdist
+    expression the old code evaluated after element_at, so the selected
+    double is unchanged; gap slots of the codebook literal (emptied
+    Lloyd clusters) evaluate to null and are never selected (codes only
+    reference surviving clusters)."""
+    def _lut(j: int, book: list) -> Column:
+        # bind via closure, NOT lambda defaults: Spark maps the
+        # lambda's PARAMETER COUNT to the 1/2/3-arg higher-order
+        # variants (same trap documented at minhash_band_keys._affine)
+        qs = F.slice(F.col(qvec), j * sub + 1, sub)
+        return F.transform(
+            _vec_array_literal(book), lambda cent: sqdist(qs, cent)
+        )
+
+    return {f"__lut{j}__": _lut(j, book) for j, book in enumerate(books)}
+
+
+def _adc_sum(m: int) -> Column:
+    """Left-associated ADC sum over the per-query LUT columns — the
+    same addition chain the per-pair form built, so doubles match."""
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"__lut{j}__"), F.col("codes")[j])
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1275,21 +1310,18 @@ def pq_topk(
     books = pq_train(corpus, id_col, vec_col, dim, m, k, iters, train_mod)
     sub = dim // m
     coded = pq_encode(corpus, books, id_col, vec_col)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
-        )
+    # ADC lookup tables built once per query on the broadcast side
+    # (_adc_luts: m lookups per candidate instead of m sqdist folds)
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
     )
-    dist = None
-    for j, book in enumerate(books):
-        qs = F.slice(F.col("__qv__"), j * sub + 1, sub)
-        cent = F.element_at(_vec_array_literal(book), F.col("codes")[j])
-        term = sqdist(qs, cent)
-        dist = term if dist is None else dist + term
+    for name, col in _adc_luts("__qv__", books, sub).items():
+        q = q.withColumn(name, col)
+    q = F.broadcast(q)
     scored = coded.join(q, F.col(query_id) != F.col(id_col)).select(
         query_id,
         F.col(id_col).alias("neighbor_id"),
-        F.round(dist, 6).alias("approx_d2"),
+        F.round(_adc_sum(m), 6).alias("approx_d2"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()
@@ -1416,12 +1448,9 @@ def ivfpq_query_index(
     probes = _probe_clusters(
         queries, id_col, vec_col, coarse, nprobe, query_id, keep=qkeep
     )
-    dist = None
-    for j, book in enumerate(books):
-        qs = F.slice(F.col("__qv__"), j * sub + 1, sub)
-        cent = F.element_at(_vec_array_literal(book), F.col("codes")[j])
-        term = sqdist(qs, cent)
-        dist = term if dist is None else dist + term
+    # ADC lookup tables built once per probe row on the broadcast side
+    for name, col in _adc_luts("__qv__", books, sub).items():
+        probes = probes.withColumn(name, col)
     scored = (
         F.broadcast(probes)
         .join(coded, "cluster")
@@ -1434,7 +1463,7 @@ def ivfpq_query_index(
         *qkeep,
         F.col(id_col).alias("neighbor_id"),
         *payload,
-        F.round(dist, 6).alias("approx_d2"),
+        F.round(_adc_sum(len(books)), 6).alias("approx_d2"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()
@@ -1640,21 +1669,20 @@ def ivfpq_residual_topk(
         )
         .select(query_id, "__qv__", "cluster")
     )
-    # query residual PER PROBED LIST, then ADC vs the coded residuals
-    pr = F.broadcast(probes).withColumn("__qr__", _residual("__qv__", coarse))
-    dist = None
-    for j, book in enumerate(books):
-        qs = F.slice(F.col("__qr__"), j * sub + 1, sub)
-        cent = F.element_at(_vec_array_literal(book), F.col("codes")[j])
-        term = sqdist(qs, cent)
-        dist = term if dist is None else dist + term
+    # query residual PER PROBED LIST, then ADC vs the coded residuals;
+    # LUTs per (query, probe) row — the residual operand depends on the
+    # probed cluster, so that row is exactly where the table belongs
+    pr = probes.withColumn("__qr__", _residual("__qv__", coarse))
+    for name, col in _adc_luts("__qr__", books, sub).items():
+        pr = pr.withColumn(name, col)
+    pr = F.broadcast(pr)
     scored = (
         pr.join(coded, "cluster")
         .filter(F.col(query_id) != F.col(id_col))
         .select(
             query_id,
             F.col(id_col).alias("neighbor_id"),
-            F.round(dist, 6).alias("approx_d2"),
+            F.round(_adc_sum(len(books)), 6).alias("approx_d2"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
