@@ -204,8 +204,11 @@ def contamination_screen(
     def _screen(batches):
         s = bc.value
         for pdf in batches:
+            # null text -> null gram array -> no grams -> clean (same
+            # rule as the join form, where gram-less docs never flag)
             keep = pdf["__grams__"].apply(
-                lambda arr: not any(int(h) in s for h in arr)
+                lambda arr: arr is None
+                or not any(int(h) in s for h in arr)
             )
             yield pdf.loc[keep].drop(columns="__grams__")
 

@@ -146,6 +146,14 @@ def test_contamination_screen_matches_join_form(spark):
         contamination_screen(train, spark, bench_hashes, n=5).schema
         == train.schema
     )
+    # null text -> no grams -> clean (the join form's gram-less rule),
+    # and must not crash the Arrow batch
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "totally clean words here and then some more")],
+        "doc_id bigint, text string",
+    )
+    kept = contamination_screen(nulls, spark, bench_hashes, n=5)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
 
 
 def test_embedding_near_dups_subset_of_exact(spark):
