@@ -2865,6 +2865,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivf_topk"] = _ivf_oracle_sql()
 
 
+@query("stream_ann_top1", None)
+def stream_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 x ANN crossover: ON-ARRIVAL similarity search — arriving
+    vectors are matched against a pre-built IVF index inside ONE
+    streaming query (the shape an ingestion pipeline uses to tag each
+    new document with its nearest existing neighbor).  Offline leg:
+    ivf_build_index (Lloyd training + corpus binning + per-row corpus
+    norms — all static).  Stream leg: the coarse probe is ALREADY
+    stateless (similarity._probe_clusters is an array_sort/slice/
+    explode projection against the inlined centroid literal — no
+    window, so it runs in a stream as-is), then a stream-static inner
+    join onto the binned corpus restricted to the probed lists, exact
+    in-list cosine (hoisted norms), and a per-arrival windowed argmax
+    (each synthetic event time is unique, so the 1s window IS the
+    query; struct-max on (score, -neighbor) = ties to the lowest
+    neighbor id, the same ordering as the batch top-k window).  Oracle
+    = the deterministic IVF replay at k=1 — identical quantizer chain
+    to ann_ivf_topk."""
+    from financial_data_science_spark.functions.similarity import (
+        _probe_clusters,
+        dot,
+        ivf_build_index,
+        norm,
+    )
+    from financial_data_science_spark.streaming.windows import (
+        read_embeddings_stream,
+        run_stream_to_memory,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_build_index(
+        emb, nlist=8, iters=3, train_mod=4, persist=True
+    )
+    binned = index["binned"].withColumn("__cn__", norm(F.col("embedding")))
+
+    stream = read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") < 20
+    )
+    probes = _probe_clusters(
+        stream, "vec_id", "embedding", index["centroids"], 2, "query_id",
+        keep=("ts",),
+    ).withColumn("__qn__", norm(F.col("__qv__")))
+    scored = (
+        probes.join(binned, "cluster")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "ts",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("__qv__"), F.col("embedding"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                6,
+            ).alias("__s__"),
+        )
+    )
+    best = (
+        scored.groupBy(F.window("ts", "1 second"), "query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s__").alias("s"),
+                    (-F.col("neighbor_id")).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            (-F.col("m.negid")).alias("neighbor_id"),
+            F.round("m.s", 4).alias("score"),
+        )
+    )
+    out = run_stream_to_memory(
+        spark,
+        best,
+        f"gate_stream_ann_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    )
+    return out.select("query_id", "neighbor_id", "score")
+
+
+ORACLE["stream_ann_top1"] = _ivf_oracle_sql(k=1)
+
+
 def _ann_recall_oracle_sql(
     nprobes: tuple = (1, 2, 4), k: int = 3, nlist: int = 8, iters: int = 3,
     dim: int = 64, train_mod: int = 4, nq: int = 20,
@@ -7510,16 +7594,16 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-8 rotation (fourth gate rotation).  Slots: 1 anchor (the
-# flagship), 7 debut rows — the 4 catalog entries with no driver
+# flagship), 8 debut rows — the 4 catalog entries with no driver
 # CORRECTNESS row ever (added after the r7 gate was sealed; r7
 # VERDICT.md item 1 puts them at the head): the trained IRLS quality
 # classifier (train + score), the streaming contamination screen, and
-# curation pipeline v3 with the trained gate — plus the 3 queries BUILT
+# curation pipeline v3 with the trained gate — plus the 4 queries BUILT
 # this round (general-k IRLS at k=3; the composed streaming curation
-# DAG; the train-once/score-anywhere model-Store round trip) — then
-# the refresh draw from the oldest-driver-checked cohorts:
-# all 6 rows whose last driver record is r4 (deferred from the r7
-# rotation) and 36 of the 43 rows whose last record is r5.  The
+# DAG; the train-once/score-anywhere model-Store round trip; on-arrival
+# streaming ANN) — then the refresh draw from the oldest-driver-checked
+# cohorts: all 6 rows whose last driver record is r4 (deferred from the
+# r7 rotation) and 35 of the 43 rows whose last record is r5.  The
 # r5-cohort rows deferred to r9 each
 # have an r7-green sibling exercising the SAME kernel:
 #   coercion_roundtrip      (sources/coercion.py:49   — coercion_keep_drop_replace r5->
@@ -7533,6 +7617,11 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #                            covered by 3 other stream rows this gate)
 #   lapsed_supplier_parts   (§2.7/J15 semi-anti kernel —
 #                            users_click_no_purchase r7)
+#   stream_session_windows  (streaming/windows.py:52 — batch session
+#                            semantics = sessionization r7; stream
+#                            harness covered by 3 stream rows this
+#                            gate, F.session_window pinned by pytest
+#                            parity test_session_window_counts)
 # Their slots go to r8-built debut rows (general-k IRLS, streaming
 # curation composition) so new capability earns an official record in
 # the round it ships.
@@ -7550,6 +7639,7 @@ _GATE_ORDER = [
     "quality_classifier_irls_k3",   # built this round (general-k IRLS)
     "stream_curation_pipeline",     # built this round (composed DAG)
     "quality_classifier_model_store",  # built this round (train-once split)
+    "stream_ann_top1",              # built this round (on-arrival ANN)
     # oldest-checked cohort: r4 (all 6 deferred from the r7 rotation)
     "bpe_token_counts",
     "cube_revenue",
@@ -7584,7 +7674,6 @@ _GATE_ORDER = [
     "rolling_beta_12m",
     "smoothed_holdings",
     "split_back_adjust",
-    "stream_session_windows",
     "structural_break_fstats",
     "supply_betweenness_sampled",
     "supply_eigenvector",

@@ -162,6 +162,32 @@ def read_documents_stream(
     )
 
 
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """readStream over the embeddings parquet with the same synthetic
+    deterministic event time as the documents stream (``ts = epoch2020
+    + vec_id seconds``) — the arrival clock for on-arrival similarity
+    search."""
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1577836800) + F.col("vec_id"))
+    )
+
+
 def stream_novel_buckets(
     stream: DataFrame,
     id_col: str = "doc_id",

@@ -37,11 +37,11 @@ def test_gate_prefix_is_pinned():
         "stream_contamination_flags", "corpus_curation_pipeline_v3",
         # r8-built queries: debut in the round they ship
         "quality_classifier_irls_k3", "stream_curation_pipeline",
-        "quality_classifier_model_store",
+        "quality_classifier_model_store", "stream_ann_top1",
         # oldest-checked cohort representatives (r4 + r5-era)
         "bpe_token_counts", "q5_nation_revenue", "monthly_rollup",
         "q1_pricing_summary", "tcode_transforms", "vintage_latest_asof",
-        "minhash_lsh_stopshingle", "stream_session_windows",
+        "minhash_lsh_stopshingle",
         "supply_betweenness_sampled", "rolling_beta_12m",
     }
     assert required <= set(_GATE_ORDER)

@@ -311,3 +311,30 @@ def test_stream_curation_plan_has_one_stateful_op(spark):
             stream, spark, beta=(0.1, 0.2), score_cut=0.5,
             bench_hashes=[1],
         )
+
+
+def test_stream_ann_top1_matches_batch_ivf(spark):
+    """On-arrival ANN parity: the streaming per-arrival argmax over the
+    probed lists must pick exactly the neighbor the BATCH query path
+    (ivf_query_index, k=1) picks on the same index — same quantizer,
+    same probes, same rounded scores, same tie-break."""
+    from financial_data_science_spark.functions.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from financial_data_science_spark.queries import Q
+    from financial_data_science_spark.sources.testdata import load_table
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in Q["stream_ann_top1"](spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf_build_index(emb, nlist=8, iters=3, train_mod=4)
+    want = {
+        (r["query_id"], r["neighbor_id"], round(r["score"], 4))
+        for r in ivf_query_index(
+            emb.filter(F.col("vec_id") < 20), index, k=1, nprobe=2
+        ).collect()
+    }
+    assert got == want and len(got) == 20
