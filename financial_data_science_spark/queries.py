@@ -2882,7 +2882,16 @@ def stream_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; struct-max on (score, -neighbor) = ties to the lowest
     neighbor id, the same ordering as the batch top-k window).  Oracle
     = the deterministic IVF replay at k=1 — identical quantizer chain
-    to ann_ivf_topk."""
+    to ann_ivf_topk.
+
+    Output-mode note for scale: COMPLETE mode re-emits every group per
+    micro-batch — right for this bounded query set (and the memory-sink
+    gate), wrong for indefinite arrival streams, where re-emission work
+    grows quadratically with accumulated arrivals (measured: a 20k-query
+    complete-mode run bogs down by epoch ~6 of 8).  An unbounded
+    deployment switches to append mode + a watermark on the arrival
+    window so each per-arrival argmax emits exactly once and its state
+    is evicted at the horizon."""
     from financial_data_science_spark.functions.similarity import (
         _probe_clusters,
         dot,
