@@ -120,11 +120,15 @@ def ngram_hashes(
     checks); ``portable=False`` uses JVM ``xxhash64`` — one intrinsic
     call per gram instead of a per-character fold, the production
     default at corpus scale (same split as the MinHash family)."""
-    grams = word_shingles(text, k=n)
     if portable:
-        from financial_data_science_spark.functions.porthash import tokhash31
+        from financial_data_science_spark.functions.porthash import gram_hashes31
+        from financial_data_science_spark.functions.text import tokens
 
-        return F.array_distinct(F.transform(grams, lambda g: tokhash31(g)))
+        # composed per-token fold: each character hashes ONCE, not once
+        # per gram it appears in — bit-identical to tokhash31 over the
+        # joined gram strings (porthash.gram_hashes31 docstring)
+        return gram_hashes31(tokens(F.lower(text)), k=n)
+    grams = word_shingles(text, k=n)
     return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 

@@ -57,6 +57,88 @@ def tokhash31(token: Column, base: int = 131) -> Column:
     return (charhash(token, base) * F.lit(FIN1)) % F.lit(MOD)
 
 
+def gram_hashes31(toks: Column, k: int, base: int = 131) -> Column:
+    """Distinct finalized 31-bit hashes of every k-token gram of ``toks``
+    — bit-identical to ``array_distinct(transform(word_shingles,
+    tokhash31))`` but with each character folded ONCE.
+
+    ``tokhash31`` over space-joined gram strings re-folds every character
+    of every token once per gram it appears in (~k x the text for
+    k-grams) inside an interpreted higher-order lambda — the measured
+    wall of the portable decontamination pass (r8 verdict item 2).  A
+    polynomial hash composes: with raw = charhash(t) and pw = base^len(t)
+    mod M, the hash of ``a + " " + b`` is
+    ``(((raw_a*base + 32) % M) * pw_b + raw_b) % M`` (32 = codepoint of
+    the separator space).  So: ONE struct fold per token yields
+    (raw, pw); each k-gram is then k-1 multiply-adds over k slices of
+    that parts array (the zip_with-of-shifted-slices shape from
+    word_shingles, which references the parts once per offset — never
+    per gram).  All intermediates stay < 2^63: the inner term is
+    reduced mod M (< 2^31) before the < 2^31 ``pw`` multiply.
+
+    Distinctness matches the old path: array_distinct keeps the FIRST
+    occurrence of each hash value, and string-distinct upstream (the
+    old path) never reorders hash first-occurrences.
+
+    Every multiply-referenced intermediate (the token array, the parts
+    array) is LET-BOUND via :func:`let_` — higher-order functions are
+    CodegenFallback, and interpreted evaluation has no common-
+    subexpression elimination, so a bare ``parts`` expression would be
+    re-evaluated once per slice reference (measured SLOWER than the
+    per-gram re-fold it replaces).
+    """
+
+    def _from_parts_and_toks(parts: Column, toks: Column) -> Column:
+        m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+        g = F.transform(F.slice(parts, 1, m), lambda p: p["raw"])
+        for j in range(1, k):
+            g = F.zip_with(
+                g,
+                F.slice(parts, j + 1, m),
+                lambda h, p: ((h * F.lit(base) + F.lit(32)) % F.lit(MOD)
+                              * p["pw"] + p["raw"]) % F.lit(MOD),
+            )
+        return F.array_distinct(
+            F.transform(g, lambda h: (h * F.lit(FIN1)) % F.lit(MOD))
+        )
+
+    def _build(toks: Column) -> Column:
+        parts = F.transform(
+            toks,
+            lambda t: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda i: F.ascii(t.substr(i, F.lit(1))),
+                ),
+                F.struct(
+                    F.lit(0).cast("long").alias("raw"),
+                    F.lit(1).cast("long").alias("pw"),
+                ),
+                lambda acc, c: F.struct(
+                    ((acc["raw"] * F.lit(base) + c) % F.lit(MOD)).alias("raw"),
+                    ((acc["pw"] * F.lit(base)) % F.lit(MOD)).alias("pw"),
+                ),
+            ),
+        )
+        return let_(parts, lambda p: _from_parts_and_toks(p, toks))
+
+    return let_(toks, _build)
+
+
+def let_(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and bind it as a lambda variable inside
+    ``body`` — the single-element-transform let-binding.
+
+    Interpreted expression trees (everything containing a higher-order
+    function is CodegenFallback) re-evaluate a subexpression at every
+    reference; projecting it as a column first doesn't help because
+    CollapseProject inlines single-use-site aliases back into their
+    references.  ``element_at(transform(array(v), x -> body(x)), 1)``
+    forces one evaluation of ``v`` with O(1) references to ``x``.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokhash62(token: Column) -> Column:
     """62-bit token hash: two independent 31-bit polynomials packed as
     ``hi*2^31 + lo`` — the portable stand-in for xxhash64 where a wide

@@ -69,3 +69,43 @@ def test_plane_sign_twins(spark):
         assert got == want, p
         # signs are roughly balanced per plane (SimHash vote health)
         assert 0.2 < (pd.Series(got) > 0).mean() < 0.8
+
+
+def test_gram_hashes31_composed_parity(spark):
+    """The let-bound composed k-gram hash (one char fold per TOKEN) must
+    equal the direct per-gram fold (tokhash31 over the joined strings)
+    bit-for-bit — including k > n docs (empty), duplicate grams
+    (first-occurrence distinct order), multi-space runs, and nulls."""
+    from financial_data_science_spark.functions.porthash import (
+        gram_hashes31,
+        tokhash31,
+    )
+    from financial_data_science_spark.functions.text import tokens, word_shingles
+
+    texts = [
+        "a b c d e f g",
+        "one two",                      # shorter than k -> empty
+        "x x x x x x x x",              # all-duplicate grams
+        "  spaced   out\ttokens here now and then  ",
+        "MiXeD Case TOKENS lower the same way ok",
+        "",                             # no tokens
+        None,                           # null text -> null grams
+        "7 tokens exactly here for one gram",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for k in (2, 3, 5):
+        old = F.array_distinct(
+            F.transform(word_shingles(F.col("text"), k), lambda g: tokhash31(g))
+        )
+        new = gram_hashes31(tokens(F.lower(F.col("text"))), k)
+        d = (
+            spark.createDataFrame(pdf)
+            .select("doc_id", old.alias("o"), new.alias("n"))
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        for _, row in d.iterrows():
+            if row["o"] is None:
+                assert row["n"] is None, (k, row["doc_id"])
+            else:
+                assert list(row["o"]) == list(row["n"]), (k, row["doc_id"])
