@@ -88,41 +88,84 @@ def gram_hashes31(toks: Column, k: int, base: int = 131) -> Column:
     per-gram re-fold it replaces).
     """
 
-    def _from_parts_and_toks(parts: Column, toks: Column) -> Column:
-        m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-        g = F.transform(F.slice(parts, 1, m), lambda p: p["raw"])
-        for j in range(1, k):
-            g = F.zip_with(
-                g,
-                F.slice(parts, j + 1, m),
-                lambda h, p: ((h * F.lit(base) + F.lit(32)) % F.lit(MOD)
-                              * p["pw"] + p["raw"]) % F.lit(MOD),
-            )
-        return F.array_distinct(
-            F.transform(g, lambda h: (h * F.lit(FIN1)) % F.lit(MOD))
-        )
-
     def _build(toks: Column) -> Column:
-        parts = F.transform(
-            toks,
-            lambda t: F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t)),
-                    lambda i: F.ascii(t.substr(i, F.lit(1))),
-                ),
-                F.struct(
-                    F.lit(0).cast("long").alias("raw"),
-                    F.lit(1).cast("long").alias("pw"),
-                ),
-                lambda acc, c: F.struct(
-                    ((acc["raw"] * F.lit(base) + c) % F.lit(MOD)).alias("raw"),
-                    ((acc["pw"] * F.lit(base)) % F.lit(MOD)).alias("pw"),
-                ),
-            ),
+        return let_(
+            _token_parts(toks, base),
+            lambda p: F.array_distinct(_gram_hash_chain(p, toks, k, base)),
         )
-        return let_(parts, lambda p: _from_parts_and_toks(p, toks))
 
     return let_(toks, _build)
+
+
+def gram_structs31(toks: Column, k: int, base: int = 131) -> Column:
+    """``array<struct<s,h>>`` of DISTINCT k-grams: the space-joined gram
+    STRING paired with its composed finalized 31-bit hash.
+
+    For consumers that need the string key too (the max_df stop-shingle
+    census joins on it) — same one-char-fold-per-token economics as
+    :func:`gram_hashes31`, same distinct-order contract (array_distinct
+    over (s, h) structs keeps first string occurrence, since h is a
+    function of s)."""
+
+    def _strings(toks: Column, m: Column) -> Column:
+        g = F.slice(toks, 1, m)
+        for j in range(1, k):
+            g = F.zip_with(
+                g, F.slice(toks, j + 1, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return g
+
+    def _build(toks: Column) -> Column:
+        def _zip(parts: Column) -> Column:
+            m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+            return F.array_distinct(
+                F.zip_with(
+                    _strings(toks, m),
+                    _gram_hash_chain(parts, toks, k, base),
+                    lambda s, h: F.struct(s.alias("s"), h.alias("h")),
+                )
+            )
+
+        return let_(_token_parts(toks, base), _zip)
+
+    return let_(toks, _build)
+
+
+def _token_parts(toks: Column, base: int) -> Column:
+    """Per-token (raw polynomial, base^len mod M) structs — one char
+    fold per token, the composition inputs for the gram builders."""
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.ascii(t.substr(i, F.lit(1))),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("raw"),
+                F.lit(1).cast("long").alias("pw"),
+            ),
+            lambda acc, c: F.struct(
+                ((acc["raw"] * F.lit(base) + c) % F.lit(MOD)).alias("raw"),
+                ((acc["pw"] * F.lit(base)) % F.lit(MOD)).alias("pw"),
+            ),
+        ),
+    )
+
+
+def _gram_hash_chain(parts: Column, toks: Column, k: int, base: int) -> Column:
+    """Non-distinct finalized gram hashes from a let-bound parts array."""
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    g = F.transform(F.slice(parts, 1, m), lambda p: p["raw"])
+    for j in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(parts, j + 1, m),
+            lambda h, p: ((h * F.lit(base) + F.lit(32)) % F.lit(MOD)
+                          * p["pw"] + p["raw"]) % F.lit(MOD),
+        )
+    return F.transform(g, lambda h: (h * F.lit(FIN1)) % F.lit(MOD))
 
 
 def let_(value: Column, body) -> Column:
@@ -142,10 +185,32 @@ def let_(value: Column, body) -> Column:
 def tokhash62(token: Column) -> Column:
     """62-bit token hash: two independent 31-bit polynomials packed as
     ``hi*2^31 + lo`` — the portable stand-in for xxhash64 where a wide
-    bit pattern is needed (SimHash votes)."""
-    hi = tokhash31(token, 131)
-    lo = tokhash31(token, 137)
-    return hi * F.lit(1 << 31) + lo
+    bit pattern is needed (SimHash votes).
+
+    Both polynomials fold in ONE pass over the char array (struct
+    accumulator, let-bound result) — bit-identical to two separate
+    ``tokhash31`` folds at half the char work, and the chars array
+    (sequence + per-char substr) is built once instead of twice."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(token)),
+        lambda i: F.ascii(token.substr(i, F.lit(1))),
+    )
+    both = F.aggregate(
+        chars,
+        F.struct(
+            F.lit(0).cast("long").alias("r131"),
+            F.lit(0).cast("long").alias("r137"),
+        ),
+        lambda acc, c: F.struct(
+            ((acc["r131"] * F.lit(131) + c) % F.lit(MOD)).alias("r131"),
+            ((acc["r137"] * F.lit(137) + c) % F.lit(MOD)).alias("r137"),
+        ),
+    )
+    return let_(
+        both,
+        lambda b: ((b["r131"] * F.lit(FIN1)) % F.lit(MOD)) * F.lit(1 << 31)
+        + ((b["r137"] * F.lit(FIN1)) % F.lit(MOD)),
+    )
 
 
 def keyhash(key: Column, salt: int = 0) -> Column:

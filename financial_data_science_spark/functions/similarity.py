@@ -294,8 +294,8 @@ def minhash_band_keys(
     streaming dial (default 8), not the batch 64."""
     import random
 
-    from financial_data_science_spark.functions.porthash import MOD, tokhash31
-    from financial_data_science_spark.functions.text import word_shingles
+    from financial_data_science_spark.functions.porthash import MOD, gram_hashes31
+    from financial_data_science_spark.functions.text import tokens
 
     assert num_hashes % bands == 0 and num_hashes // bands == 2, (
         "band key fold is written for rows_per_band=2 (matches the "
@@ -304,9 +304,13 @@ def minhash_band_keys(
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
               for _ in range(num_hashes)]
+    # composed one-fold-per-token gram hashes (porthash.gram_hashes31);
+    # its post-hash array_distinct changes nothing downstream — the
+    # signature is an array_min and the emptiness filter sees distinct
+    # arrays empty iff the raw gram list is
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
     base = docs.withColumn(
-        "__hs__",
-        F.transform(word_shingles(text_col, shingle_k), lambda s: tokhash31(s)),
+        "__hs__", gram_hashes31(tokens(F.lower(tcol)), shingle_k)
     ).filter(F.size("__hs__") > 0)
     def _affine(a: int, b: int):
         # bind via closure, NOT lambda defaults: Spark maps the lambda's
@@ -367,18 +371,63 @@ def minhash_signatures(
     """
     import random
 
-    from financial_data_science_spark.functions.porthash import tokhash31
-
     rng = random.Random(seed)
     p = (1 << 31) - 1
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
+    if portable and max_df is None:
+        # composed one-fold-per-token gram hashes, no string
+        # materialization at all: the signature is min-of-affine over
+        # the hash values, so neither gram strings nor duplicate hash
+        # values matter (porthash.gram_hashes31 docstring has the
+        # distinct-order argument)
+        from financial_data_science_spark.functions.porthash import gram_hashes31
+        from financial_data_science_spark.functions.text import tokens
+
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode(gram_hashes31(tokens(F.lower(tcol)), shingle_k)).alias(
+                "__h0__"
+            ),
+        )
+        sig = exploded.groupBy(id_col).agg(
+            *[
+                F.min((F.col("__h0__") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(
+                    f"h{i}"
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        return sig.withColumn(
+            "__sig__", F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+        )
+    if portable:
+        # max_df needs the gram STRING too (the stop-shingle census and
+        # anti-join key) — pair each distinct gram string with its
+        # composed hash in one pass (porthash.gram_structs31): same
+        # distinct rows as the string-only explode, hash precomputed
+        from financial_data_science_spark.functions.porthash import gram_structs31
+        from financial_data_science_spark.functions.text import tokens
+
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode(gram_structs31(tokens(F.lower(tcol)), shingle_k)).alias(
+                "__g__"
+            ),
+        ).select(
+            id_col,
+            F.col("__g__.s").alias("__shingle__"),
+            F.col("__g__.h").alias("__h0pre__"),
+        )
+    else:
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__"),
+        )
     base_hash = (
-        tokhash31(F.col("__shingle__"))
+        F.col("__h0pre__")
         if portable
         else F.pmod(F.xxhash64("__shingle__"), F.lit(p))
-    )
-    exploded = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__")
     )
     if max_df is not None:
         # the census AND the hash aggregate both consume the exploded
