@@ -33,6 +33,7 @@ upstream of the integer quantization.
 
 from __future__ import annotations
 
+import ast
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -120,13 +121,47 @@ def ldlt_solve_steps(n: int) -> list[tuple[str, str]]:
     return steps
 
 
+def _eval_expr(node: ast.AST, env: dict) -> float:
+    """Recursive arithmetic-only AST evaluator: names, numeric
+    constants, unary minus, and binary ``+ - * /``.  Python's float
+    binops ARE IEEE-754 correctly-rounded double ops, so this computes
+    the identical bits ``eval`` did — with no code-execution surface:
+    any other node type (calls, attributes, subscripts, comparisons)
+    fails loudly."""
+    if isinstance(node, ast.Expression):
+        return _eval_expr(node.body, env)
+    if isinstance(node, ast.BinOp):
+        lhs = _eval_expr(node.left, env)
+        rhs = _eval_expr(node.right, env)
+        if isinstance(node.op, ast.Add):
+            return lhs + rhs
+        if isinstance(node.op, ast.Sub):
+            return lhs - rhs
+        if isinstance(node.op, ast.Mult):
+            return lhs * rhs
+        if isinstance(node.op, ast.Div):
+            return lhs / rhs
+        raise ValueError(f"disallowed operator: {ast.dump(node.op)}")
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+        return -_eval_expr(node.operand, env)
+    if isinstance(node, ast.Name):
+        return env[node.id]
+    if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        return node.value
+    raise ValueError(f"disallowed expression node: {ast.dump(node)}")
+
+
 def _eval_steps(steps: list[tuple[str, str]], env: dict) -> dict:
     """Evaluate generated assignment steps in order.  The expressions
-    come from :func:`ldlt_solve_steps` (our own generator — arithmetic
-    over known names only), evaluated with builtins stripped."""
+    come from :func:`ldlt_solve_steps` (our own generator — fully
+    parenthesized arithmetic over known names), but are evaluated by a
+    closed arithmetic AST walker rather than ``eval``: a caller passing
+    externally influenced (name, expr) pairs gets a ``ValueError``, not
+    code execution.  Bit-exactness is unchanged — the walker performs
+    the same IEEE double ``+ - * /`` in the same tree order."""
     env = dict(env)
     for name, expr in steps:
-        env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+        env[name] = _eval_expr(ast.parse(expr, mode="eval"), env)
     return env
 
 
