@@ -204,7 +204,7 @@ def _production_curation_v3(spark, sf_dir):
         logistic_score,
     )
     from financial_data_science_spark.functions.pipeline import (
-        contamination,
+        contaminated_ids,
         pack_token_budget,
     )
     from financial_data_science_spark.sources.testdata import load_table
@@ -222,11 +222,10 @@ def _production_curation_v3(spark, sf_dir):
     good = scored.filter(F.col("p6") > F.lit(med)).select("doc_id")
     train = docs.filter(F.col("doc_id") % 17 != 0)
     bench = docs.filter(F.col("doc_id") % 17 == 0)
-    contaminated = (
-        contamination(train, bench, n=5, portable=False)
-        .filter(F.col("n_contaminated") > 0)
-        .select("doc_id")
-    )
+    # screen-shaped decontamination (pipeline.contaminated_ids):
+    # broadcast LEFT-SEMI on the exploded xxhash64 grams — zero gram
+    # shuffle, map-side short-circuit; same kept set as the rate filter
+    contaminated = contaminated_ids(train, bench, n=5, portable=False)
     clean = (
         train.join(good, "doc_id")
         .join(contaminated, "doc_id", "left_anti")

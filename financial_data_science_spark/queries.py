@@ -2888,16 +2888,13 @@ def stream_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch — right for this bounded query set (and the memory-sink
     gate), wrong for indefinite arrival streams, where re-emission work
     grows quadratically with accumulated arrivals (measured: a 20k-query
-    complete-mode run bogs down by epoch ~6 of 8).  An unbounded
-    deployment switches to append mode + a watermark on the arrival
-    window so each per-arrival argmax emits exactly once and its state
-    is evicted at the horizon."""
+    complete-mode run bogs down by epoch ~6 of 8).  The unbounded
+    deployment is the append+watermark arm: ``stream_ann_top1_production``
+    below / streaming/ann.py."""
     from financial_data_science_spark.functions.similarity import (
-        _probe_clusters,
-        dot,
         ivf_build_index,
-        norm,
     )
+    from financial_data_science_spark.streaming.ann import on_arrival_nearest
     from financial_data_science_spark.streaming.windows import (
         read_embeddings_stream,
         run_stream_to_memory,
@@ -2907,45 +2904,10 @@ def stream_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = ivf_build_index(
         emb, nlist=8, iters=3, train_mod=4, persist=True
     )
-    binned = index["binned"].withColumn("__cn__", norm(F.col("embedding")))
-
     stream = read_embeddings_stream(spark, sf_dir).filter(
         F.col("vec_id") < 20
     )
-    probes = _probe_clusters(
-        stream, "vec_id", "embedding", index["centroids"], 2, "query_id",
-        keep=("ts",),
-    ).withColumn("__qn__", norm(F.col("__qv__")))
-    scored = (
-        probes.join(binned, "cluster")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "ts",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("__qv__"), F.col("embedding"))
-                / (F.col("__qn__") * F.col("__cn__")),
-                6,
-            ).alias("__s__"),
-        )
-    )
-    best = (
-        scored.groupBy(F.window("ts", "1 second"), "query_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__s__").alias("s"),
-                    (-F.col("neighbor_id")).alias("negid"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "query_id",
-            (-F.col("m.negid")).alias("neighbor_id"),
-            F.round("m.s", 4).alias("score"),
-        )
-    )
+    best = on_arrival_nearest(stream, index, nprobe=2)
     out = run_stream_to_memory(
         spark,
         best,
@@ -2956,6 +2918,56 @@ def stream_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["stream_ann_top1"] = _ivf_oracle_sql(k=1)
+
+
+@query("stream_ann_top1_production", None)
+def stream_ann_top1_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPEND-mode arm of on-arrival ANN — the indefinite-ingestion
+    deployment shape `stream_ann_top1` documents (streaming/ann.py):
+    a watermark on the arrival's own event-time window makes each
+    per-arrival argmax emit exactly ONCE when the watermark passes its
+    window end, and evicts its state row — per-epoch cost flat in
+    arrivals-per-epoch instead of complete mode's quadratic
+    re-emission (three-point probe in SCALE.md).
+
+    Emission horizon: with delay 0 the watermark is the max event time
+    SEEN, so an arrival's match emits only after a LATER arrival pushes
+    the watermark past its 1s window — on a live stream that's the next
+    arrival; here the stream keeps vectors 20..24 flowing as exactly
+    that continuation (their own rows are dropped post-sink), so all 20
+    oracle-checked queries flush deterministically.  Same IVF index,
+    same quantizer chain, same oracle as the complete arm."""
+    from financial_data_science_spark.functions.similarity import (
+        ivf_build_index,
+    )
+    from financial_data_science_spark.streaming.ann import on_arrival_nearest
+    from financial_data_science_spark.streaming.windows import (
+        read_embeddings_stream,
+        run_stream_to_memory,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_build_index(
+        emb, nlist=8, iters=3, train_mod=4, persist=True
+    )
+    stream = read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") < 25
+    )
+    best = on_arrival_nearest(
+        stream, index, nprobe=2, watermark="0 seconds"
+    )
+    out = run_stream_to_memory(
+        spark,
+        best,
+        f"gate_stream_ann_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return out.select("query_id", "neighbor_id", "score").filter(
+        F.col("query_id") < 20
+    )
+
+
+ORACLE["stream_ann_top1_production"] = _ivf_oracle_sql(k=1)
 
 
 def _ann_recall_oracle_sql(
@@ -5562,7 +5574,7 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         logistic_score,
     )
     from financial_data_science_spark.functions.pipeline import (
-        contamination,
+        contaminated_ids,
         pack_token_budget,
     )
 
@@ -5580,11 +5592,10 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = scored.filter(F.col("p6") > F.lit(med)).select("doc_id")
     train = docs.filter(F.col("doc_id") % 17 != 0)
     bench = docs.filter(F.col("doc_id") % 17 == 0)
-    contaminated = (
-        contamination(train, bench, n=5)
-        .filter(F.col("n_contaminated") > 0)
-        .select("doc_id")
-    )
+    # screen-shaped decontamination: broadcast LEFT-SEMI on the exploded
+    # grams (zero gram shuffle, map-side short-circuit) instead of the
+    # rate-counting groupBy — same kept set as n_contaminated > 0
+    contaminated = contaminated_ids(train, bench, n=5)
     clean = (
         train.join(good, "doc_id")
         .join(contaminated, "doc_id", "left_anti")
@@ -7602,96 +7613,88 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-8 rotation (fourth gate rotation).  Slots: 1 anchor (the
-# flagship), 8 debut rows — the 4 catalog entries with no driver
-# CORRECTNESS row ever (added after the r7 gate was sealed; r7
-# VERDICT.md item 1 puts them at the head): the trained IRLS quality
-# classifier (train + score), the streaming contamination screen, and
-# curation pipeline v3 with the trained gate — plus the 4 queries BUILT
-# this round (general-k IRLS at k=3; the composed streaming curation
-# DAG; the train-once/score-anywhere model-Store round trip; on-arrival
-# streaming ANN) — then the refresh draw from the oldest-driver-checked
-# cohorts: all 6 rows whose last driver record is r4 (deferred from the
-# r7 rotation) and 35 of the 43 rows whose last record is r5.  The
-# r5-cohort rows deferred to r9 each
-# have an r7-green sibling exercising the SAME kernel:
-#   coercion_roundtrip      (sources/coercion.py:49   — coercion_keep_drop_replace r5->
-#                            csv_load_coercion r6 covers the kernel; keep_drop is in this gate)
-#   parametric_risk_summary (functions/stats.py:83     — risk_summary r7)
-#   max_drawdown_windows    (operators/windows.py:354  — running_peak_drawdown r7)
-#   outlier_fences_tukey    (operators/fractiles.py:135 — winsorized_price_stats r7)
-#   dedup_canonical_keep    (operators/prevailing.py:20 — dedup_keep_last r7)
-#   stream_tick_bins_5min   (streaming/windows.py:18 — same aggregate
-#                            exprs as tick_bins_5min r7; stream harness
-#                            covered by 3 other stream rows this gate)
-#   lapsed_supplier_parts   (§2.7/J15 semi-anti kernel —
-#                            users_click_no_purchase r7)
-#   stream_session_windows  (streaming/windows.py:52 — batch session
-#                            semantics = sessionization r7; stream
-#                            harness covered by 3 stream rows this
-#                            gate, F.session_window pinned by pytest
-#                            parity test_session_window_counts)
-# Their slots go to r8-built debut rows (general-k IRLS, streaming
-# curation composition) so new capability earns an official record in
-# the round it ships.
+# Round-9 rotation (fifth gate rotation).  Slots: 1 anchor (the
+# flagship), 1 debut row (the only catalog entry with no driver
+# CORRECTNESS record: the append+watermark arm of on-arrival ANN,
+# built this round), then the ENTIRE oldest-driver-checked cohort —
+# all 8 rows last checked in r5, which the r8 rotation deferred and
+# would hit 4-rounds-stale if deferred again — and 40 of the 47 rows
+# last checked in r6.  The 7 r6-cohort rows deferred to r10 each have
+# a same-kernel sibling IN this gate or a fresher green record:
+#   ann_pq_topk           (similarity PQ scorer — ann_ivfpq_topk /
+#                          ann_ivfpq_residual / ann_ivfpq_query_only
+#                          in this gate share the ADC chain)
+#   ann_ivfpq_refined     (refine = exact rescore of ivfpq candidates;
+#                          both parents in this gate)
+#   corpus_curation_pipeline (v2 in this gate is the same DAG + gate
+#                          stage; v3 r9-green with the trained gate)
+#   cosupply_graph_info   (cosupply_clustering in this gate shares the
+#                          co-occurrence projection)
+#   multimodal_frame_sample (multimodal_resize in this gate shares the
+#                          mapInPandas binary plumbing)
+#   signals_sink_roundtrip (named_store_roundtrip + cached_section_reuse
+#                          in this gate share the Store)
+#   supply_assortativity  (supply_closeness / supply_community_quality /
+#                          supply_hits / supply_personalized_pagerank in
+#                          this gate; 6 more graph rows r8-green)
 # Everything rotated out stays guarded by the full-catalog hash-strict
-# local replica (tools/check_correctness.py), and its r5–r7 driver
+# local replica (tools/check_correctness.py), and its r5-r8 driver
 # records stand.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # debut rows: the last 4 queries with no official driver record
-    "quality_classifier_irls",
-    "quality_classifier_score",
-    "stream_contamination_flags",
-    "corpus_curation_pipeline_v3",
-    "quality_classifier_irls_k3",   # built this round (general-k IRLS)
-    "stream_curation_pipeline",     # built this round (composed DAG)
-    "quality_classifier_model_store",  # built this round (train-once split)
-    "stream_ann_top1",              # built this round (on-arrival ANN)
-    # oldest-checked cohort: r4 (all 6 deferred from the r7 rotation)
-    "bpe_token_counts",
-    "cube_revenue",
-    "monthly_rollup",
-    "next_trading_day",
-    "q5_nation_revenue",
-    "weighted_avg_price",
-    # oldest-checked cohort: r5 (39 of 43)
-    "adf_by_user",
-    "backtest_attribution",
-    "car_by_relative_day",
-    "clean_trades_stats",
-    "coercion_keep_drop_replace",
-    "cosine_ann_bucketed",
-    "dated_lookup_apply",
-    "doc_chunking",
-    "document_filter_gate",
-    "ewma_riskmetrics_vol",
-    "ff_scale_sentinels",
-    "hac_mean_discount",
-    "io_regroup",
-    "minhash_lsh_stopshingle",
-    "mixture_sample_sources",
-    "ohlc_volatility",
-    "permno_links_asof",
-    "pii_pattern_census",
-    "portfolio_monthly_returns",
-    "prevailing_click_at_purchase",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "repetition_quality",
-    "rolling_beta_12m",
-    "smoothed_holdings",
-    "split_back_adjust",
-    "structural_break_fstats",
-    "supply_betweenness_sampled",
-    "supply_eigenvector",
-    "supply_kcore",
-    "tcode_transforms",
-    "tfidf_top_terms",
-    "unpivot_flag_revenue",
-    "upsert_insert_ignore",
-    "vintage_latest_asof",
+    # debut row: built this round, no driver record yet
+    "stream_ann_top1_production",   # append-mode on-arrival ANN
+    # oldest-checked cohort: r5 (all 8 — deferred once already)
+    "coercion_roundtrip",
+    "dedup_canonical_keep",
+    "lapsed_supplier_parts",
+    "max_drawdown_windows",
+    "outlier_fences_tukey",
+    "parametric_risk_summary",
+    "stream_session_windows",
+    "stream_tick_bins_5min",
+    # oldest-checked cohort: r6 (40 of 47)
+    "ann_ivf_topk",
+    "ann_ivfpq_query_only",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_topk",
+    "ann_recall_at_k",
+    "ann_sq8_topk",
+    "asof_join_backward",
+    "batch_assign_epochs",
+    "bivariate_spread_holdings",
+    "bond_portfolio_pricing",
+    "cached_section_reuse",
+    "contamination_overlap",
+    "corpus_curation_pipeline_v2",
+    "cosupply_clustering",
+    "csv_load_coercion",
+    "daily_portfolio_performance",
+    "drop_unchanged_rows",
+    "embedding_near_dups",
+    "event_study_corrected",
+    "fama_macbeth_premium",
+    "fft_cross_correlation",
+    "hard_negative_mining",
+    "hash_split_assign",
+    "identifier_find_dispatch",
+    "min_variance_weights_3",
+    "multimodal_resize",
+    "named_store_roundtrip",
+    "pad_sequences_batch",
+    "pii_redaction",
+    "predicate_parser_filter",
+    "sql_front_end",
+    "stream_dedup_distinct_keys",
+    "stream_ewma_final",
+    "stream_static_enrich",
+    "supply_closeness",
+    "supply_community_quality",
+    "supply_hits",
+    "supply_personalized_pagerank",
+    "ticker_bridge_join",
+    "token_budget_packing",
 ]
 
 
