@@ -19,12 +19,12 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-8
+    """The driver checks the first 50 queries() entries; the round-9
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    four r8 debut rows (the only catalog entries that had no driver
-    CORRECTNESS record before this round), and must draw the rest from
-    the oldest-driver-checked cohort (refresh rotation)."""
+    r9 debut row (the only catalog entry with no driver CORRECTNESS
+    record), and must draw the rest from the oldest-driver-checked
+    cohorts (refresh rotation: ALL 8 r5-stale rows, then r6)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -32,17 +32,19 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r8 debut rows: first-ever driver records
-        "quality_classifier_irls", "quality_classifier_score",
-        "stream_contamination_flags", "corpus_curation_pipeline_v3",
-        # r8-built queries: debut in the round they ship
-        "quality_classifier_irls_k3", "stream_curation_pipeline",
-        "quality_classifier_model_store", "stream_ann_top1",
-        # oldest-checked cohort representatives (r4 + r5-era)
-        "bpe_token_counts", "q5_nation_revenue", "monthly_rollup",
-        "q1_pricing_summary", "tcode_transforms", "vintage_latest_asof",
-        "minhash_lsh_stopshingle",
-        "supply_betweenness_sampled", "rolling_beta_12m",
+        # r9 debut row: built this round, first-ever driver record
+        "stream_ann_top1_production",
+        # the full r5-stale cohort (deferred once in r8 — must not
+        # reach 4 rounds without an official record)
+        "coercion_roundtrip", "dedup_canonical_keep",
+        "lapsed_supplier_parts", "max_drawdown_windows",
+        "outlier_fences_tukey", "parametric_risk_summary",
+        "stream_session_windows", "stream_tick_bins_5min",
+        # r6-cohort representatives across kernel families
+        "ann_ivf_topk", "ann_sq8_topk", "asof_join_backward",
+        "embedding_near_dups", "hard_negative_mining",
+        "stream_static_enrich", "supply_closeness",
+        "csv_load_coercion", "contamination_overlap",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is

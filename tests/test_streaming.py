@@ -338,3 +338,21 @@ def test_stream_ann_top1_matches_batch_ivf(spark):
         ).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_stream_ann_production_append_parity(spark):
+    """The append+watermark arm (once-per-arrival emission, state
+    evicted at the horizon) must emit EXACTLY the complete arm's rows
+    for the oracle-checked query set — same index, same probes, same
+    rounded scores; only the output mode differs."""
+    from financial_data_science_spark.queries import Q
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in Q["stream_ann_top1_production"](spark, SF).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in Q["stream_ann_top1"](spark, SF).collect()
+    }
+    assert got == want and len(got) == 20
