@@ -52,6 +52,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    mult = int(os.environ.get("PROBE_MULT", "1"))
+    if mult > 1:
+        # suffix-tagged copies: cross-copy grams never collide, so the
+        # contamination structure scales exactly mult-x (pipeline-probe
+        # trick); the benchmark suite is drawn from copy 0 only
+        c = docs.withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_"), F.col("copy")),
+            ),
+            " ",
+        )
+        docs = c.select(
+            (F.col("doc_id") * mult + F.col("copy")).alias("doc_id"),
+            tagged.alias("text"),
+        )
     docs = docs.localCheckpoint(eager=True)  # take the scan out of the loop
     n_docs = docs.count()
 
