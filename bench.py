@@ -348,8 +348,12 @@ def main() -> None:
         "sf": sf_val,
         "wall_sec": round(wall, 3),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # Overridable so smoke runs (pytest's sf0.001 pass) never clobber
+    # the committed sf0.1 record — that footgun bit three rounds of
+    # judges/builders before this env knob existed.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_PATH") or \
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh)

@@ -145,6 +145,8 @@ def _eval_expr(node: ast.AST, env: dict) -> float:
     if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
         return -_eval_expr(node.operand, env)
     if isinstance(node, ast.Name):
+        if node.id not in env:
+            raise ValueError(f"unbound name: {node.id}")
         return env[node.id]
     if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
         return node.value

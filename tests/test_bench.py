@@ -10,9 +10,14 @@ import json
 import sys
 
 
-def test_bench_last_line_is_compact_parseable_json(spark, monkeypatch):
+def test_bench_last_line_is_compact_parseable_json(spark, monkeypatch,
+                                                   tmp_path):
     import bench
 
+    # route the smoke run's detail file away from the committed sf0.1
+    # BENCH_DETAIL.json record (three rounds of clobber before this)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL_PATH",
+                       str(tmp_path / "BENCH_DETAIL.json"))
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setattr(bench, "BENCH_QUERIES", ["q1_pricing_summary"])
     monkeypatch.setattr(bench, "ORACLE_PATH_QUERIES", [])
@@ -24,6 +29,8 @@ def test_bench_last_line_is_compact_parseable_json(spark, monkeypatch):
     finally:
         monkeypatch.undo()
     line = cap.getvalue().strip().splitlines()[-1]
+    assert (tmp_path / "BENCH_DETAIL.json").exists(), \
+        "detail redirect did not take — committed record at risk"
     assert len(line) < 3800, f"headline line too long: {len(line)}"
     d = json.loads(line)
     assert d["metric"] == "headline_queries_total"

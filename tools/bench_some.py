@@ -45,10 +45,13 @@ def main() -> None:
     out: dict[str, list[float]] = {}
     for name in names:
         fn = EXTRA.get(name) or Q[name]
+        # count once up front so the summary line is well-defined (and
+        # identical) regardless of BENCH_SOME_RUNS, including 0
+        n = fn(spark, SF_DIR).count()
         runs = []
         for _ in range(n_runs):
             t0 = time.time()
-            n = fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).count()
             runs.append(round(time.time() - t0, 3))
         out[name] = runs
         print(f"# {name}: {runs} ({n} rows)", file=sys.stderr)

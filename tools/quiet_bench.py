@@ -1,12 +1,26 @@
 """Quiet-window watcher: run bench.py only when the box is calm, keep
-only a <5%-steal record.
+only a record that is BOTH low-steal and drift-free.
 
 Loop: 5s busy-probe (process_time vs wall — catches hypervisor steal
 AND local contention); if quiet, take /tmp/benchlock, run bench.py,
-read the recorded /proc/stat steal from BENCH_DETAIL.json; keep the
-record and exit if <5%, else restore the committed record and keep
-waiting.  Writes the accepted one-line record to
-tools/quiet_bench_accepted.json.
+read the recorded /proc/stat steal from BENCH_DETAIL.json AND compare
+the drift canaries — pinned never-touched queries — against the sealed
+quiet floor (tools/bench_r9_pre_quiet.json, 0.48% steal).  Keep the
+record and exit only if steal < 5% and every canary is within 1.15x of
+its floor; otherwise restore the pre-run BENCH_DETAIL.json bytes and
+keep waiting.
+
+Why the canary (r9 verdict): run-average steal under-detects 100-second
+steal BURSTS — the r9 accepted record passed at 2.33% average steal yet
+its untouched tiny queries ran 1.2-1.5x above the 0.48% floor.  A
+canary that must individually land in-band rejects exactly those
+records; min-of-4 per query cannot dodge bursts that outnumber runs.
+
+Writes the accepted one-line record (with the canary ratios embedded)
+to tools/quiet_bench_accepted.json.  If no attempt passes before
+MAX_WAIT, the best steal-ok attempt (smallest worst-canary ratio) is
+saved to tools/quiet_bench_best_rejected.json for diagnostics — it is
+NOT a certified record.
 
 Run: PYTHONPATH=/root/repo python tools/quiet_bench.py
 """
@@ -25,6 +39,16 @@ PROBE_QUIET_PCT = 3.0
 RECORD_MAX_STEAL = 5.0
 MAX_WAIT_SEC = int(os.environ.get("QUIET_BENCH_MAX_WAIT", "14400"))
 
+# Drift canaries: queries untouched since the sealed 0.48%-steal floor
+# (tools/bench_r9_pre_quiet.json, commit 3c89372).  If a round touches
+# one of these kernels, re-seal the floor and update here.
+CANARY_FLOOR = {
+    "asof_join_backward": 0.334,
+    "text_quality": 0.168,
+    "q1_pricing_summary": 0.434,
+}
+CANARY_MAX_RATIO = float(os.environ.get("QUIET_BENCH_CANARY_MAX", "1.15"))
+
 
 def probe(seconds: float = 5.0) -> float:
     t0, c0 = time.time(), time.process_time()
@@ -34,9 +58,22 @@ def probe(seconds: float = 5.0) -> float:
     return 100.0 * (1.0 - c / w)
 
 
+def canary_ratios(record: dict) -> dict[str, float]:
+    """Per-canary observed/floor ratio, pulled from the record itself
+    (the canaries are headline queries, so they were just timed under
+    exactly the conditions being certified)."""
+    out = {}
+    for name, floor in CANARY_FLOOR.items():
+        obs = record.get("queries", {}).get(name)
+        out[name] = round(obs / floor, 3) if obs is not None else float("inf")
+    return out
+
+
 def main() -> None:
     t_start = time.time()
     attempt = 0
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    best: dict | None = None  # steal-ok but canary-rejected, smallest worst-ratio
     while time.time() - t_start < MAX_WAIT_SEC:
         p = probe()
         if p > PROBE_QUIET_PCT:
@@ -46,6 +83,14 @@ def main() -> None:
         attempt += 1
         print(f"[watch] quiet probe ({p:.1f}%), bench attempt {attempt}",
               flush=True)
+        # snapshot the pre-run BENCH_DETAIL bytes so a rejected attempt
+        # restores exactly what was there (NOT the committed version —
+        # the working tree may hold newer uncommitted state)
+        try:
+            with open(detail_path, "rb") as f:
+                detail_snapshot = f.read()
+        except OSError:
+            detail_snapshot = None
         open(LOCK, "w").write(str(os.getpid()))
         try:
             r = subprocess.run(
@@ -56,24 +101,53 @@ def main() -> None:
             os.unlink(LOCK)
         line = (r.stdout.strip().splitlines() or [""])[-1]
         try:
-            detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+            detail = json.load(open(detail_path))
             steal = detail.get("cpu_steal_pct_of_wall", 100.0)
         except Exception:
             steal = 100.0
-        print(f"[watch] attempt {attempt}: recorded steal {steal}%", flush=True)
-        if steal < RECORD_MAX_STEAL and line.startswith("{"):
-            with open(os.path.join(REPO, "tools/quiet_bench_accepted.json"),
-                      "w") as f:
-                f.write(line)
-            print("[watch] ACCEPTED — record kept; headline line saved",
-                  flush=True)
-            return
-        subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
-                       cwd=REPO)
-        print("[watch] rejected (contended) — committed record restored",
+        record = None
+        if line.startswith("{"):
+            try:
+                record = json.loads(line)
+            except ValueError:
+                record = None
+        ratios = canary_ratios(record) if record else {}
+        worst = max(ratios.values()) if ratios else float("inf")
+        print(f"[watch] attempt {attempt}: steal {steal}%, canaries {ratios}",
               flush=True)
+        if record is not None and steal < RECORD_MAX_STEAL:
+            if worst <= CANARY_MAX_RATIO:
+                record["canary_ratios"] = ratios
+                with open(os.path.join(REPO,
+                                       "tools/quiet_bench_accepted.json"),
+                          "w") as f:
+                    f.write(json.dumps(record, separators=(",", ":")))
+                print("[watch] ACCEPTED — steal and canaries in-band; "
+                      "record kept", flush=True)
+                return
+            if best is None or worst < best["worst_canary"]:
+                best = {"record": record, "canary_ratios": ratios,
+                        "worst_canary": worst, "steal": steal,
+                        "detail": detail}
+        # rejected: put back the pre-run detail bytes
+        if detail_snapshot is not None:
+            with open(detail_path, "wb") as f:
+                f.write(detail_snapshot)
+        elif os.path.exists(detail_path):
+            os.unlink(detail_path)
+        print("[watch] rejected (steal or canary drift) — pre-run "
+              "BENCH_DETAIL restored", flush=True)
         time.sleep(60)
-    print("[watch] gave up: no quiet window", flush=True)
+    if best is not None:
+        with open(os.path.join(REPO,
+                               "tools/quiet_bench_best_rejected.json"),
+                  "w") as f:
+            json.dump(best, f)
+        print(f"[watch] gave up: best steal-ok attempt had worst canary "
+              f"{best['worst_canary']}x (saved for diagnostics, NOT "
+              f"certified)", flush=True)
+    else:
+        print("[watch] gave up: no quiet window", flush=True)
 
 
 if __name__ == "__main__":
