@@ -189,13 +189,34 @@ def _production_contamination(spark, sf_dir):
 def _production_curation_v3(spark, sf_dir):
     """Curation v3 at production settings: xxhash64 contamination grams
     (one JVM intrinsic per gram, vs the oracle path's per-character
-    portable fold — the dominant cost of the catalog entry) and
-    approx_percentile for the median score cut (exact percentile is a
-    full sort of the scored corpus; the sketch is one pass, mergeable
-    across 1000 executors).  Same DAG otherwise — trained IRLS gate on
-    the ONE materialized feature frame, decontaminate, exact dedup,
-    token-budget packing.  Parity vs the exact catalog entry is recorded
-    in SCALE.md (kept-row count within the approx-percentile ε)."""
+    portable fold) and approx_percentile for the median score cut
+    (exact percentile is a full sort of the scored corpus; the sketch
+    is one pass, mergeable across 1000 executors).
+
+    FUSED action shape (r10, the structural fix the r9 verdict named):
+    the r9 twin walked the doc frame in SIX separate actions (eager
+    feature checkpoint, 3 IRLS collects, median collect, final count)
+    — at 5k docs per-action session overhead dominated the wall.  Now:
+
+    - the feature checkpoint is LAZY: IRLS iteration 1 materializes it
+      (same tokenization work, one fewer job);
+    - the median is a broadcast one-row aggregate INSIDE the final
+      plan (computed from the checkpointed 4-column feature frame, so
+      the subquery costs milliseconds) instead of a driver collect;
+    - the quality gate is MAP-SIDE: the final pass recomputes x1/x2
+      and the trained score on the train scan with the collected beta
+      (the identical logistic_score expression tree over identically
+      computed features — IEEE-identical p6, so the kept set is
+      unchanged), replacing the doc_id join back to the scored frame;
+    - the gate runs BEFORE gram explosion, so only above-median docs
+      pay the xxhash64 gram hashing in the decontamination semi-join
+      (~2x fewer grams; kept set identical — anti-join after gate
+      equals gate after anti-join).
+
+    Result: 3 IRLS collects (inherently sequential — each iteration's
+    beta feeds the next aggregate) + ONE final action.  Parity vs the
+    exact catalog entry is recorded in SCALE.md (kept-row count within
+    the approx-percentile ε)."""
     from pyspark.sql import functions as F
 
     import financial_data_science_spark.queries as QQ
@@ -210,26 +231,43 @@ def _production_curation_v3(spark, sf_dir):
     from financial_data_science_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = QQ._doc_quality_feats(docs, materialize=True)
+    # lazy checkpoint: materialized by IRLS iteration 1, reused by the
+    # remaining iterations and the in-plan median subquery
+    feats = QQ._doc_quality_feats(docs).localCheckpoint(eager=False)
     traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
     b = traj[-1]
-    scored = logistic_score(
-        feats, ["x1", "x2"], (b["b0"], b["b1"], b["b2"])
-    ).select("doc_id", QQ._r("prob", 6).alias("p6"))
-    med = scored.agg(
-        F.percentile_approx("p6", F.lit(0.5), F.lit(10000)).alias("m")
-    ).collect()[0]["m"]
-    good = scored.filter(F.col("p6") > F.lit(med)).select("doc_id")
+    beta = (b["b0"], b["b1"], b["b2"])
+    scored = logistic_score(feats, ["x1", "x2"], beta).select(
+        "doc_id", QQ._r("prob", 6).alias("p6")
+    )
+    med_df = scored.agg(
+        F.percentile_approx("p6", F.lit(0.5), F.lit(10000)).alias("__med__")
+    )
     train = docs.filter(F.col("doc_id") % 17 != 0)
     bench = docs.filter(F.col("doc_id") % 17 == 0)
+    # map-side quality gate: same feature expressions as
+    # _doc_quality_feats and the same logistic_score tree -> identical
+    # p6 doubles; median rides in as a broadcast one-row frame
+    ntok = QQ.TXT.n_tokens("text").cast("double")
+    train_feats = train.select(
+        "doc_id",
+        "text",
+        F.log(F.lit(1.0) + ntok).alias("x1"),
+        (F.col("n_chars").cast("double") / (F.lit(1.0) + ntok)).alias("x2"),
+    )
+    gated = (
+        logistic_score(train_feats, ["x1", "x2"], beta)
+        .withColumn("p6", QQ._r("prob", 6))
+        .join(F.broadcast(med_df))
+        .filter(F.col("p6") > F.col("__med__"))
+        .select("doc_id", "text")
+    )
     # screen-shaped decontamination (pipeline.contaminated_ids):
     # broadcast LEFT-SEMI on the exploded xxhash64 grams — zero gram
-    # shuffle, map-side short-circuit; same kept set as the rate filter
-    contaminated = contaminated_ids(train, bench, n=5, portable=False)
-    clean = (
-        train.join(good, "doc_id")
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "text")
+    # shuffle, map-side short-circuit; only gated docs pay the hashing
+    contaminated = contaminated_ids(gated, bench, n=5, portable=False)
+    clean = gated.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "text"
     )
     ded = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     counted = ded.select(

@@ -54,6 +54,7 @@ def on_arrival_nearest(
     window: str = "1 second",
     watermark: str | None = None,
     query_id: str = "query_id",
+    flush_ts=None,
 ) -> DataFrame:
     """Match each arriving vector against a pre-built IVF ``index``
     (the dict from ``similarity.ivf_build_index``) and emit its top-1
@@ -64,7 +65,18 @@ def on_arrival_nearest(
     once-per-arrival emission and state eviction (production; see
     module docstring for the emission-horizon contract).  Ties break to
     the lowest neighbor id on the 6dp-rounded score — the same
-    round-before-rank discipline as the batch IVF top-k."""
+    round-before-rank discipline as the batch IVF top-k.
+
+    ``flush_ts`` (append mode only): a ``datetime`` strictly past the
+    last real arrival's window end plus the watermark delay.  Unions
+    ONE sentinel arrival (``streaming/windows.sentinel_stream``) at
+    that event time just before the watermark, so a DRAINED bounded
+    stream emits ALL its in-horizon windows under
+    ``Trigger.AvailableNow`` — the flush recipe the emission-horizon
+    contract documents; a live stream gets the same effect from its
+    next real arrival.  The sentinel's own rows (query_id -1) are
+    filtered from the output; parity with complete mode on a drained
+    stream is pinned by test."""
     from financial_data_science_spark.functions.similarity import (
         _probe_clusters,
         dot,
@@ -90,9 +102,24 @@ def on_arrival_nearest(
             ).alias("__s__"),
         )
     )
+    if flush_ts is not None:
+        if watermark is None:
+            raise ValueError("flush_ts is the append-mode drain; pass a "
+                             "watermark")
+        from financial_data_science_spark.streaming.windows import (
+            sentinel_stream,
+        )
+
+        sent = sentinel_stream(
+            stream.sparkSession,
+            [(-1, flush_ts, -1, 0.0)],
+            f"{query_id} long, {ts_col} timestamp, neighbor_id long, "
+            f"__s__ double",
+        )
+        scored = scored.unionByName(sent)
     if watermark is not None:
         scored = scored.withWatermark(ts_col, watermark)
-    return (
+    out = (
         scored.groupBy(F.window(ts_col, window), query_id)
         .agg(
             F.max(
@@ -108,3 +135,16 @@ def on_arrival_nearest(
             F.round("m.s", 4).alias("score"),
         )
     )
+    if flush_ts is not None:
+        # drop the sentinel's own (never-emitting) group defensively —
+        # via the AGGREGATE-DERIVED neighbor column, NOT the grouping
+        # key: a predicate on the grouping key (query_id >= 0) is
+        # legally pushed below the aggregate, through the watermark
+        # node and the union into the sentinel's source branch, which
+        # deletes the sentinel row BEFORE it reaches the event-time
+        # stats and silently un-flushes the stream (measured: the last
+        # arrival's window stayed unemitted).  neighbor_id is computed
+        # FROM the max() result, so this filter cannot push below the
+        # aggregation.
+        out = out.filter(F.col("neighbor_id") >= 0)
+    return out

@@ -238,3 +238,39 @@ def stream_novel_buckets(
     if bounded_state:
         return wm.dropDuplicatesWithinWatermark(["band", "bhash"])
     return wm.dropDuplicates(["band", "bhash"])
+
+
+def sentinel_stream(
+    spark: SparkSession,
+    rows: list,
+    schema: T.StructType | str,
+    path: str | None = None,
+) -> DataFrame:
+    """One-batch file-backed streaming source carrying watermark-
+    advancing SENTINEL rows — the drain recipe for append-mode stateful
+    operators over BOUNDED replays.
+
+    The emission-horizon contract (streaming/ann.py module docstring):
+    in append mode a group emits only when the watermark passes its
+    window end, and the watermark advances only on ARRIVALS — so a
+    drained backfill leaves its final in-horizon windows unemitted.  A
+    live stream flushes them with its next real arrival; a bounded
+    replay flushes them by unioning ONE sentinel row whose event time
+    exceeds the last real window end plus the watermark delay, then
+    filtering the sentinel's own output rows downstream.
+
+    Static frames cannot union into a streaming DAG, so the sentinel is
+    written to a scratch parquet dir and read back with ``readStream``
+    (same one-file => one-batch shape as the testdata readers).  Union
+    it at the point the event-time column exists — typically just
+    before ``withWatermark`` — with ids no real row uses (e.g. -1) so a
+    trailing ``filter`` removes its outputs."""
+    import tempfile
+
+    if path is None:
+        path = tempfile.mkdtemp(prefix="flush_sentinel_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    written = spark.read.parquet(path).schema
+    return spark.readStream.schema(written).format("parquet").load(path)

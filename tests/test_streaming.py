@@ -356,3 +356,57 @@ def test_stream_ann_production_append_parity(spark):
         for r in Q["stream_ann_top1"](spark, SF).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_stream_ann_append_flush_drain_parity(spark):
+    """The flush recipe for DRAINED bounded replays: with NO
+    continuation arrivals, append mode leaves the final in-horizon
+    windows unemitted (the documented emission-horizon contract) — one
+    watermark-advancing sentinel arrival (flush_ts) must flush them, so
+    append+flush emits EXACTLY the complete arm's row set."""
+    from datetime import datetime, timezone
+
+    from financial_data_science_spark.functions.similarity import (
+        ivf_build_index,
+    )
+    from financial_data_science_spark.queries import Q
+    from financial_data_science_spark.sources.testdata import load_table
+    from financial_data_science_spark.streaming.ann import on_arrival_nearest
+    from financial_data_science_spark.streaming.windows import (
+        read_embeddings_stream,
+        run_stream_to_memory,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    index = ivf_build_index(emb, nlist=8, iters=3, train_mod=4)
+    # drained stream: vec_id < 20 ONLY — no continuation rows to push
+    # the watermark past the last window (stream_ann_top1_production
+    # keeps 20..24 flowing for exactly that; here the sentinel does it)
+    stream = read_embeddings_stream(spark, SF).filter(F.col("vec_id") < 20)
+    flush_ts = datetime.fromtimestamp(1577836800 + 19 + 3, tz=timezone.utc)
+    best = on_arrival_nearest(
+        stream, index, nprobe=2, watermark="0 seconds", flush_ts=flush_ts
+    )
+    out = run_stream_to_memory(
+        spark, best, "t_ann_flush_parity", output_mode="append"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in out.select("query_id", "neighbor_id", "score").collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in Q["stream_ann_top1"](spark, SF).collect()
+    }
+    assert got == want and len(got) == 20
+    # without the sentinel the drained stream under-emits — the contract
+    # the flush exists for (watermark = max SEEN event time, so the last
+    # 1s window's end is never passed)
+    bare = on_arrival_nearest(stream, index, nprobe=2, watermark="0 seconds")
+    bare_out = run_stream_to_memory(
+        spark, bare, "t_ann_noflush", output_mode="append"
+    )
+    assert bare_out.count() < 20
+    # flush_ts without a watermark is a contract error
+    with pytest.raises(ValueError, match="watermark"):
+        on_arrival_nearest(stream, index, flush_ts=flush_ts)
