@@ -856,13 +856,17 @@ ORACLE["minhash_lsh_stopshingle"] = _minhash_oracle_sql(max_df=0.25)
 
 def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
                                seed: int = 42,
-                               source: str = "documents") -> str:
+                               source: str = "documents",
+                               per_doc: bool = False) -> str:
     """DuckDB recompute of the distinct MinHash LSH bucket set — the
     deterministic projection of streaming first-seen-bucket dedup
     (arrival order decides WHICH doc owns a bucket, but the bucket SET
     is order-free).  ``source`` names the (doc_id, text) relation to
     bucket — a CTE from an enclosing WITH works (the whole statement
-    embeds as a parenthesized subquery)."""
+    embeds as a parenthesized subquery).  ``per_doc=True`` keeps the
+    doc id on every band-key row (no DISTINCT) — the input shape of
+    order-free novelty replays that aggregate over buckets themselves
+    (e.g. min-doc-per-bucket-per-window)."""
     import random
 
     from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
@@ -889,7 +893,7 @@ def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
              {mins}
             FROM h0 GROUP BY doc_id),
     sa AS (SELECT doc_id, {sig_list} AS sig FROM sig)
-    SELECT DISTINCT CAST(band AS INTEGER) AS band,
+    SELECT {"doc_id, " if per_doc else "DISTINCT "}CAST(band AS INTEGER) AS band,
            (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
     FROM sa, range(0, {bands}) t(band)
     """
@@ -5741,6 +5745,150 @@ ORACLE["stream_curation_pipeline"] = f"""
     """
 
 
+@query("stream_curation_tagged", None)
+def stream_curation_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END ingestion DAG at its blowup shape (r9 VERDICT
+    item 4): screen -> trained quality gate -> horizon-window novelty ->
+    nearest-existing-neighbor ANN tag, ONE streaming query with TWO
+    chained append-mode stateful aggregates
+    (streaming/curation.py::curate_and_tag_stream) — each arriving
+    document is decontaminated, gated, deduplicated against the
+    in-horizon ingest, and the novel ones tagged with their closest
+    existing corpus item before landing.
+
+    Why this is oracle-checkable where dropDuplicates-novelty is not:
+    the novelty stage is a deterministic ARGMIN (min doc id per
+    (3-minute window, band, bhash)) — order-free, so the batch SQL
+    replay computes the identical novel-doc set; the ANN leg is the
+    same deterministic IVF chain as ann_ivf_topk.  The bounded replay
+    drains through the flush sentinel (one watermark-advancing arrival,
+    streaming/windows.sentinel_stream), so every real window emits
+    under the memory-sink harness — the parity complete mode would
+    give, at append-mode state cost."""
+    from datetime import datetime, timezone
+
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+    from financial_data_science_spark.functions.pipeline import ngram_hashes
+    from financial_data_science_spark.functions.similarity import (
+        ivf_build_index,
+    )
+    from financial_data_science_spark.streaming.curation import (
+        curate_and_tag_stream,
+    )
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ---- offline legs (bounded): quality model, cut, bench grams,
+    # IVF index over the existing corpus ----
+    feats = _doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = feats.select(
+        _r(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(b["b0"]) + F.lit(b["b1"]) * F.col("x1")
+                                    + F.lit(b["b2"]) * F.col("x2")))),
+            6,
+        ).alias("p6")
+    )
+    med = scored.agg(F.percentile("p6", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    bench_set = [
+        r["__h__"]
+        for r in docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(ngram_hashes(F.col("text"), 5, True)).alias("__h__"))
+        .distinct()
+        .collect()
+    ]
+    index = ivf_build_index(emb, nlist=8, iters=3, train_mod=4, persist=True)
+    # flush sentinel: one tick past the last possible 3-minute window
+    # end (+0s watermark delay), so the drained replay emits everything
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    flush_ts = datetime.fromtimestamp(
+        1577836800 + (max_id // 180 + 1) * 180 + 1, tz=timezone.utc
+    )
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 17 != 0
+    )
+    tagged = curate_and_tag_stream(
+        stream, spark,
+        beta=(b["b0"], b["b1"], b["b2"]),
+        score_cut=med,
+        bench_hashes=bench_set,
+        index=index,
+        vectors=emb,
+        novelty_window="3 minutes",
+        watermark="0 seconds",
+        nprobe=2,
+        flush_ts=flush_ts,
+    )
+    out = run_stream_to_memory(
+        spark,
+        tagged,
+        f"gate_stream_tagged_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return out.select("doc_id", "neighbor_id", "score")
+
+
+# the novelty window replay: ts = 1577836800 + doc_id seconds and
+# 1577836800 % 180 == 0, so Spark's epoch-aligned 3-minute tumbling
+# window of a doc is exactly doc_id // 180 (constant offset dropped by
+# the GROUP BY); the IVF chain CTEs are the verbatim ann_ivf_topk
+# quantizer (leading WITH stripped so they splice into this WITH)
+ORACLE["stream_curation_tagged"] = f"""
+    WITH scored AS (
+      SELECT doc_id, p6 FROM ({_irls_oracle_sql(final=f'''
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(s3.b0 + s3.b1 * f.x1
+                                    + s3.b2 * f.x2))), 6) AS p6
+    FROM (SELECT doc_id,
+            ln(1.0 + {_NTOK_SQL}) AS x1,
+            CAST(n_chars AS DOUBLE) / (1.0 + {_NTOK_SQL}) AS x2
+          FROM documents) f, s3''')})),
+    contam AS (
+      SELECT doc_id FROM ({_contamination_oracle_sql()})
+      WHERE n_contaminated > 0),
+    med AS (SELECT quantile_cont(p6, 0.5) AS m FROM scored),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id, med
+      WHERE s.p6 > med.m AND d.doc_id % 17 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+    bk AS (
+      SELECT doc_id, band, bhash
+      FROM ({_minhash_bucket_oracle_sql(source="kept", per_doc=True)})),
+    novel AS (
+      SELECT CAST(floor(doc_id / 180) AS BIGINT) AS wid, band, bhash,
+             min(doc_id) AS doc_id
+      FROM bk GROUP BY 1, 2, 3),
+    nq AS (SELECT DISTINCT doc_id FROM novel),
+    {_ivf_chain_sql().strip().removeprefix("WITH")},
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM e JOIN nq ON nq.doc_id = e.vec_id, c3 c) WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, b.v), 6) AS s
+      FROM probes p JOIN binned b ON b.cluster = p.cluster
+      WHERE b.vec_id != p.query_id)
+    SELECT query_id AS doc_id, neighbor_id, round(s, 4) AS score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, neighbor_id) AS rn
+      FROM cand) WHERE rn <= 1
+    """
+
+
 @query(
     "stream_dedup_distinct_keys",
     """
@@ -7644,57 +7792,62 @@ _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
     # debut row: built this round, no driver record yet
-    "stream_ann_top1_production",   # append-mode on-arrival ANN
-    # oldest-checked cohort: r5 (all 8 — deferred once already)
-    "coercion_roundtrip",
-    "dedup_canonical_keep",
-    "lapsed_supplier_parts",
-    "max_drawdown_windows",
-    "outlier_fences_tukey",
-    "parametric_risk_summary",
-    "stream_session_windows",
-    "stream_tick_bins_5min",
-    # oldest-checked cohort: r6 (40 of 47)
-    "ann_ivf_topk",
-    "ann_ivfpq_query_only",
-    "ann_ivfpq_residual",
-    "ann_ivfpq_topk",
-    "ann_recall_at_k",
-    "ann_sq8_topk",
-    "asof_join_backward",
-    "batch_assign_epochs",
-    "bivariate_spread_holdings",
-    "bond_portfolio_pricing",
-    "cached_section_reuse",
-    "contamination_overlap",
-    "corpus_curation_pipeline_v2",
-    "cosupply_clustering",
-    "csv_load_coercion",
-    "daily_portfolio_performance",
-    "drop_unchanged_rows",
-    "embedding_near_dups",
-    "event_study_corrected",
-    "fama_macbeth_premium",
-    "fft_cross_correlation",
-    "hard_negative_mining",
-    "hash_split_assign",
-    "identifier_find_dispatch",
-    "min_variance_weights_3",
-    "multimodal_resize",
-    "named_store_roundtrip",
-    "pad_sequences_batch",
-    "pii_redaction",
-    "predicate_parser_filter",
-    "sql_front_end",
-    "stream_dedup_distinct_keys",
-    "stream_ewma_final",
-    "stream_static_enrich",
-    "supply_closeness",
-    "supply_community_quality",
-    "supply_hits",
-    "supply_personalized_pagerank",
-    "ticker_bridge_join",
-    "token_budget_packing",
+    "stream_curation_tagged",   # fused screen->gate->novelty->ANN-tag
+    # oldest-checked cohort: r6 (all 7 remaining — 4 rounds stale if
+    # deferred again; the r9 verdict pinned these by name)
+    "ann_ivfpq_refined",
+    "ann_pq_topk",
+    "corpus_curation_pipeline",
+    "cosupply_graph_info",
+    "multimodal_frame_sample",
+    "signals_sink_roundtrip",
+    "supply_assortativity",
+    # oldest-checked cohort: r7 (41 of 49; the 8 deferred to the r11
+    # gate head: compound_by_year, dedup_keep_last, ffill_last_error,
+    # lang_id, month_end_trading_days, pivot_event_type_totals,
+    # range_bucket_lookup, seq_in_group — all simple window/lookup/
+    # regex kernels with standing pytest coverage)
+    "binary_payload_metadata",
+    "bpe_segment_tokens",
+    "bpe_tokenize_and_pack",
+    "bpe_train_batched",
+    "bpe_train_merges",
+    "compound_returns_by_supplier",
+    "cosine_topk",
+    "dedup_exact_docs",
+    "delist_adjusted_compound",
+    "doc_fingerprints",
+    "event_range_agg_1h",
+    "event_window_trading_days",
+    "fractile_deciles",
+    "group_ols",
+    "hard_negative_mining_ivf",
+    "hard_negative_mining_production",
+    "holdings_turnover",
+    "jaccard_near_dups",
+    "keydev_event_labels",
+    "kupiec_var_backtest",
+    "label_cosine_stats",
+    "minhash_lsh_candidates",
+    "multimodal_features",
+    "near_dup_clusters",
+    "prevailing_latest_event",
+    "purchase_day_click_value",
+    "risk_summary",
+    "running_peak_drawdown",
+    "sessionization",
+    "simhash_near_dups",
+    "stream_minhash_novelty",
+    "supply_communities",
+    "supply_graph_degrees",
+    "supply_graph_pagerank",
+    "supply_link_prediction",
+    "text_quality",
+    "tick_bins_5min",
+    "tw_value_5min",
+    "users_click_no_purchase",
+    "window_group_share",
+    "winsorized_price_stats",
 ]
 
 

@@ -31,6 +31,36 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _quality_p6(
+    beta: tuple,
+    feature_exprs: list[Column] | None,
+    text_col: str,
+) -> Column:
+    """Map-side 6dp-rounded logistic quality score — the trained-gate
+    expression shared by the composed streaming DAGs.  Defaults to the
+    document-quality feature pair [ln(1+ntok), n_chars/(1+ntok)]
+    matching `_doc_quality_feats`; 6dp round-before-compare means a
+    cross-engine ulp at the cut boundary cannot flip gate membership
+    against an oracle."""
+    from financial_data_science_spark.functions.text import n_tokens
+
+    if feature_exprs is None:
+        ntok = n_tokens(text_col).cast("double")
+        feature_exprs = [
+            F.log(F.lit(1.0) + ntok),
+            F.col("n_chars").cast("double") / (F.lit(1.0) + ntok),
+        ]
+    if len(beta) != len(feature_exprs) + 1:
+        raise ValueError(
+            f"beta has {len(beta)} coefficients; expected intercept + "
+            f"{len(feature_exprs)} features = {len(feature_exprs) + 1}"
+        )
+    eta = F.lit(beta[0])
+    for b, x in zip(beta[1:], feature_exprs):
+        eta = eta + F.lit(b) * x
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
+
+
 def curate_document_stream(
     stream: DataFrame,
     spark: SparkSession,
@@ -70,25 +100,8 @@ def curate_document_stream(
     from financial_data_science_spark.functions.similarity import (
         minhash_band_keys,
     )
-    from financial_data_science_spark.functions.text import n_tokens
 
-    if feature_exprs is None:
-        ntok = n_tokens(text_col).cast("double")
-        feature_exprs = [
-            F.log(F.lit(1.0) + ntok),
-            F.col("n_chars").cast("double") / (F.lit(1.0) + ntok),
-        ]
-    if len(beta) != len(feature_exprs) + 1:
-        raise ValueError(
-            f"beta has {len(beta)} coefficients; expected intercept + "
-            f"{len(feature_exprs)} features = {len(feature_exprs) + 1}"
-        )
-    eta = F.lit(beta[0])
-    for b, x in zip(beta[1:], feature_exprs):
-        eta = eta + F.lit(b) * x
-    # 6dp round-before-compare: a cross-engine ulp at the cut boundary
-    # cannot flip gate membership against an oracle
-    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
+    p6 = _quality_p6(beta, feature_exprs, text_col)
 
     curated = contamination_screen(
         stream, spark, bench_hashes, text_col=text_col, n=ngram_n,
@@ -101,3 +114,155 @@ def curate_document_stream(
     if bounded_state:
         return wm.dropDuplicatesWithinWatermark(["band", "bhash"])
     return wm.dropDuplicates(["band", "bhash"])
+
+
+def curate_and_tag_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    beta: tuple,
+    score_cut: float,
+    bench_hashes,
+    index: dict,
+    vectors: DataFrame,
+    feature_exprs: list[Column] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    ngram_n: int = 5,
+    portable_grams: bool = True,
+    num_hashes: int = 8,
+    bands: int = 4,
+    novelty_window: str = "3 minutes",
+    watermark: str = "0 seconds",
+    nprobe: int = 2,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    flush_ts=None,
+) -> DataFrame:
+    """The COMPLETE ingestion DAG: screen -> quality gate -> novelty ->
+    nearest-existing-neighbor tag, ONE streaming query — each arriving
+    document is decontaminated, quality-gated, checked for novelty
+    against everything already ingested (within the horizon), and the
+    novel ones are tagged with their closest existing corpus item, all
+    before the row ever lands.  Returns one row per novel curated doc:
+    ``(id_col, neighbor_id, score)``.
+
+    Offline legs (all bounded): IRLS ``beta``/``score_cut``,
+    ``bench_hashes`` (as in :func:`curate_document_stream`), an IVF
+    ``index`` over the existing corpus (``similarity.ivf_build_index``),
+    and ``vectors`` — the static (vec_id, embedding) mapping standing in
+    for the embedding each arrival would carry from its encoder (the
+    deterministic-fake discipline of the multimodal stubs: the
+    Spark-side plumbing is real, the model call is not).
+
+    TWO chained stateful operators, both append-mode windowed
+    aggregates (Spark 3.5+/4.x multiple-stateful-operator support):
+
+    1. NOVELTY as a deterministic ARGMIN — ``groupBy(window(ts,
+       novelty_window), band, bhash) -> min(id)``.  Unlike
+       ``dropDuplicates`` (whose within-micro-batch winner is
+       arrival-order-dependent and therefore NOT oracle-replayable at
+       doc granularity), min(id) is order-free: the novel docs of a
+       horizon window are exactly the ids a batch SQL replay computes.
+       State is bounded by the window (one row per in-horizon bucket);
+       a bucket quiet across windows re-emits — the same
+       horizon-novelty trade as ``dropDuplicatesWithinWatermark``,
+       made exact-per-window.
+    2. The per-doc TOP-1 argmax over the probed IVF lists, grouped on
+       the SAME window struct + doc id.  A doc novel in k bands emits k
+       identical candidate sets into the argmax; max() is idempotent
+       over them, so no separate doc-dedup state is spent.
+
+    Between the two sits only stateless work: the static-vector join,
+    the coarse probe (array_sort/slice/explode against the inlined
+    centroid literal), and the stream-static join onto the binned
+    corpus restricted to probed lists.
+
+    ``flush_ts``: drain recipe for bounded replays (see
+    ``streaming/windows.sentinel_stream``) — a sentinel band-key row at
+    that event time is unioned just before the watermark so every real
+    window emits under availableNow.  The sentinel's ids are -1: it
+    forms its own never-emitting novelty group and would be dropped at
+    the vector join even if it emitted; nothing downstream filters on a
+    grouping key (a grouping-key predicate would be pushed below the
+    watermark and un-flush the stream — see streaming/ann.py)."""
+    from financial_data_science_spark.functions.pipeline import (
+        contamination_screen,
+    )
+    from financial_data_science_spark.functions.similarity import (
+        _probe_clusters,
+        dot,
+        minhash_band_keys,
+        norm,
+    )
+
+    p6 = _quality_p6(beta, feature_exprs, text_col)
+    curated = contamination_screen(
+        stream, spark, bench_hashes, text_col=text_col, n=ngram_n,
+        portable=portable_grams,
+    ).filter(p6 > F.lit(float(score_cut)))
+    keys = minhash_band_keys(
+        curated, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+    ).select(id_col, ts_col, "band", "bhash")
+    if flush_ts is not None:
+        from financial_data_science_spark.streaming.windows import (
+            sentinel_stream,
+        )
+
+        sent = sentinel_stream(
+            spark,
+            [(-1, flush_ts, -1, 0)],
+            f"{id_col} long, {ts_col} timestamp, band int, bhash long",
+        )
+        keys = keys.unionByName(sent)
+    novel = (
+        keys.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), novelty_window).alias("__w__"),
+            "band",
+            "bhash",
+        )
+        .agg(F.min(id_col).alias(id_col))
+    )
+    with_vec = novel.join(
+        vectors.select(
+            F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("__v__")
+        ),
+        id_col,
+    )
+    binned = index["binned"].withColumn("__cn__", norm(F.col(vec_col)))
+    probes = _probe_clusters(
+        with_vec, id_col, "__v__", index["centroids"], nprobe, "__q__",
+        keep=("__w__",),
+    ).withColumn("__qn__", norm(F.col("__qv__")))
+    scored = (
+        probes.join(binned, "cluster")
+        .filter(F.col("__q__") != F.col(vec_id_col))
+        .select(
+            "__w__",
+            "__q__",
+            F.col(vec_id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("__qv__"), F.col(vec_col))
+                / (F.col("__qn__") * F.col("__cn__")),
+                6,
+            ).alias("__s__"),
+        )
+    )
+    return (
+        scored.groupBy("__w__", "__q__")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s__").alias("s"),
+                    (-F.col("neighbor_id")).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("__q__").alias(id_col),
+            (-F.col("m.negid")).alias("neighbor_id"),
+            F.round("m.s", 4).alias("score"),
+        )
+    )

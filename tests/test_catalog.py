@@ -19,12 +19,13 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-9
+    """The driver checks the first 50 queries() entries; the round-10
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    r9 debut row (the only catalog entry with no driver CORRECTNESS
+    r10 debut row (the only catalog entry with no driver CORRECTNESS
     record), and must draw the rest from the oldest-driver-checked
-    cohorts (refresh rotation: ALL 8 r5-stale rows, then r6)."""
+    cohorts (refresh rotation: ALL 7 r6-stale rows — the r9 verdict
+    pinned them by name — then 41 of the 49 r7-stale rows)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -32,19 +33,17 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r9 debut row: built this round, first-ever driver record
-        "stream_ann_top1_production",
-        # the full r5-stale cohort (deferred once in r8 — must not
-        # reach 4 rounds without an official record)
-        "coercion_roundtrip", "dedup_canonical_keep",
-        "lapsed_supplier_parts", "max_drawdown_windows",
-        "outlier_fences_tukey", "parametric_risk_summary",
-        "stream_session_windows", "stream_tick_bins_5min",
-        # r6-cohort representatives across kernel families
-        "ann_ivf_topk", "ann_sq8_topk", "asof_join_backward",
-        "embedding_near_dups", "hard_negative_mining",
-        "stream_static_enrich", "supply_closeness",
-        "csv_load_coercion", "contamination_overlap",
+        # r10 debut row: built this round, first-ever driver record
+        "stream_curation_tagged",
+        # the full r6-stale cohort (would be 4 rounds stale if deferred)
+        "ann_ivfpq_refined", "ann_pq_topk", "corpus_curation_pipeline",
+        "cosupply_graph_info", "multimodal_frame_sample",
+        "signals_sink_roundtrip", "supply_assortativity",
+        # r7-cohort representatives across kernel families
+        "bpe_train_merges", "cosine_topk", "group_ols",
+        "jaccard_near_dups", "minhash_lsh_candidates",
+        "sessionization", "stream_minhash_novelty",
+        "supply_graph_pagerank", "text_quality", "tick_bins_5min",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is
