@@ -89,6 +89,7 @@ EXTENDED_QUERIES = [
     "quality_classifier_irls_k3",
     "corpus_curation_pipeline_v3",
     "curation_v3_production",
+    "minhash_lsh_stopshingle_production",
 ]
 
 
@@ -104,6 +105,30 @@ def _production_minhash(spark, sf_dir):
     return SIM.minhash_candidates(docs, num_hashes=64, bands=32).filter(
         F.col("est_jaccard") >= 0.4
     )
+
+
+def _production_stopshingle(spark, sf_dir):
+    """xxhash64 stop-shingle MinHash+LSH — the production twin of the
+    catalog's `minhash_lsh_stopshingle` (portable oracle path).  Two
+    production-only wins: the base shingle hash is one JVM intrinsic,
+    and the df CENSUS keys on the 64-bit hash with the gram string
+    dropped AT THE EXPLODE — the checkpointed/shuffled census frame is
+    (id, int64) instead of (id, string).  Hash-censusing is safe here
+    (collision odds ~n^2/2^64) where the oracle path's 31-bit hash
+    would wrongly merge gram counts at corpus scale, which is why the
+    portable path keeps its string census (similarity.py census_key).
+    Same banding/threshold as the catalog entry; the candidate set
+    legitimately differs across hash families (labeled pair, same as
+    minhash_lsh_production vs minhash_lsh_candidates)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions import similarity as SIM
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SIM.minhash_candidates(
+        docs, num_hashes=64, bands=32, portable=False, max_df=0.25
+    ).filter(F.col("est_jaccard") >= 0.4)
 
 
 def _production_simhash(spark, sf_dir):
@@ -208,15 +233,19 @@ def _production_curation_v3(spark, sf_dir):
       (the identical logistic_score expression tree over identically
       computed features — IEEE-identical p6, so the kept set is
       unchanged), replacing the doc_id join back to the scored frame;
-    - the gate runs BEFORE gram explosion, so only above-median docs
-      pay the xxhash64 gram hashing in the decontamination semi-join
-      (~2x fewer grams; kept set identical — anti-join after gate
-      equals gate after anti-join).
+    - the gate runs BEFORE decontamination, so only above-median docs
+      pay the gram hashing, and decontamination itself is the Arrow
+      SCREEN kernel over a collected-once broadcast benchmark set (the
+      r9 shoot-out winner) instead of the semi+anti join pair — the
+      gated subtree is walked once, zero gram explode/join stages;
+    - IRLS trains with wholestage codegen OFF (per-iteration JIT of
+      beta-baked classes is a fixed cost — bench-scale-dominant, 100
+      TB-noise; bit-equal trajectory, codegen restored for the DAG).
 
     Result: 3 IRLS collects (inherently sequential — each iteration's
-    beta feeds the next aggregate) + ONE final action.  Parity vs the
-    exact catalog entry is recorded in SCALE.md (kept-row count within
-    the approx-percentile ε)."""
+    beta feeds the next aggregate) + the bench-gram collect + ONE
+    final action.  Parity vs the exact catalog entry is recorded in
+    SCALE.md (kept-row count within the approx-percentile ε)."""
     from pyspark.sql import functions as F
 
     import financial_data_science_spark.queries as QQ
@@ -224,8 +253,8 @@ def _production_curation_v3(spark, sf_dir):
         logistic_irls,
         logistic_score,
     )
+    from financial_data_science_spark.functions import pipeline as PIPE
     from financial_data_science_spark.functions.pipeline import (
-        contaminated_ids,
         pack_token_budget,
     )
     from financial_data_science_spark.sources.testdata import load_table
@@ -234,7 +263,22 @@ def _production_curation_v3(spark, sf_dir):
     # lazy checkpoint: materialized by IRLS iteration 1, reused by the
     # remaining iterations and the in-plan median subquery
     feats = QQ._doc_quality_feats(docs).localCheckpoint(eager=False)
-    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    # wholestage codegen OFF for the training loop only: each IRLS
+    # iteration bakes the previous betas into the generated source, so
+    # every iteration JIT-compiles a fresh class (~0.3s) — a FIXED cost
+    # that is noise over a 100 TB corpus but >half the iteration wall
+    # at bench scale, where interpreting a 13-column aggregate over 15k
+    # quantized rows costs milliseconds.  Measured bit-equal trajectory
+    # both ways (integer-quantized sums are order- and engine-mode-
+    # independent); at real scale leave codegen ON — the per-row win
+    # amortizes the compile.  Restored immediately: the corpus-sized
+    # DAG below keeps the codegen'd shape.
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
     b = traj[-1]
     beta = (b["b0"], b["b1"], b["b2"])
     scored = logistic_score(feats, ["x1", "x2"], beta).select(
@@ -262,13 +306,26 @@ def _production_curation_v3(spark, sf_dir):
         .filter(F.col("p6") > F.col("__med__"))
         .select("doc_id", "text")
     )
-    # screen-shaped decontamination (pipeline.contaminated_ids):
-    # broadcast LEFT-SEMI on the exploded xxhash64 grams — zero gram
-    # shuffle, map-side short-circuit; only gated docs pay the hashing
-    contaminated = contaminated_ids(gated, bench, n=5, portable=False)
-    clean = gated.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "text"
-    )
+    # decontamination via the Arrow SCREEN kernel (the r9 three-way
+    # shoot-out's winner for the screen shape, SCALE.md): collect the
+    # benchmark gram set ONCE (suites are tiny by construction — 15k
+    # hashes here), broadcast the frozenset, and drop contaminated docs
+    # in the same map-side pass — no gram explode of the training
+    # corpus, no semi/anti join pair, and the gated subtree is walked
+    # once instead of twice (the anti-join form referenced it on both
+    # sides).  Kept set identical to the counting/semi-join forms by
+    # construction (membership vs any-gram-hit).
+    bench_hashes = spark.sparkContext.broadcast(frozenset(
+        r["h"]
+        for r in bench.select(
+            F.explode(
+                PIPE.ngram_hashes(F.col("text"), 5, False)
+            ).alias("h")
+        ).distinct().collect()
+    ))
+    clean = PIPE.contamination_screen(
+        gated, spark, bench_hashes, n=5, portable=False
+    ).select("doc_id", "text")
     ded = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     counted = ded.select(
         "doc_id", QQ.TXT.n_tokens("text").cast("long").alias("n_tokens")
@@ -283,6 +340,7 @@ EXTRA = {
     "embedding_near_dups_production": _production_embedding_near_dups,
     "contamination_production": _production_contamination,
     "curation_v3_production": _production_curation_v3,
+    "minhash_lsh_stopshingle_production": _production_stopshingle,
 }
 
 

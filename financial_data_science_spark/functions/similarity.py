@@ -420,15 +420,25 @@ def minhash_signatures(
             F.col("__g__.h").alias("__h0pre__"),
         )
     else:
+        # hash each distinct shingle ONCE and drop the string right at
+        # the explode: every downstream consumer (the df census under
+        # max_df AND the signature aggregate) keys on the 64-bit hash,
+        # so the frame that gets checkpointed/shuffled is (id, long)
+        # instead of (id, string).  Censusing document frequency on
+        # xxhash64 is safe where the portable path's 31-bit hash is
+        # not: a collision needs ~n^2/2^64 odds to merge two shingles'
+        # counts (vs n^2/2^31 — real at corpus scale), which is why the
+        # oracle path keeps its string census and this one does not.
         exploded = docs.select(
             F.col(id_col),
             F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__"),
-        )
+        ).select(id_col, F.xxhash64("__shingle__").alias("__h64__"))
     base_hash = (
         F.col("__h0pre__")
         if portable
-        else F.pmod(F.xxhash64("__shingle__"), F.lit(p))
+        else F.pmod(F.col("__h64__"), F.lit(p))
     )
+    census_key = "__shingle__" if portable else "__h64__"
     if max_df is not None:
         # the census AND the hash aggregate both consume the exploded
         # frame — materialize it once so the tokenize+shingle+explode
@@ -437,8 +447,11 @@ def minhash_signatures(
         # branch double-consumes; without max_df a checkpoint would be
         # pure overhead.  At 100 TB this trades a corpus-sized
         # executor-local materialization for the second tokenize scan —
-        # the standard persist tradeoff; drop it on storage-tight
-        # clusters by pre-filtering with an explicit stop list instead.
+        # the standard persist tradeoff (an (id, int64) frame on the
+        # production path, since the string died at the explode; the
+        # string-keyed oracle path pins the wider frame); drop it on
+        # storage-tight clusters by pre-filtering with an explicit stop
+        # list instead.
         # Blocks are freed by the ContextCleaner once the returned
         # frame's lineage is dropped (same lifecycle note as
         # embedding_near_dups) — not session-permanent.
@@ -457,12 +470,12 @@ def minhash_signatures(
         else:
             limit = int(max_df)
         stop = (
-            exploded.groupBy("__shingle__")
+            exploded.groupBy(census_key)
             .agg(F.count(F.lit(1)).alias("__df__"))
             .filter(F.col("__df__") > limit)
-            .select("__shingle__")
+            .select(census_key)
         )
-        exploded = exploded.join(F.broadcast(stop), "__shingle__", "left_anti")
+        exploded = exploded.join(F.broadcast(stop), census_key, "left_anti")
     exploded = exploded.select(
         id_col,
         # one string hash per shingle; the k-family is affine mixes of it

@@ -748,3 +748,54 @@ def test_ivf_index_store_roundtrip_with_payload(spark, tmp_path):
         want.sort_values(key).reset_index(drop=True),
         got.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_hash_census_matches_string_census(spark):
+    """The production (xxhash64) stop-shingle path censuses document
+    frequency on the 64-bit hash with the gram string dropped at the
+    explode; the kept (doc, base-hash) rows — the signature aggregate's
+    entire input — must equal a reference that censuses on the STRING
+    (the oracle path's key) and hashes afterward."""
+    docs = _docs(spark)
+    p = (1 << 31) - 1
+    limit = int(0.25 * docs.count())
+
+    # reference: string census -> anti-join -> hash
+    ex_s = docs.select(
+        "doc_id", F.explode(S.word_shingles("text", 3)).alias("s")
+    )
+    stop_s = (
+        ex_s.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > limit).select("s")
+    )
+    want = {
+        (r["doc_id"], r["h"])
+        for r in ex_s.join(stop_s, "s", "left_anti")
+        .select("doc_id", F.pmod(F.xxhash64("s"), F.lit(p)).alias("h"))
+        .collect()
+    }
+
+    # library path: census on __h64__ (string never leaves the explode
+    # projection) — recover its kept rows from the signature input by
+    # re-deriving through minhash_signatures' own kept frame: the
+    # h0-family min with ONE hash (a=1, b=0 is not exposed), so instead
+    # compare via the full signature frame against a reference
+    # signature computed from `want`
+    import random
+
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(8)]
+    by_doc: dict[int, list[int]] = {}
+    for d, h in want:
+        by_doc.setdefault(d, []).append(h)
+    want_sig = {
+        (d, tuple(min((h * a + b) % p for h in hs) for a, b in coeffs))
+        for d, hs in by_doc.items()
+    }
+    got_sig = {
+        (r["doc_id"], tuple(r["__sig__"]))
+        for r in S.minhash_signatures(
+            docs, num_hashes=8, portable=False, max_df=0.25
+        ).select("doc_id", "__sig__").collect()
+    }
+    assert got_sig == want_sig and len(got_sig) > 0
