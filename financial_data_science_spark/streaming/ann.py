@@ -55,6 +55,7 @@ def on_arrival_nearest(
     watermark: str | None = None,
     query_id: str = "query_id",
     flush_ts=None,
+    sentinel_id: int = -1,
 ) -> DataFrame:
     """Match each arriving vector against a pre-built IVF ``index``
     (the dict from ``similarity.ivf_build_index``) and emit its top-1
@@ -74,9 +75,12 @@ def on_arrival_nearest(
     stream emits ALL its in-horizon windows under
     ``Trigger.AvailableNow`` — the flush recipe the emission-horizon
     contract documents; a live stream gets the same effect from its
-    next real arrival.  The sentinel's own rows (query_id -1) are
-    filtered from the output; parity with complete mode on a drained
-    stream is pinned by test."""
+    next real arrival.  The sentinel's own rows are filtered from the
+    output; parity with complete mode on a drained stream is pinned by
+    test.  ``sentinel_id`` is the id the sentinel rides under (query
+    AND neighbor) — it must NOT be a real corpus/arrival id (default -1
+    fits the non-negative-id convention of the testdata; pass your own
+    reserved id for corpora with negative ids)."""
     from financial_data_science_spark.functions.similarity import (
         _probe_clusters,
         dot,
@@ -112,7 +116,7 @@ def on_arrival_nearest(
 
         sent = sentinel_stream(
             stream.sparkSession,
-            [(-1, flush_ts, -1, 0.0)],
+            [(sentinel_id, flush_ts, sentinel_id, 0.0)],
             f"{query_id} long, {ts_col} timestamp, neighbor_id long, "
             f"__s__ double",
         )
@@ -138,13 +142,14 @@ def on_arrival_nearest(
     if flush_ts is not None:
         # drop the sentinel's own (never-emitting) group defensively —
         # via the AGGREGATE-DERIVED neighbor column, NOT the grouping
-        # key: a predicate on the grouping key (query_id >= 0) is
-        # legally pushed below the aggregate, through the watermark
+        # key: a predicate on the grouping key (query_id != sentinel)
+        # is legally pushed below the aggregate, through the watermark
         # node and the union into the sentinel's source branch, which
         # deletes the sentinel row BEFORE it reaches the event-time
         # stats and silently un-flushes the stream (measured: the last
         # arrival's window stayed unemitted).  neighbor_id is computed
         # FROM the max() result, so this filter cannot push below the
-        # aggregation.
-        out = out.filter(F.col("neighbor_id") >= 0)
+        # aggregation; only the sentinel's group carries the sentinel
+        # neighbor (its row bypasses the corpus join).
+        out = out.filter(F.col("neighbor_id") != F.lit(sentinel_id))
     return out

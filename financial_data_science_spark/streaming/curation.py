@@ -138,6 +138,7 @@ def curate_and_tag_stream(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     flush_ts=None,
+    sentinel_id: int = -1,
 ) -> DataFrame:
     """The COMPLETE ingestion DAG: screen -> quality gate -> novelty ->
     nearest-existing-neighbor tag, ONE streaming query — each arriving
@@ -181,11 +182,13 @@ def curate_and_tag_stream(
     ``flush_ts``: drain recipe for bounded replays (see
     ``streaming/windows.sentinel_stream``) — a sentinel band-key row at
     that event time is unioned just before the watermark so every real
-    window emits under availableNow.  The sentinel's ids are -1: it
-    forms its own never-emitting novelty group and would be dropped at
-    the vector join even if it emitted; nothing downstream filters on a
-    grouping key (a grouping-key predicate would be pushed below the
-    watermark and un-flush the stream — see streaming/ann.py)."""
+    window emits under availableNow.  The sentinel rides under
+    ``sentinel_id`` (default -1; must NOT be a real doc/vector id — the
+    testdata convention is non-negative ids): it forms its own
+    never-emitting novelty group and would be dropped at the vector
+    join even if it emitted; nothing downstream filters on a grouping
+    key (a grouping-key predicate would be pushed below the watermark
+    and un-flush the stream — see streaming/ann.py)."""
     from financial_data_science_spark.functions.pipeline import (
         contamination_screen,
     )
@@ -212,7 +215,7 @@ def curate_and_tag_stream(
 
         sent = sentinel_stream(
             spark,
-            [(-1, flush_ts, -1, 0)],
+            [(sentinel_id, flush_ts, -1, 0)],
             f"{id_col} long, {ts_col} timestamp, band int, bhash long",
         )
         keys = keys.unionByName(sent)

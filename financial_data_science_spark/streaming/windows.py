@@ -265,10 +265,17 @@ def sentinel_stream(
     it at the point the event-time column exists — typically just
     before ``withWatermark`` — with ids no real row uses (e.g. -1) so a
     trailing ``filter`` removes its outputs."""
+    import atexit
+    import shutil
     import tempfile
 
     if path is None:
         path = tempfile.mkdtemp(prefix="flush_sentinel_")
+        # scratch dirs are per-call (a FileStreamSource's listing is
+        # keyed on the path, so reuse across queries would replay stale
+        # sentinels); clean them up at interpreter exit instead of
+        # accumulating across pytest/gate/probe runs
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)

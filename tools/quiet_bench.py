@@ -93,9 +93,16 @@ def main() -> None:
             detail_snapshot = None
         open(LOCK, "w").write(str(os.getpid()))
         try:
+            # pin the detail path for the subprocess to the SAME file
+            # this watcher reads its steal stamp from — an inherited
+            # SPARK_GRAFT_BENCH_DETAIL_PATH would otherwise send the
+            # fresh detail elsewhere and the gate would certify against
+            # the stale committed record
+            env = dict(os.environ,
+                       SPARK_GRAFT_BENCH_DETAIL_PATH=detail_path)
             r = subprocess.run(
                 [sys.executable, "bench.py"], cwd=REPO, timeout=900,
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
             )
         finally:
             os.unlink(LOCK)

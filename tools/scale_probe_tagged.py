@@ -80,7 +80,12 @@ def make_source(mult: int, n_files: int = 8):
     now = 1_700_000_000
     for i, f in enumerate(files):
         os.utime(os.path.join(d, f), (now + i, now + i))
-    return d, big.count(), big.agg(F.max("doc_id")).collect()[0][0]
+    # stats from the WRITTEN files (one scan), not by re-running the
+    # k-way union-and-concat DAG once per driver action
+    stats = spark.read.parquet(d).agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("m")
+    ).collect()[0]
+    return d, stats["n"], stats["m"]
 
 
 def vectors_for(mult: int):
@@ -127,7 +132,6 @@ for mult in (1, 10):
     s0, t0 = _steal(), time.time()
     q = (tagged.writeStream.outputMode("append").format("noop").start())
     epochs = []
-    last = time.time()
     q.processAllAvailable()
     wall = time.time() - t0
     for p in q.recentProgress:
