@@ -5745,6 +5745,123 @@ ORACLE["stream_curation_pipeline"] = f"""
     """
 
 
+@query("stream_curation_bounded", None)
+def stream_curation_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE arm of the composed curation DAG — the form an
+    INDEFINITE ingestion actually runs (r10 VERDICT item 6).  Same
+    screen -> trained gate -> novelty composition as
+    `stream_curation_pipeline`, but the novelty state is bounded by a
+    horizon instead of growing with the bucket universe: novelty is the
+    deterministic window-ARGMIN — ``groupBy(window(ts, 3 minutes),
+    band, bhash) -> min(doc_id)`` — the `curate_and_tag_stream` trick
+    that makes per-doc novelty oracle-replayable.  State: one row per
+    in-horizon bucket, EVICTED at the watermark (the
+    dropDuplicatesWithinWatermark arm trades the same horizon but its
+    within-micro-batch winner is arrival-order-dependent; min(doc_id)
+    is order-free, so the batch SQL replay computes the identical
+    rows).  Output: one row per (window, bucket) with its earliest
+    curated doc.  The bounded replay drains through the flush sentinel
+    (streaming/windows.sentinel_stream) so every real window emits
+    under the memory-sink harness."""
+    from datetime import datetime, timezone
+
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+    from financial_data_science_spark.functions.pipeline import ngram_hashes
+    from financial_data_science_spark.streaming.curation import (
+        curate_document_stream,
+    )
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ---- batch prep (bounded collects, the offline leg) ----
+    feats = _doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = feats.select(
+        _r(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(b["b0"]) + F.lit(b["b1"]) * F.col("x1")
+                                    + F.lit(b["b2"]) * F.col("x2")))),
+            6,
+        ).alias("p6")
+    )
+    med = scored.agg(F.percentile("p6", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    bench_set = [
+        r["__h__"]
+        for r in docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(ngram_hashes(F.col("text"), 5, True)).alias("__h__"))
+        .distinct()
+        .collect()
+    ]
+    # flush sentinel: one tick past the last possible 3-minute window
+    # end (+0s watermark delay), so the drained replay emits everything
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    flush_ts = datetime.fromtimestamp(
+        1577836800 + (max_id // 180 + 1) * 180 + 1, tz=timezone.utc
+    )
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 17 != 0
+    )
+    novel = curate_document_stream(
+        stream, spark,
+        beta=(b["b0"], b["b1"], b["b2"]),
+        score_cut=med,
+        bench_hashes=bench_set,
+        novelty_window="3 minutes",
+        watermark="0 seconds",
+        flush_ts=flush_ts,
+    ).select(
+        (F.unix_timestamp("window_start") / 180).cast("long").alias("wid"),
+        "band",
+        "bhash",
+        "doc_id",
+    )
+    out = run_stream_to_memory(
+        spark,
+        novel,
+        f"gate_stream_bounded_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return out.select("wid", "band", "bhash", "doc_id")
+
+
+# window replay as in stream_curation_tagged: ts = 1577836800 + doc_id
+# seconds and 1577836800 % 180 == 0, so the epoch-aligned 3-minute
+# window id of a doc is (1577836800 + doc_id) / 180
+ORACLE["stream_curation_bounded"] = f"""
+    WITH scored AS (
+      SELECT doc_id, p6 FROM ({_irls_oracle_sql(final=f'''
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(s3.b0 + s3.b1 * f.x1
+                                    + s3.b2 * f.x2))), 6) AS p6
+    FROM (SELECT doc_id,
+            ln(1.0 + {_NTOK_SQL}) AS x1,
+            CAST(n_chars AS DOUBLE) / (1.0 + {_NTOK_SQL}) AS x2
+          FROM documents) f, s3''')})),
+    contam AS (
+      SELECT doc_id FROM ({_contamination_oracle_sql()})
+      WHERE n_contaminated > 0),
+    med AS (SELECT quantile_cont(p6, 0.5) AS m FROM scored),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id, med
+      WHERE s.p6 > med.m AND d.doc_id % 17 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+    bk AS (
+      SELECT doc_id, band, bhash
+      FROM ({_minhash_bucket_oracle_sql(source="kept", per_doc=True)}))
+    SELECT CAST(floor((1577836800 + doc_id) / 180) AS BIGINT) AS wid,
+           band, bhash, min(doc_id) AS doc_id
+    FROM bk GROUP BY 1, 2, 3
+    """
+
+
 @query("stream_curation_tagged", None)
 def stream_curation_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END ingestion DAG at its blowup shape (r9 VERDICT
@@ -7761,93 +7878,98 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-9 rotation (fifth gate rotation).  Slots: 1 anchor (the
+# Round-11 rotation (seventh gate rotation).  Slots: 1 anchor (the
 # flagship), 1 debut row (the only catalog entry with no driver
-# CORRECTNESS record: the append+watermark arm of on-arrival ANN,
-# built this round), then the ENTIRE oldest-driver-checked cohort —
-# all 8 rows last checked in r5, which the r8 rotation deferred and
-# would hit 4-rounds-stale if deferred again — and 40 of the 47 rows
-# last checked in r6.  The 7 r6-cohort rows deferred to r10 each have
+# CORRECTNESS record: the bounded-state window-ARGMIN arm of the
+# composed curation DAG, built this round), then the ENTIRE
+# oldest-driver-checked cohort — all 8 rows last checked in r7, which
+# the r10 rotation deferred and would hit 4-rounds-stale if deferred
+# again (the r10 verdict pinned these by name) — and 40 of the 49 rows
+# last checked in r8.  The 9 r8-cohort rows deferred to r12 each have
 # a same-kernel sibling IN this gate or a fresher green record:
-#   ann_pq_topk           (similarity PQ scorer — ann_ivfpq_topk /
-#                          ann_ivfpq_residual / ann_ivfpq_query_only
-#                          in this gate share the ADC chain)
-#   ann_ivfpq_refined     (refine = exact rescore of ivfpq candidates;
-#                          both parents in this gate)
-#   corpus_curation_pipeline (v2 in this gate is the same DAG + gate
-#                          stage; v3 r9-green with the trained gate)
-#   cosupply_graph_info   (cosupply_clustering in this gate shares the
-#                          co-occurrence projection)
-#   multimodal_frame_sample (multimodal_resize in this gate shares the
-#                          mapInPandas binary plumbing)
-#   signals_sink_roundtrip (named_store_roundtrip + cached_section_reuse
-#                          in this gate share the Store)
-#   supply_assortativity  (supply_closeness / supply_community_quality /
-#                          supply_hits / supply_personalized_pagerank in
-#                          this gate; 6 more graph rows r8-green)
+#   q3_top_revenue_orders (scan/join/agg/top-k; q1 in this gate shares
+#                          the shape, and q3 is a bench headline timed
+#                          every round)
+#   q5_nation_revenue     (same scan/join/agg family as q1 in this
+#                          gate; also a bench headline timed every
+#                          round)
+#   cube_revenue          (grouping-sets over the same lineitem agg as
+#                          q1 in this gate; pytest-pinned)
+#   quality_classifier_score (the apply leg of the IRLS chain;
+#                          quality_classifier_irls + _irls_k3 in this
+#                          gate, and the score gate runs inside
+#                          corpus_curation_pipeline_v3 in this gate)
+#   quality_classifier_model_store (same trained chain + the named
+#                          store kernel of named_store_roundtrip, r9)
+#   stream_curation_pipeline (strictly contained in the debut
+#                          stream_curation_bounded — same screen/gate/
+#                          novelty DAG — and stream_curation_tagged,
+#                          r10; locally strict-verified this session)
+#   stream_contamination_flags (contamination kernel rides in the two
+#                          curation streams above; contamination_overlap
+#                          r9 + judge strict re-run)
+#   stream_ann_top1       (stream_ann_top1_production r9-green, judge
+#                          strict re-ran at sf0.1)
+#   bpe_token_counts      (the trivial count leg; all four heavy BPE
+#                          entries r10-green)
 # Everything rotated out stays guarded by the full-catalog hash-strict
-# local replica (tools/check_correctness.py), and its r5-r8 driver
+# local replica (tools/check_correctness.py), and its r5-r10 driver
 # records stand.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
     # debut row: built this round, no driver record yet
-    "stream_curation_tagged",   # fused screen->gate->novelty->ANN-tag
-    # oldest-checked cohort: r6 (all 7 remaining — 4 rounds stale if
-    # deferred again; the r9 verdict pinned these by name)
-    "ann_ivfpq_refined",
-    "ann_pq_topk",
-    "corpus_curation_pipeline",
-    "cosupply_graph_info",
-    "multimodal_frame_sample",
-    "signals_sink_roundtrip",
-    "supply_assortativity",
-    # oldest-checked cohort: r7 (41 of 49; the 8 deferred to the r11
-    # gate head: compound_by_year, dedup_keep_last, ffill_last_error,
-    # lang_id, month_end_trading_days, pivot_event_type_totals,
-    # range_bucket_lookup, seq_in_group — all simple window/lookup/
-    # regex kernels with standing pytest coverage)
-    "binary_payload_metadata",
-    "bpe_segment_tokens",
-    "bpe_tokenize_and_pack",
-    "bpe_train_batched",
-    "bpe_train_merges",
-    "compound_returns_by_supplier",
-    "cosine_topk",
-    "dedup_exact_docs",
-    "delist_adjusted_compound",
-    "doc_fingerprints",
-    "event_range_agg_1h",
-    "event_window_trading_days",
-    "fractile_deciles",
-    "group_ols",
-    "hard_negative_mining_ivf",
-    "hard_negative_mining_production",
-    "holdings_turnover",
-    "jaccard_near_dups",
-    "keydev_event_labels",
-    "kupiec_var_backtest",
-    "label_cosine_stats",
-    "minhash_lsh_candidates",
-    "multimodal_features",
-    "near_dup_clusters",
-    "prevailing_latest_event",
-    "purchase_day_click_value",
-    "risk_summary",
-    "running_peak_drawdown",
-    "sessionization",
-    "simhash_near_dups",
-    "stream_minhash_novelty",
-    "supply_communities",
-    "supply_graph_degrees",
-    "supply_graph_pagerank",
-    "supply_link_prediction",
-    "text_quality",
-    "tick_bins_5min",
-    "tw_value_5min",
-    "users_click_no_purchase",
-    "window_group_share",
-    "winsorized_price_stats",
+    "stream_curation_bounded",  # bounded-state window-ARGMIN novelty
+    # oldest-checked cohort: r7 (all 8 — the r10 verdict item 4 list)
+    "compound_by_year",
+    "dedup_keep_last",
+    "ffill_last_error",
+    "lang_id",
+    "month_end_trading_days",
+    "pivot_event_type_totals",
+    "range_bucket_lookup",
+    "seq_in_group",
+    # oldest-checked cohort: r8 (40 of 49; deferrals documented above)
+    "adf_by_user",
+    "backtest_attribution",
+    "car_by_relative_day",
+    "clean_trades_stats",
+    "coercion_keep_drop_replace",
+    "corpus_curation_pipeline_v3",
+    "cosine_ann_bucketed",
+    "dated_lookup_apply",
+    "doc_chunking",
+    "document_filter_gate",
+    "ewma_riskmetrics_vol",
+    "ff_scale_sentinels",
+    "hac_mean_discount",
+    "io_regroup",
+    "minhash_lsh_stopshingle",
+    "mixture_sample_sources",
+    "monthly_rollup",
+    "next_trading_day",
+    "ohlc_volatility",
+    "permno_links_asof",
+    "pii_pattern_census",
+    "portfolio_monthly_returns",
+    "prevailing_click_at_purchase",
+    "q1_pricing_summary",
+    "quality_classifier_irls",
+    "quality_classifier_irls_k3",
+    "repetition_quality",
+    "rolling_beta_12m",
+    "smoothed_holdings",
+    "split_back_adjust",
+    "structural_break_fstats",
+    "supply_betweenness_sampled",
+    "supply_eigenvector",
+    "supply_kcore",
+    "tcode_transforms",
+    "tfidf_top_terms",
+    "unpivot_flag_revenue",
+    "upsert_insert_ignore",
+    "vintage_latest_asof",
+    "weighted_avg_price",
 ]
 
 

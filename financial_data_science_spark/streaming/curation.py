@@ -68,6 +68,7 @@ def curate_document_stream(
     score_cut: float,
     bench_hashes,
     feature_exprs: list[Column] | None = None,
+    id_col: str = "doc_id",
     text_col: str = "text",
     ts_col: str = "ts",
     ngram_n: int = 5,
@@ -76,6 +77,9 @@ def curate_document_stream(
     bands: int = 4,
     watermark: str = "1 hour",
     bounded_state: bool = False,
+    novelty_window: str | None = None,
+    flush_ts=None,
+    sentinel_id: int = -1,
 ) -> DataFrame:
     """Screen -> gate -> novelty in ONE streaming DAG; returns the
     novel (band, bhash) bucket rows of clean, above-cut documents.
@@ -88,12 +92,31 @@ def curate_document_stream(
     stream's columns; defaults to the document-quality pair
     [ln(1+ntok), n_chars/(1+ntok)] matching `_doc_quality_feats`.
 
-    Stateful footprint: exactly ONE operator — the bucket dedup.
-    ``bounded_state=False`` keeps the GLOBAL distinct-bucket set
-    (order-free, batch-parity, right for backfills);
-    ``bounded_state=True`` switches to dropDuplicatesWithinWatermark
-    (state bounded by the horizon, quiet buckets re-emit — the
-    indefinite-ingestion trade, same as stream_novel_buckets)."""
+    Stateful footprint: exactly ONE operator — the bucket novelty.
+    Three arms, by state/replayability trade:
+
+    - default: global ``dropDuplicates`` — the full distinct-bucket
+      set (order-free, batch-parity, right for backfills; state grows
+      with the bucket universe).
+    - ``bounded_state=True``: ``dropDuplicatesWithinWatermark`` —
+      state bounded by the horizon, quiet buckets re-emit; the
+      within-micro-batch winner is arrival-order-dependent, so only
+      the bucket SET (not per-doc rows) is replayable.
+    - ``novelty_window='3 minutes'`` (the bounded arm an indefinite
+      ingestion actually runs): a deterministic window-ARGMIN —
+      ``groupBy(window(ts, novelty_window), band, bhash) ->
+      min(id_col)``, the `curate_and_tag_stream` trick.  Same
+      horizon-bounded state (one row per in-horizon bucket, evicted at
+      the watermark), but min(id) is order-free, so the per-doc output
+      is exactly what a batch SQL replay computes — oracle-checkable
+      where dropDuplicatesWithinWatermark is not.  Returns one row per
+      novel (window, bucket): ``(window_start, band, bhash, id_col)``.
+      Append-mode emission needs the watermark past each window end;
+      for bounded replays pass ``flush_ts`` (one sentinel arrival past
+      the last real window end + delay — see
+      ``streaming/windows.sentinel_stream``); the sentinel's own group
+      never emits, and nothing downstream may filter on a grouping key
+      (the pushdown hazard pinned at streaming/ann.py)."""
     from financial_data_science_spark.functions.pipeline import (
         contamination_screen,
     )
@@ -108,8 +131,37 @@ def curate_document_stream(
         portable=portable_grams,
     ).filter(p6 > F.lit(float(score_cut)))
     keys = minhash_band_keys(
-        curated, text_col=text_col, num_hashes=num_hashes, bands=bands
+        curated, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
     )
+    if novelty_window is not None:
+        keys = keys.select(id_col, ts_col, "band", "bhash")
+        if flush_ts is not None:
+            from financial_data_science_spark.streaming.windows import (
+                sentinel_stream,
+            )
+
+            sent = sentinel_stream(
+                spark,
+                [(sentinel_id, flush_ts, -1, 0)],
+                f"{id_col} long, {ts_col} timestamp, band int, bhash long",
+            )
+            keys = keys.unionByName(sent)
+        return (
+            keys.withWatermark(ts_col, watermark)
+            .groupBy(
+                F.window(F.col(ts_col), novelty_window).alias("__w__"),
+                "band",
+                "bhash",
+            )
+            .agg(F.min(id_col).alias(id_col))
+            .select(
+                F.col("__w__.start").alias("window_start"),
+                "band",
+                "bhash",
+                id_col,
+            )
+        )
     wm = keys.withWatermark(ts_col, watermark)
     if bounded_state:
         return wm.dropDuplicatesWithinWatermark(["band", "bhash"])

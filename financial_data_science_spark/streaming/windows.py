@@ -10,6 +10,8 @@ watermark, so batch/stream parity is a test, not a hope.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -240,6 +242,21 @@ def stream_novel_buckets(
     return wm.dropDuplicates(["band", "bhash"])
 
 
+# scratch dirs created by sentinel_stream(path=None); swept once at
+# interpreter exit (see the lifetime contract in its docstring)
+_SENTINEL_SCRATCH_DIRS: list[str] = []
+
+
+def _sweep_sentinel_scratch() -> None:
+    import shutil
+
+    while _SENTINEL_SCRATCH_DIRS:
+        shutil.rmtree(_SENTINEL_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_sweep_sentinel_scratch)
+
+
 def sentinel_stream(
     spark: SparkSession,
     rows: list,
@@ -264,8 +281,15 @@ def sentinel_stream(
     (same one-file => one-batch shape as the testdata readers).  Union
     it at the point the event-time column exists — typically just
     before ``withWatermark`` — with ids no real row uses (e.g. -1) so a
-    trailing ``filter`` removes its outputs."""
-    import atexit
+    trailing ``filter`` removes its outputs.
+
+    Lifetime contract: auto-created scratch dirs live until THIS
+    interpreter exits (one shared atexit sweep, not one handler per
+    call).  A query restarted from a checkpoint by a LATER interpreter
+    would find its sentinel source gone — the recipe targets bounded
+    single-process replays (gates, probes, backfills), not
+    checkpoint-recovered production queries; those should pass an
+    explicit durable ``path`` they own."""
     import shutil
     import tempfile
 
@@ -273,9 +297,10 @@ def sentinel_stream(
         path = tempfile.mkdtemp(prefix="flush_sentinel_")
         # scratch dirs are per-call (a FileStreamSource's listing is
         # keyed on the path, so reuse across queries would replay stale
-        # sentinels); clean them up at interpreter exit instead of
-        # accumulating across pytest/gate/probe runs
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        # sentinels); swept by ONE interpreter-exit handler shared
+        # across all calls instead of accumulating an atexit entry per
+        # sentinel over long pytest/gate sessions
+        _SENTINEL_SCRATCH_DIRS.append(path)
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)

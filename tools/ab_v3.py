@@ -56,7 +56,7 @@ def main() -> None:
     }
     quiet: dict[str, list[float]] = {k: [] for k in variants}
     rows: dict[str, int] = {}
-    rows_seen: dict[str, set] = {k: set() for k in variants}
+    sigs_seen: dict[str, set] = {k: set() for k in variants}
     attempts = 0
     while (min(len(v) for v in quiet.values()) < ROUNDS
            and attempts < ROUNDS * 8):
@@ -64,7 +64,6 @@ def main() -> None:
         for name, fn in variants.items():
             s0, t0 = _steal(), time.time()
             rows[name] = fn(spark, SF_DIR).count()
-            rows_seen[name].add(rows[name])
             dt = time.time() - t0
             stl = 100.0 * (_steal() - s0) * 0.01 / dt
             if stl < MAX_STEAL_PCT:
@@ -72,10 +71,20 @@ def main() -> None:
             print(f"# {name}: {dt:.2f}s steal {stl:.1f}% "
                   f"{'KEPT' if stl < MAX_STEAL_PCT else 'drop'}",
                   file=sys.stderr, flush=True)
-    # timing is only comparable if both variants computed the same
-    # result — a behavior-changing edit must not "win" the A/B
-    assert len({frozenset(v) for v in rows_seen.values()}) == 1, (
-        f"row-count mismatch across variants: {rows_seen}")
+    # content signature, untimed, once per variant: (count, sum of row
+    # hashes) — an edit that swaps WHICH rows survive while keeping the
+    # kept-row count identical must not "win" the A/B on timing
+    from pyspark.sql import functions as F
+
+    for name, fn in variants.items():
+        df = fn(spark, SF_DIR)
+        sig = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns)).alias("x"),
+        ).collect()[0]
+        sigs_seen[name].add((sig["n"], sig["x"]))
+    assert len(set(map(frozenset, sigs_seen.values()))) == 1, (
+        f"content-signature mismatch across variants: {sigs_seen}")
     print(json.dumps({
         "quiet_runs": quiet,
         "min": {k: (min(v) if v else None) for k, v in quiet.items()},

@@ -5,22 +5,33 @@ Loop: 5s busy-probe (process_time vs wall — catches hypervisor steal
 AND local contention); if quiet, take /tmp/benchlock, run bench.py,
 read the recorded /proc/stat steal from BENCH_DETAIL.json AND compare
 the drift canaries — pinned never-touched queries — against the sealed
-quiet floor (tools/bench_r9_pre_quiet.json, 0.48% steal).  Keep the
-record and exit only if steal < 5% and every canary is within 1.15x of
-its floor; otherwise restore the pre-run BENCH_DETAIL.json bytes and
-keep waiting.
+quiet floor (tools/bench_v3_floor.json, written by tools/seal_floor.py).
+Keep the record and exit only if steal < 5% and every canary is within
+CANARY_MAX_RATIO of its floor; otherwise restore the pre-run
+BENCH_DETAIL.json bytes and keep waiting.
 
 Why the canary (r9 verdict): run-average steal under-detects 100-second
 steal BURSTS — the r9 accepted record passed at 2.33% average steal yet
-its untouched tiny queries ran 1.2-1.5x above the 0.48% floor.  A
-canary that must individually land in-band rejects exactly those
-records; min-of-4 per query cannot dodge bursts that outnumber runs.
+its untouched tiny queries ran 1.2-1.5x above the then-floor.  A canary
+that must individually land in-band rejects exactly those records;
+min-of-N per query cannot dodge bursts that outnumber runs.
 
-Writes the accepted one-line record (with the canary ratios embedded)
-to tools/quiet_bench_accepted.json.  If no attempt passes before
-MAX_WAIT, the best steal-ok attempt (smallest worst-canary ratio) is
-saved to tools/quiet_bench_best_rejected.json for diagnostics — it is
-NOT a certified record.
+Beyond the canaries (r10 verdict item 3): the accepted record carries
+the FULL per-query ratio table vs the sealed floor — worst-5 offenders
+plus every row over WARN_RATIO — so a non-canary regression is visible
+in the record instead of indistinguishable from drift.  Those rows WARN
+rather than reject (burst odds scale with query count); each must be
+either code-untouched (named as drift) or investigated.
+
+Staleness guard (r10 advisor): refuses to start if a canary kernel's
+source no longer hashes to what the floor sealed — re-seal with
+tools/seal_floor.py instead of certifying against stale numbers.
+
+Writes the accepted one-line record (with canary ratios and the floor
+table embedded) to tools/quiet_bench_accepted.json.  If no attempt
+passes before MAX_WAIT, the best steal-ok attempt (smallest worst-canary
+ratio) is saved to tools/quiet_bench_best_rejected.json for diagnostics
+— it is NOT a certified record.
 
 Run: PYTHONPATH=/root/repo python tools/quiet_bench.py
 """
@@ -33,21 +44,21 @@ import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from floorlib import (  # noqa: E402
+    CANARIES,
+    REPO,
+    canary_source_hashes,
+    floor_ratio_table,
+    load_floor,
+)
+
 LOCK = "/tmp/benchlock"
 PROBE_QUIET_PCT = 3.0
 RECORD_MAX_STEAL = 5.0
 MAX_WAIT_SEC = int(os.environ.get("QUIET_BENCH_MAX_WAIT", "14400"))
-
-# Drift canaries: queries untouched since the sealed 0.48%-steal floor
-# (tools/bench_r9_pre_quiet.json, commit 3c89372).  If a round touches
-# one of these kernels, re-seal the floor and update here.
-CANARY_FLOOR = {
-    "asof_join_backward": 0.334,
-    "text_quality": 0.168,
-    "q1_pricing_summary": 0.434,
-}
 CANARY_MAX_RATIO = float(os.environ.get("QUIET_BENCH_CANARY_MAX", "1.15"))
+WARN_RATIO = float(os.environ.get("QUIET_BENCH_WARN_RATIO", "1.35"))
 
 
 def probe(seconds: float = 5.0) -> float:
@@ -58,18 +69,43 @@ def probe(seconds: float = 5.0) -> float:
     return 100.0 * (1.0 - c / w)
 
 
-def canary_ratios(record: dict) -> dict[str, float]:
+def canary_ratios(record: dict, floor: dict) -> dict[str, float]:
     """Per-canary observed/floor ratio, pulled from the record itself
     (the canaries are headline queries, so they were just timed under
     exactly the conditions being certified)."""
     out = {}
-    for name, floor in CANARY_FLOOR.items():
+    for name in CANARIES:
         obs = record.get("queries", {}).get(name)
-        out[name] = round(obs / floor, 3) if obs is not None else float("inf")
+        ref = floor.get("queries", {}).get(name)
+        out[name] = (
+            round(obs / ref, 3) if obs is not None and ref else float("inf")
+        )
     return out
 
 
 def main() -> None:
+    floor = load_floor()
+    sealed = floor.get("canary_source_hashes", {})
+    current = canary_source_hashes()
+    if sealed != current:
+        drifted = [k for k in current if sealed.get(k) != current[k]]
+        print(f"[watch] FATAL: canary kernel source changed since the "
+              f"floor was sealed ({drifted}) — re-seal with "
+              f"tools/seal_floor.py before certifying records", flush=True)
+        sys.exit(2)
+    # a timing-semantics bump without a re-seal would grade v_N records
+    # against a v_{N-1} floor — same stale-floor failure mode
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    import bench
+
+    if floor.get("bench_set_version") != bench.BENCH_SET_VERSION:
+        print(f"[watch] FATAL: floor sealed at bench_set_version "
+              f"{floor.get('bench_set_version')} but bench.py is at "
+              f"{bench.BENCH_SET_VERSION} — re-seal with "
+              f"tools/seal_floor.py", flush=True)
+        sys.exit(2)
+
     t_start = time.time()
     attempt = 0
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
@@ -91,6 +127,14 @@ def main() -> None:
                 detail_snapshot = f.read()
         except OSError:
             detail_snapshot = None
+
+        def restore_snapshot() -> None:
+            if detail_snapshot is not None:
+                with open(detail_path, "wb") as f:
+                    f.write(detail_snapshot)
+            elif os.path.exists(detail_path):
+                os.unlink(detail_path)
+
         open(LOCK, "w").write(str(os.getpid()))
         try:
             # pin the detail path for the subprocess to the SAME file
@@ -104,6 +148,15 @@ def main() -> None:
                 [sys.executable, "bench.py"], cwd=REPO, timeout=900,
                 capture_output=True, text=True, env=env,
             )
+        except subprocess.TimeoutExpired:
+            # a timed-out bench may have part-written the detail file;
+            # put the pre-run bytes back and keep watching instead of
+            # crashing out of the loop
+            restore_snapshot()
+            print("[watch] bench timed out (900s) — pre-run BENCH_DETAIL "
+                  "restored, continuing", flush=True)
+            time.sleep(60)
+            continue
         finally:
             os.unlink(LOCK)
         line = (r.stdout.strip().splitlines() or [""])[-1]
@@ -118,13 +171,26 @@ def main() -> None:
                 record = json.loads(line)
             except ValueError:
                 record = None
-        ratios = canary_ratios(record) if record else {}
+        ratios = canary_ratios(record, floor) if record else {}
         worst = max(ratios.values()) if ratios else float("inf")
         print(f"[watch] attempt {attempt}: steal {steal}%, canaries {ratios}",
               flush=True)
         if record is not None and steal < RECORD_MAX_STEAL:
             if worst <= CANARY_MAX_RATIO:
                 record["canary_ratios"] = ratios
+                # the full drift table vs the sealed floor: worst-5 plus
+                # every row above WARN_RATIO (warn, not reject)
+                table = floor_ratio_table(record, floor)
+                worst5 = dict(sorted(table.items(), key=lambda kv: -kv[1])[:5])
+                over = {k: v for k, v in table.items() if v > WARN_RATIO}
+                record["floor_ratios_worst5"] = worst5
+                record["floor_warn_over"] = {"ratio": WARN_RATIO, **over}
+                record["floor_sealed_at"] = floor.get("sealed_at_commit")
+                if over:
+                    print(f"[watch] WARN: {len(over)} shared queries over "
+                          f"{WARN_RATIO}x the sealed floor: {over} — each "
+                          f"must be code-untouched (drift) or investigated",
+                          flush=True)
                 with open(os.path.join(REPO,
                                        "tools/quiet_bench_accepted.json"),
                           "w") as f:
@@ -137,11 +203,7 @@ def main() -> None:
                         "worst_canary": worst, "steal": steal,
                         "detail": detail}
         # rejected: put back the pre-run detail bytes
-        if detail_snapshot is not None:
-            with open(detail_path, "wb") as f:
-                f.write(detail_snapshot)
-        elif os.path.exists(detail_path):
-            os.unlink(detail_path)
+        restore_snapshot()
         print("[watch] rejected (steal or canary drift) — pre-run "
               "BENCH_DETAIL restored", flush=True)
         time.sleep(60)
