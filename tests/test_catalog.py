@@ -19,13 +19,13 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-10
+    """The driver checks the first 50 queries() entries; the round-11
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    r10 debut row (the only catalog entry with no driver CORRECTNESS
+    r11 debut row (the only catalog entry with no driver CORRECTNESS
     record), and must draw the rest from the oldest-driver-checked
-    cohorts (refresh rotation: ALL 7 r6-stale rows — the r9 verdict
-    pinned them by name — then 41 of the 49 r7-stale rows)."""
+    cohorts (refresh rotation: ALL 8 r7-stale rows — the r10 verdict
+    pinned them by name — then 40 of the 49 r8-stale rows)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -33,26 +33,26 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r10 debut row: built this round, first-ever driver record
-        "stream_curation_tagged",
-        # the full r6-stale cohort (would be 4 rounds stale if deferred)
-        "ann_ivfpq_refined", "ann_pq_topk", "corpus_curation_pipeline",
-        "cosupply_graph_info", "multimodal_frame_sample",
-        "signals_sink_roundtrip", "supply_assortativity",
-        # r7-cohort representatives across kernel families
-        "bpe_train_merges", "cosine_topk", "group_ols",
-        "jaccard_near_dups", "minhash_lsh_candidates",
-        "sessionization", "stream_minhash_novelty",
-        "supply_graph_pagerank", "text_quality", "tick_bins_5min",
+        # r11 debut row: built this round, first-ever driver record
+        "stream_curation_bounded",
+        # the full r7-stale cohort (would be 4 rounds stale if deferred)
+        "compound_by_year", "dedup_keep_last", "ffill_last_error",
+        "lang_id", "month_end_trading_days", "pivot_event_type_totals",
+        "range_bucket_lookup", "seq_in_group",
+        # r8-cohort representatives across kernel families
+        "q1_pricing_summary", "minhash_lsh_stopshingle",
+        "quality_classifier_irls", "corpus_curation_pipeline_v3",
+        "ewma_riskmetrics_vol", "hac_mean_discount",
+        "supply_eigenvector", "tcode_transforms", "vintage_latest_asof",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is
     # in this round's gate (the refresh rotation keeps the oldest
-    # evidence bounded): union(r1..rN records, round-8 gate) covers Q
+    # evidence bounded): union(r1..rN records, this gate) covers Q
     pending_first_driver_row = set()
     import glob
     checked = set(_GATE_ORDER) | pending_first_driver_row
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(f) as fh:
             checked |= set(json.load(fh))
     assert set(Q) <= checked, sorted(set(Q) - checked)

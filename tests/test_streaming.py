@@ -482,3 +482,70 @@ def test_curate_and_tag_stream_matches_batch_replay(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_curation_bounded_matches_batch_replay(spark):
+    """The bounded-state novelty arm (window-ARGMIN instead of the
+    arrival-order-dependent dropDuplicatesWithinWatermark) must emit
+    exactly what the BATCH Spark replay computes: kept docs -> per-doc
+    band keys -> min doc per (3-minute tumbling window, band, bhash).
+    This is the determinism claim that makes the horizon-bounded form
+    oracle-checkable — min(doc_id) is arrival-order-free."""
+    from financial_data_science_spark.functions.classifier import (
+        logistic_irls,
+    )
+    from financial_data_science_spark.functions.pipeline import contamination
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+    from financial_data_science_spark.queries import Q, _doc_quality_feats, _r
+    from financial_data_science_spark.sources.testdata import load_table
+
+    got = {
+        (r["wid"], r["band"], r["bhash"], r["doc_id"])
+        for r in Q["stream_curation_bounded"](spark, SF).collect()
+    }
+
+    docs = load_table(spark, SF, "documents")
+    feats = _doc_quality_feats(docs, materialize=True)
+    traj = logistic_irls(feats, ["x1", "x2"], "y", iters=3)
+    b = traj[-1]
+    scored = feats.select(
+        "doc_id",
+        _r(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(
+                -(F.lit(b["b0"]) + F.lit(b["b1"]) * F.col("x1")
+                  + F.lit(b["b2"]) * F.col("x2")))),
+            6,
+        ).alias("p6"),
+    )
+    med = scored.agg(F.percentile("p6", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    contaminated = (
+        contamination(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 17 == 0),
+            n=5,
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select("doc_id")
+    )
+    kept = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .join(scored.filter(F.col("p6") > F.lit(med)), "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    # ts = 1577836800 + doc_id seconds; 1577836800 % 180 == 0, so the
+    # epoch-aligned window id is (1577836800 + doc_id) div 180
+    want = {
+        (r["wid"], r["band"], r["bhash"], r["doc_id"])
+        for r in minhash_band_keys(kept, num_hashes=8, bands=4)
+        .select(
+            F.floor((F.lit(1577836800) + F.col("doc_id")) / 180)
+            .cast("long").alias("wid"),
+            "band", "bhash", "doc_id",
+        )
+        .groupBy("wid", "band", "bhash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
