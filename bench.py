@@ -477,6 +477,13 @@ def main() -> None:
         "bench_set_version": BENCH_SET_VERSION,
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        # total construction + warmup cost across ALL entries (headline
+        # + oracle-path + extended) — the untimed side of v3 semantics,
+        # so iterative-construction queries (pagerank sweeps, IRLS,
+        # codebook fits) whose work lands in the build phase are
+        # visible at headline level; per-entry split in BENCH_DETAIL
+        # "builds"
+        "build_total": round(sum(b + w for b, w in builds.values()), 3),
         "queries": times,
         "oracle_path": oracle_times,
         "extended": extended_times,
