@@ -26,7 +26,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR_PATH = os.path.join(REPO, "tools", "bench_v3_floor.json")
 
-CANARIES = ["asof_join_backward", "text_quality", "q1_pricing_summary"]
+# Five canaries in two weight classes.  The original three became
+# 57-266ms under v3 plan-reuse timing, where a 1.15x ratio gate is
+# 13-40ms — scheduler-jitter territory on a shared box (a 0.75%-steal
+# attempt was observed failing on a 19ms excess).  The two HEAVY
+# canaries (~0.7s / ~1.5s at the sealed floor) carry the burst
+# detection the gate exists for: a 1.2-1.6x drift burst moves them by
+# 150-900ms, far above jitter.  The tiny three keep their ratio gate
+# but gain an absolute slack (quiet_bench CANARY_ABS_SLACK, default
+# 30ms ~= 1-2 scheduler quanta) so sub-quantum differences on
+# sub-300ms kernels stop masquerading as drift.
+CANARIES = [
+    "asof_join_backward",
+    "text_quality",
+    "q1_pricing_summary",
+    "event_window_trading_days",
+    "minhash_lsh_production",
+]
 
 # primary kernel modules per canary; the query function's own source is
 # always hashed (robust to unrelated queries.py churn), these files are
@@ -35,18 +51,27 @@ CANARY_SOURCE_FILES = {
     "asof_join_backward": ["financial_data_science_spark/operators/asof.py"],
     "text_quality": ["financial_data_science_spark/functions/text.py"],
     "q1_pricing_summary": [],
+    "event_window_trading_days": [
+        "financial_data_science_spark/operators/events.py",
+        "financial_data_science_spark/plans/calendar.py",
+    ],
+    "minhash_lsh_production": [
+        "financial_data_science_spark/functions/similarity.py",
+    ],
 }
 
 
 def canary_source_hashes() -> dict[str, str]:
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
+    import bench
     from financial_data_science_spark.queries import Q
 
     out = {}
     for name in CANARIES:
+        fn = bench.EXTRA.get(name) or Q[name]
         h = hashlib.sha256()
-        h.update(inspect.getsource(Q[name]).encode())
+        h.update(inspect.getsource(fn).encode())
         for rel in CANARY_SOURCE_FILES[name]:
             with open(os.path.join(REPO, rel), "rb") as f:
                 h.update(f.read())
