@@ -100,6 +100,10 @@ EXTENDED_QUERIES = [
     "corpus_curation_pipeline_v3",
     "curation_v3_production",
     "minhash_lsh_stopshingle_production",
+    # r11: appended at the END so earlier entries' session context is
+    # unchanged vs the sealed floor (floor_ratio_table compares shared
+    # queries only; this one simply has no floor row until re-seal)
+    "minhash_index_increment_production",
 ]
 
 
@@ -364,6 +368,28 @@ def _production_curation_v3(spark, sf_dir):
     return packed.select("doc_id", "n_tokens", "shard")
 
 
+def _production_minhash_index_increment(spark, sf_dir):
+    """xxhash64 incremental dedup probe — the production twin of the
+    catalog's `minhash_index_increment` (portable oracle path).  v3
+    timing semantics make this the entry that measures the INGESTION
+    claim: the index build (shingle/hash/band the standing 80% corpus)
+    lands in the untimed build stage — paid once per corpus, like
+    production — and the timed action is the per-batch half only:
+    hash the 20% increment and bucket-probe the persisted index."""
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions import minhash_index as MHI
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    index = MHI.minhash_build_index(
+        corpus, num_hashes=64, bands=32, portable=False, persist=True
+    )
+    return MHI.minhash_query_index(increment, index, min_est=0.4)
+
+
 EXTRA = {
     "minhash_lsh_production": _production_minhash,
     "simhash_production": _production_simhash,
@@ -371,6 +397,7 @@ EXTRA = {
     "contamination_production": _production_contamination,
     "curation_v3_production": _production_curation_v3,
     "minhash_lsh_stopshingle_production": _production_stopshingle,
+    "minhash_index_increment_production": _production_minhash_index_increment,
 }
 
 

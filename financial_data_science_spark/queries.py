@@ -854,6 +854,78 @@ def minhash_lsh_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["minhash_lsh_stopshingle"] = _minhash_oracle_sql(max_df=0.25)
 
 
+def _minhash_index_oracle_sql(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42, split_mod: int = 5,
+) -> str:
+    """DuckDB replay of INCREMENTAL LSH dedup: the same portable
+    signature chain as _minhash_oracle_sql over ALL docs (signatures are
+    per-doc-independent, so computing both sides together is exactly the
+    build+query split), then the bucket join restricted to cross pairs —
+    increment (doc_id % split_mod = 0) vs corpus (rest)."""
+    import random
+
+    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD)) for _ in range(num_hashes)]
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    assert num_hashes // bands == 2, "band key fold is written for rows_per_band=2"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
+    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM ex),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM h0 GROUP BY doc_id),
+    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+    banded AS (
+      SELECT doc_id, sig, band,
+             (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
+      FROM sa, range(0, {bands}) t(band))
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           len(list_filter(range(1, {num_hashes + 1}), i -> n.sig[i] = c.sig[i])) / {num_hashes}.0 AS est_jaccard
+    FROM banded n JOIN banded c
+      ON n.band = c.band AND n.bhash = c.bhash
+    WHERE n.doc_id % {split_mod} = 0 AND c.doc_id % {split_mod} != 0
+      AND len(list_filter(range(1, {num_hashes + 1}), i -> n.sig[i] = c.sig[i])) / {num_hashes}.0 >= 0.4
+    """
+
+
+@query("minhash_index_increment", None)
+def minhash_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup against a persisted LSH index — the
+    ingestion-time shape (functions/minhash_index.py): the standing
+    corpus (doc_id % 5 != 0) is shingled/hashed/banded ONCE at build;
+    the arriving increment (doc_id % 5 == 0) is the only side hashed at
+    query time, and its band keys probe the index bucket table for
+    (new, corpus) near-dup pairs.  Batch LSH re-hashes 100 TB per sweep;
+    this re-hashes one batch.  Portable hash family so the oracle
+    replays both halves; signatures are per-doc-independent, so the
+    split is EXACT vs a full batch run (parity-tested)."""
+    from financial_data_science_spark.functions import minhash_index as MHI
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    index = MHI.minhash_build_index(
+        corpus, num_hashes=64, bands=32, portable=True
+    )
+    return MHI.minhash_query_index(increment, index, min_est=0.4)
+
+
+ORACLE["minhash_index_increment"] = _minhash_index_oracle_sql()
+
+
 def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
                                seed: int = 42,
                                source: str = "documents",
@@ -7879,14 +7951,15 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-11 rotation (seventh gate rotation).  Slots: 1 anchor (the
-# flagship), 1 debut row (the only catalog entry with no driver
+# flagship), 2 debut rows (the only catalog entries with no driver
 # CORRECTNESS record: the bounded-state window-ARGMIN arm of the
-# composed curation DAG, built this round), then the ENTIRE
-# oldest-driver-checked cohort — all 8 rows last checked in r7, which
-# the r10 rotation deferred and would hit 4-rounds-stale if deferred
-# again (the r10 verdict pinned these by name) — and 40 of the 49 rows
-# last checked in r8.  The 9 r8-cohort rows deferred to r12 each have
-# a same-kernel sibling IN this gate or a fresher green record:
+# composed curation DAG, and the incremental MinHash index probe —
+# both built this round), then the ENTIRE oldest-driver-checked
+# cohort — all 8 rows last checked in r7, which the r10 rotation
+# deferred and would hit 4-rounds-stale if deferred again (the r10
+# verdict pinned these by name) — and 39 of the 49 rows last checked
+# in r8.  The 10 r8-cohort rows deferred to r12 each have a
+# same-kernel sibling IN this gate or a fresher green record:
 #   q3_top_revenue_orders (scan/join/agg/top-k; q1 in this gate shares
 #                          the shape, and q3 is a bench headline timed
 #                          every round)
@@ -7912,14 +7985,20 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #                          strict re-ran at sf0.1)
 #   bpe_token_counts      (the trivial count leg; all four heavy BPE
 #                          entries r10-green)
+#   quality_classifier_irls_k3 (the general-k IRLS chain strictly
+#                          contains the k=2 kernel of
+#                          quality_classifier_irls, which stays in this
+#                          gate; both strict-re-verified in the local
+#                          full-catalog replica this round)
 # Everything rotated out stays guarded by the full-catalog hash-strict
 # local replica (tools/check_correctness.py), and its r5-r10 driver
 # records stand.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # debut row: built this round, no driver record yet
+    # debut rows: built this round, no driver record yet
     "stream_curation_bounded",  # bounded-state window-ARGMIN novelty
+    "minhash_index_increment",  # incremental LSH dedup index probe
     # oldest-checked cohort: r7 (all 8 — the r10 verdict item 4 list)
     "compound_by_year",
     "dedup_keep_last",
@@ -7955,7 +8034,6 @@ _GATE_ORDER = [
     "prevailing_click_at_purchase",
     "q1_pricing_summary",
     "quality_classifier_irls",
-    "quality_classifier_irls_k3",
     "repetition_quality",
     "rolling_beta_12m",
     "smoothed_holdings",

@@ -22,10 +22,11 @@ def test_gate_prefix_is_pinned():
     """The driver checks the first 50 queries() entries; the round-11
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    r11 debut row (the only catalog entry with no driver CORRECTNESS
-    record), and must draw the rest from the oldest-driver-checked
-    cohorts (refresh rotation: ALL 8 r7-stale rows — the r10 verdict
-    pinned them by name — then 40 of the 49 r8-stale rows)."""
+    two r11 debut rows (the only catalog entries with no driver
+    CORRECTNESS record), and must draw the rest from the
+    oldest-driver-checked cohorts (refresh rotation: ALL 8 r7-stale
+    rows — the r10 verdict pinned them by name — then 39 of the 49
+    r8-stale rows)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -33,8 +34,9 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r11 debut row: built this round, first-ever driver record
+        # r11 debut rows: built this round, first-ever driver record
         "stream_curation_bounded",
+        "minhash_index_increment",
         # the full r7-stale cohort (would be 4 rounds stale if deferred)
         "compound_by_year", "dedup_keep_last", "ffill_last_error",
         "lang_id", "month_end_trading_days", "pivot_event_type_totals",

@@ -1,0 +1,161 @@
+"""Incremental MinHash-LSH index (functions/minhash_index.py): the
+build+query split must be EXACT vs a full batch LSH run — signatures
+are per-doc-independent, so indexing the corpus and probing with the
+increment yields precisely the cross-pair subset of
+similarity.minhash_candidates over the union."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions import minhash_index as MHI
+from financial_data_science_spark.functions import similarity as S
+
+PARAMS = dict(num_hashes=16, bands=8, shingle_k=3, seed=42)
+
+
+def _docs(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(150)]
+    base = [" ".join(rng.choice(vocab, 50)) for _ in range(40)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted cross near-dups: corpus doc i (i%5!=0) vs increment id
+    for j, i in enumerate([1, 7, 13]):
+        words = base[i].split()
+        words[4] = "edited"
+        rows.append((100 + 5 * j, " ".join(words)))  # ids 100,105,110: %5==0
+    # planted WITHIN-increment dup (both ids %5==0): must NOT appear
+    rows.append((115, base[2]))
+    rows.append((120, base[2]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _split(docs):
+    return (
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+def _cross_pairs_full_batch(docs, portable):
+    """Oracle: full-corpus minhash_candidates restricted to cross pairs,
+    reoriented as (new_id, corpus_id)."""
+    full = S.minhash_candidates(docs, portable=portable, **PARAMS).toPandas()
+    out = set()
+    for l, r, e in full[["left_id", "right_id", "est_jaccard"]].to_numpy():
+        l_new, r_new = l % 5 == 0, r % 5 == 0
+        if l_new and not r_new:
+            out.add((int(l), int(r), float(e)))
+        elif r_new and not l_new:
+            out.add((int(r), int(l), float(e)))
+    return out
+
+
+def _index_pairs(spark, docs, portable, persist=False):
+    corpus, inc = _split(docs)
+    idx = MHI.minhash_build_index(
+        corpus, portable=portable, persist=persist, **PARAMS
+    )
+    got = MHI.minhash_query_index(inc, idx).toPandas()
+    return {
+        (int(n), int(c), float(e))
+        for n, c, e in got[["new_id", "corpus_id", "est_jaccard"]].to_numpy()
+    }
+
+
+def test_incremental_equals_full_batch_portable(spark):
+    docs = _docs(spark)
+    assert _index_pairs(spark, docs, portable=True) == _cross_pairs_full_batch(
+        docs, portable=True
+    )
+
+
+def test_incremental_equals_full_batch_production(spark):
+    """Same parity on the xxhash64 production family (different hashes,
+    different candidate set — the split must still match it exactly)."""
+    docs = _docs(spark)
+    got = _index_pairs(spark, docs, portable=False, persist=True)
+    assert got == _cross_pairs_full_batch(docs, portable=False)
+    # the planted cross near-dups must be found with high estimates
+    found = {(n, c) for n, c, _ in got}
+    assert {(100, 1), (105, 7), (110, 13)} <= found
+    # the planted WITHIN-increment dup (115, 120) must NOT appear —
+    # cross pairs only is the module contract
+    assert not any({n, c} == {115, 120} for n, c, _ in got)
+
+
+def test_min_est_filters(spark):
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    idx = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+    all_pairs = MHI.minhash_query_index(inc, idx).toPandas()
+    strict = MHI.minhash_query_index(inc, idx, min_est=0.9).toPandas()
+    assert set(strict["new_id"]) <= set(all_pairs["new_id"])
+    assert (strict["est_jaccard"] >= 0.9).all()
+    assert len(strict) == (all_pairs["est_jaccard"] >= 0.9).sum()
+
+
+def test_empty_increment(spark):
+    docs = _docs(spark)
+    corpus, _ = _split(docs)
+    idx = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+    empty = docs.filter(F.lit(False))
+    assert MHI.minhash_query_index(empty, idx).count() == 0
+
+
+def test_at_rest_index_probe_skips_corpus_side_exchange(spark, tmp_path):
+    """minhash_write_index buckets the table by the probe join key
+    (band, bhash); the probe join's index side must read co-located
+    buckets — the 100 TB contract: only the increment shuffles.
+    Asserted behaviorally: with broadcast off (forcing SMJ), the
+    at-rest plan carries exactly one fewer Exchange than the same query
+    against the in-memory index, and the bucket scan reads Bucketed."""
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS mhidx LOCATION '{tmp_path}/mhidx'")
+    idx = MHI.minhash_build_index(corpus, portable=False, **PARAMS)
+    MHI.minhash_write_index(idx, "mhidx.t", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        reopened = MHI.minhash_read_index(
+            spark, "mhidx.t", portable=False, **PARAMS
+        )
+        got = MHI.minhash_query_index(inc, reopened).toPandas()
+        want = _cross_pairs_full_batch(docs, portable=False)
+        assert {
+            (int(n), int(c), float(e))
+            for n, c, e in got[["new_id", "corpus_id", "est_jaccard"]].to_numpy()
+        } == want
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # isolate the bucket-join stage: identical probe side (one
+        # materialized banded increment) joined against (a) the
+        # materialized in-memory bucket frame and (b) the at-rest
+        # bucketed table.  (a) must exchange BOTH sides for the SMJ;
+        # (b) must exchange only the probe — exactly one fewer.
+        sig = S.minhash_signatures(
+            inc, "doc_id", "text", PARAMS["shingle_k"],
+            PARAMS["num_hashes"], PARAMS["seed"], portable=False,
+        )
+        nb = MHI._banded(
+            sig, "doc_id", "new_id", PARAMS["num_hashes"],
+            PARAMS["bands"], False,
+        ).localCheckpoint(eager=True)
+        mem_buckets = idx["buckets"].localCheckpoint(eager=True)
+        plan_mem = (
+            nb.join(mem_buckets, ["band", "bhash"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan_rest = (
+            nb.join(reopened["buckets"], ["band", "bhash"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan_rest
+        n_mem = plan_mem.count("Exchange hashpartitioning")
+        n_rest = plan_rest.count("Exchange hashpartitioning")
+        assert (n_mem, n_rest) == (2, 1), (n_mem, n_rest)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS mhidx.t_buckets")
+        spark.sql("DROP TABLE IF EXISTS mhidx.t_sigs")
