@@ -5426,6 +5426,73 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embedding_near_dups"] = _embedding_near_dups_oracle_sql()
 
 
+@query("semantic_dedup", None)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public method: Abbas et al. 2023,
+    arXiv:2303.09540): k-means-BLOCK the embedding space with the same
+    deterministic Lloyd quantizer the IVF family trains, then semantic
+    near-dups are WITHIN-CLUSTER pairs with cosine >= tau — pair
+    generation is bounded per cluster, never the corpus cross join.
+    Differs from embedding_near_dups (hyperplane-LSH blocking) in the
+    blocking geometry: learned centroids adapt to the data's density
+    where fixed random planes cannot, the published trade for LLM-corpus
+    semantic (not near-literal) duplicates.  nlist is the scale dial —
+    production SemDeDup runs tens of thousands of clusters so each
+    within-cluster product stays tiny; nlist=8 here matches the
+    oracle-replayed IVF training chain.  Keep rule downstream is greedy
+    min-id (drop the larger of each pair), same convention as
+    dedup_canonical_keep.  The oracle replays the identical training
+    trajectory (shared _ivf_chain_sql), binning, and within-cluster
+    rounded-cosine join."""
+    from financial_data_science_spark.functions.similarity import (
+        cosine,
+        ivf_build_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_build_index(emb, nlist=8, iters=3, train_mod=4)
+    binned = index["binned"]
+    l = binned.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("__lv__"),
+        "cluster",
+    )
+    r = binned.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("__rv__"),
+        "cluster",
+    )
+    return (
+        l.join(r, "cluster")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("c6", F.round(cosine(F.col("__lv__"), F.col("__rv__")), 6))
+        .filter(F.col("c6") >= 0.4)
+        .select(
+            "cluster", "left_id", "right_id", _r("c6", 4).alias("cos")
+        )
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
+) -> str:
+    """DuckDB replay of SemDeDup blocking: the shared deterministic
+    k-means chain (_ivf_chain_sql) bins every vector, then the
+    within-cluster self-join applies the identical rounded-cosine
+    threshold."""
+    chain = _ivf_chain_sql(nlist, iters, dim, train_mod)
+    return chain + """
+    SELECT l.cluster, l.vec_id AS left_id, r.vec_id AS right_id,
+           round(round(list_cosine_similarity(l.v, r.v), 6), 4) AS cos
+    FROM binned l JOIN binned r
+      ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+    WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.4
+    """
+
+
+ORACLE["semantic_dedup"] = _semantic_dedup_oracle_sql()
+
+
 def _curation_oracle_sql() -> str:
     from financial_data_science_spark.functions.porthash import MOD, sql_keyhash
 
@@ -7951,15 +8018,16 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-11 rotation (seventh gate rotation).  Slots: 1 anchor (the
-# flagship), 2 debut rows (the only catalog entries with no driver
+# flagship), 3 debut rows (the only catalog entries with no driver
 # CORRECTNESS record: the bounded-state window-ARGMIN arm of the
-# composed curation DAG, and the incremental MinHash index probe —
-# both built this round), then the ENTIRE oldest-driver-checked
-# cohort — all 8 rows last checked in r7, which the r10 rotation
-# deferred and would hit 4-rounds-stale if deferred again (the r10
-# verdict pinned these by name) — and 39 of the 49 rows last checked
-# in r8.  The 10 r8-cohort rows deferred to r12 each have a
-# same-kernel sibling IN this gate or a fresher green record:
+# composed curation DAG, the incremental MinHash index probe, and the
+# SemDeDup k-means-blocked semantic dedup — all built this round),
+# then the ENTIRE oldest-driver-checked cohort — all 8 rows last
+# checked in r7, which the r10 rotation deferred and would hit
+# 4-rounds-stale if deferred again (the r10 verdict pinned these by
+# name) — and 38 of the 49 rows last checked in r8.  The 11 r8-cohort
+# rows deferred to r12 each have a same-kernel sibling IN this gate
+# or a fresher green record:
 #   q3_top_revenue_orders (scan/join/agg/top-k; q1 in this gate shares
 #                          the shape, and q3 is a bench headline timed
 #                          every round)
@@ -7990,6 +8058,12 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #                          quality_classifier_irls, which stays in this
 #                          gate; both strict-re-verified in the local
 #                          full-catalog replica this round)
+#   monthly_rollup        (bench headline, timed at sf0.1 every round —
+#                          the q3/q5 deferral precedent; month-window
+#                          rollup family also exercised by
+#                          split_back_adjust and smoothed_holdings in
+#                          this gate; strict-re-verified in the local
+#                          full-catalog replica this round)
 # Everything rotated out stays guarded by the full-catalog hash-strict
 # local replica (tools/check_correctness.py), and its r5-r10 driver
 # records stand.
@@ -7999,6 +8073,7 @@ _GATE_ORDER = [
     # debut rows: built this round, no driver record yet
     "stream_curation_bounded",  # bounded-state window-ARGMIN novelty
     "minhash_index_increment",  # incremental LSH dedup index probe
+    "semantic_dedup",           # SemDeDup k-means-blocked near-dups
     # oldest-checked cohort: r7 (all 8 — the r10 verdict item 4 list)
     "compound_by_year",
     "dedup_keep_last",
@@ -8025,7 +8100,6 @@ _GATE_ORDER = [
     "io_regroup",
     "minhash_lsh_stopshingle",
     "mixture_sample_sources",
-    "monthly_rollup",
     "next_trading_day",
     "ohlc_volatility",
     "permno_links_asof",

@@ -37,6 +37,7 @@ def test_gate_prefix_is_pinned():
         # r11 debut rows: built this round, first-ever driver record
         "stream_curation_bounded",
         "minhash_index_increment",
+        "semantic_dedup",
         # the full r7-stale cohort (would be 4 rounds stale if deferred)
         "compound_by_year", "dedup_keep_last", "ffill_last_error",
         "lang_id", "month_end_trading_days", "pivot_event_type_totals",

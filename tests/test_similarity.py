@@ -799,3 +799,67 @@ def test_hash_census_matches_string_census(spark):
         ).select("doc_id", "__sig__").collect()
     }
     assert got_sig == want_sig and len(got_sig) > 0
+
+
+def test_semantic_dedup_matches_numpy_blocking(spark):
+    """SemDeDup blocking (catalog `semantic_dedup` kernel): within-cluster
+    pairs >= tau must match a numpy replay of the same deterministic
+    k-means assignment, and CROSS-cluster pairs must be absent even when
+    their cosine clears tau (the blocking contract — recall is traded
+    for never materializing the corpus product)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions.similarity import (
+        cosine,
+        ivf_build_index,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(24, 8))
+    vecs = list(base)
+    vecs.append(base[3] + rng.normal(scale=0.01, size=8))   # near-dup of 3
+    vecs.append(base[10] + rng.normal(scale=0.01, size=8))  # near-dup of 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    index = ivf_build_index(emb, nlist=4, iters=2, train_mod=1)
+    binned = index["binned"]
+    l = binned.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("lv"), "cluster")
+    r = binned.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("rv"), "cluster")
+    tau = 0.6
+    got = (
+        l.join(r, "cluster")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("c6", F.round(cosine(F.col("lv"), F.col("rv")), 6))
+        .filter(F.col("c6") >= tau)
+        .select("cluster", "left_id", "right_id", "c6")
+        .toPandas()
+    )
+    got_pairs = {(int(a), int(b)) for a, b in got[["left_id", "right_id"]].to_numpy()}
+
+    # numpy replay of assignment (same cluster map from the index itself
+    # — the assignment determinism is pinned by test_similarity's IVF
+    # tests; here we verify the PAIR SEMANTICS given the assignment)
+    assign = {
+        int(x["vec_id"]): int(x["cluster"]) for x in binned.collect()
+    }
+    V = np.array(vecs)
+    nrm = np.linalg.norm(V, axis=1)
+    want = set()
+    crossers = 0
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            c = round(float(V[i] @ V[j] / (nrm[i] * nrm[j])), 6)
+            if c >= tau:
+                if assign[i] == assign[j]:
+                    want.add((i, j))
+                else:
+                    crossers += 1
+    assert got_pairs == want
+    # the planted near-identical pairs are same-cluster by construction
+    assert {(3, 24), (10, 25)} <= got_pairs
