@@ -21,6 +21,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import shutil
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
@@ -28,10 +30,13 @@ from pyspark.sql import SparkSession, functions as F
 from financial_data_science_spark.functions import minhash_index as MHI
 from financial_data_science_spark.functions.similarity import minhash_candidates
 
+shutil.rmtree("/tmp/mhidx_probe_wh", ignore_errors=True)  # stale managed-table dirs
+
 spark = (
     SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.driver.memory", "16g")
+    .config("spark.ui.showConsoleProgress", "false")
     .config("spark.sql.warehouse.dir", "/tmp/mhidx_probe_wh")
     .getOrCreate()
 )
