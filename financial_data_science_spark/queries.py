@@ -5493,6 +5493,103 @@ def _semantic_dedup_oracle_sql(
 ORACLE["semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 
+def _stream_index_probe_oracle_sql(
+    num_hashes: int = 8, bands: int = 4, seed: int = 42, split_mod: int = 5,
+) -> str:
+    """DuckDB replay of the streaming index probe: per-doc band keys
+    (the same portable fold minhash_band_keys computes row-wise), split
+    into increment and corpus halves, joined on the band key — the
+    collision-evidence SET is order-free, so the streaming join's
+    append output replays exactly."""
+    import random
+
+    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
+              for _ in range(num_hashes)]
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    assert num_hashes // bands == 2, "band fold is written for rows_per_band=2"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
+    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM ex),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM h0 GROUP BY doc_id),
+    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+    bk AS (
+      SELECT doc_id, CAST(band AS INTEGER) AS band,
+             (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
+      FROM sa, range(0, {bands}) t(band))
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, n.band, n.bhash
+    FROM bk n JOIN bk c ON n.band = c.band AND n.bhash = c.bhash
+    WHERE n.doc_id % {split_mod} = 0 AND c.doc_id % {split_mod} != 0
+    """
+
+
+@query("stream_minhash_index_probe", None)
+def stream_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time shape of the incremental dedup index: the arriving
+    increment is a STREAM, and each micro-batch's band keys — the
+    stateless per-row minhash_band_keys fold, append-safe because it is
+    a projection, not an aggregate — join the AT-REST corpus bucket
+    table (functions/minhash_index.py) as a stream-static equi-join
+    with ZERO state rows: no watermark, no dedup state, every collision
+    row emits in the micro-batch that observes it and the operator
+    holds nothing.  Output is per-band collision EVIDENCE
+    (new_id, corpus_id, band, bhash) — an order-free set the oracle
+    replays exactly; pair-level consolidation (distinct + signature
+    estimate) is the batch consumer minhash_query_index, or a
+    downstream windowed aggregate when freshness demands it in-stream.
+    Same portable hash family on both sides (minhash_band_keys and the
+    index's banded minhash_signatures share coefficients and the
+    65537 band fold), so stream keys collide bit-for-bit with index
+    keys — the cross-formulation parity the module's tests pin."""
+    from financial_data_science_spark.functions import minhash_index as MHI
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+    from financial_data_science_spark.streaming.windows import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = MHI.minhash_build_index(
+        corpus, num_hashes=8, bands=4, portable=True, persist=True
+    )
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    bkeys = minhash_band_keys(
+        stream.select("doc_id", "text"), num_hashes=8, bands=4
+    )
+    probe = (
+        bkeys.select(F.col("doc_id").alias("new_id"), "band", "bhash")
+        .join(index["buckets"], ["band", "bhash"])
+        .select("new_id", "corpus_id", "band", "bhash")
+    )
+    out = run_stream_to_memory(
+        spark, probe, f"gate_stream_mhidx_{next(_STREAM_SEQ)}"
+    )
+    return out.select("new_id", "corpus_id", "band", "bhash")
+
+
+ORACLE["stream_minhash_index_probe"] = _stream_index_probe_oracle_sql()
+
+
 def _curation_oracle_sql() -> str:
     from financial_data_science_spark.functions.porthash import MOD, sql_keyhash
 
@@ -8018,16 +8115,16 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-11 rotation (seventh gate rotation).  Slots: 1 anchor (the
-# flagship), 3 debut rows (the only catalog entries with no driver
+# flagship), 4 debut rows (the only catalog entries with no driver
 # CORRECTNESS record: the bounded-state window-ARGMIN arm of the
-# composed curation DAG, the incremental MinHash index probe, and the
-# SemDeDup k-means-blocked semantic dedup — all built this round),
-# then the ENTIRE oldest-driver-checked cohort — all 8 rows last
-# checked in r7, which the r10 rotation deferred and would hit
-# 4-rounds-stale if deferred again (the r10 verdict pinned these by
-# name) — and 38 of the 49 rows last checked in r8.  The 11 r8-cohort
-# rows deferred to r12 each have a same-kernel sibling IN this gate
-# or a fresher green record:
+# composed curation DAG, the incremental MinHash index probe and its
+# streaming arm, and the SemDeDup k-means-blocked semantic dedup — all
+# built this round), then the ENTIRE oldest-driver-checked cohort —
+# all 8 rows last checked in r7, which the r10 rotation deferred and
+# would hit 4-rounds-stale if deferred again (the r10 verdict pinned
+# these by name) — and 37 of the 49 rows last checked in r8.  The 12
+# r8-cohort rows deferred to r12 each have a same-kernel sibling IN
+# this gate or a fresher green record:
 #   q3_top_revenue_orders (scan/join/agg/top-k; q1 in this gate shares
 #                          the shape, and q3 is a bench headline timed
 #                          every round)
@@ -8064,6 +8161,10 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #                          split_back_adjust and smoothed_holdings in
 #                          this gate; strict-re-verified in the local
 #                          full-catalog replica this round)
+#   tfidf_top_terms       (bench headline, timed at sf0.1 every round;
+#                          text.py kernel family re-verified via
+#                          text_quality (r10-green) and the local
+#                          full-catalog replica this round)
 # Everything rotated out stays guarded by the full-catalog hash-strict
 # local replica (tools/check_correctness.py), and its r5-r10 driver
 # records stand.
@@ -8074,6 +8175,7 @@ _GATE_ORDER = [
     "stream_curation_bounded",  # bounded-state window-ARGMIN novelty
     "minhash_index_increment",  # incremental LSH dedup index probe
     "semantic_dedup",           # SemDeDup k-means-blocked near-dups
+    "stream_minhash_index_probe",  # zero-state streaming index probe
     # oldest-checked cohort: r7 (all 8 — the r10 verdict item 4 list)
     "compound_by_year",
     "dedup_keep_last",
@@ -8117,7 +8219,6 @@ _GATE_ORDER = [
     "supply_eigenvector",
     "supply_kcore",
     "tcode_transforms",
-    "tfidf_top_terms",
     "unpivot_flag_revenue",
     "upsert_insert_ignore",
     "vintage_latest_asof",

@@ -38,6 +38,7 @@ def test_gate_prefix_is_pinned():
         "stream_curation_bounded",
         "minhash_index_increment",
         "semantic_dedup",
+        "stream_minhash_index_probe",
         # the full r7-stale cohort (would be 4 rounds stale if deferred)
         "compound_by_year", "dedup_keep_last", "ffill_last_error",
         "lang_id", "month_end_trading_days", "pivot_event_type_totals",

@@ -159,3 +159,67 @@ def test_at_rest_index_probe_skips_corpus_side_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS mhidx.t_buckets")
         spark.sql("DROP TABLE IF EXISTS mhidx.t_sigs")
+
+
+def test_stream_probe_matches_batch_and_holds_zero_state(spark, tmp_path):
+    """The streaming arm (catalog stream_minhash_index_probe kernel):
+    per-row minhash_band_keys folds must collide bit-for-bit with the
+    index's aggregate-built bucket keys (cross-formulation parity), and
+    the stream-static probe join must hold ZERO state rows — collision
+    evidence emits in the observing micro-batch, nothing is stored."""
+    from pyspark.sql import types as T
+
+    from financial_data_science_spark.functions.similarity import (
+        minhash_band_keys,
+    )
+
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    # index params must satisfy the band-key fold contract (rpb=2)
+    idx = MHI.minhash_build_index(
+        corpus, num_hashes=8, bands=4, shingle_k=3, seed=42,
+        portable=True, persist=True,
+    )
+
+    # batch reference: the same per-row fold on the increment
+    bk_batch = minhash_band_keys(
+        inc.select("doc_id", "text"), num_hashes=8, bands=4
+    )
+    want = {
+        tuple(map(int, r))
+        for r in bk_batch.select(
+            F.col("doc_id").alias("new_id"), "band", "bhash"
+        ).join(idx["buckets"], ["band", "bhash"])
+        .select("new_id", "corpus_id", "band", "bhash").collect()
+    }
+    assert want, "fixture must produce collisions"
+
+    # streaming arm over a parquet dir of the increment
+    src = str(tmp_path / "inc_src")
+    inc.coalesce(1).write.parquet(src)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    probe = (
+        minhash_band_keys(stream, num_hashes=8, bands=4)
+        .select(F.col("doc_id").alias("new_id"), "band", "bhash")
+        .join(idx["buckets"], ["band", "bhash"])
+        .select("new_id", "corpus_id", "band", "bhash")
+    )
+    q = (
+        probe.writeStream.outputMode("append").format("memory")
+        .queryName("t_mhidx_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    got = {
+        tuple(map(int, r))
+        for r in spark.sql("SELECT * FROM t_mhidx_stream").collect()
+    }
+    assert got == want
+    assert progress is None or progress["stateOperators"] in ([], None)
