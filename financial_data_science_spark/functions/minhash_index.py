@@ -212,6 +212,49 @@ def minhash_query_index(
     return out
 
 
+def minhash_append_index(
+    index: dict,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = False,
+) -> dict:
+    """Grow the index with an ingested batch (the post-dedup half of the
+    ingestion loop: probe with :func:`minhash_query_index`, drop the
+    near-dups, append the survivors).  Hashes ONLY ``new_docs`` and
+    unions the new bucket/signature rows onto the existing frames —
+    per-batch cost O(batch), and the result is EXACTLY the index
+    :func:`minhash_build_index` would build from scratch on
+    corpus + batch (signatures are per-doc-independent; pinned by
+    parity test).  At rest the equivalent is appending the same rows to
+    the bucketed tables (``write_bucketed`` with mode='append' keeps
+    the bucket spec)."""
+    sig = minhash_signatures(
+        new_docs,
+        id_col,
+        text_col,
+        index["shingle_k"],
+        index["num_hashes"],
+        index["seed"],
+        portable=index["portable"],
+    )
+    buckets = _banded(
+        sig, id_col, "corpus_id", index["num_hashes"], index["bands"],
+        index["portable"],
+    )
+    sigs = sig.select(
+        F.col(id_col).alias("corpus_id"), F.col("__sig__").alias("__csig__")
+    )
+    if persist:
+        buckets = buckets.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=True)
+    return {
+        **index,
+        "buckets": index["buckets"].unionByName(buckets),
+        "sigs": index["sigs"].unionByName(sigs),
+    }
+
+
 def minhash_write_index(index: dict, table_prefix: str, n_buckets: int = 32) -> None:
     """Persist the index AT REST, bucketed for exchange-free probes:
     ``{prefix}_buckets`` bucketed+sorted by the probe join key

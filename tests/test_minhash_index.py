@@ -223,3 +223,30 @@ def test_stream_probe_matches_batch_and_holds_zero_state(spark, tmp_path):
     }
     assert got == want
     assert progress is None or progress["stateOperators"] in ([], None)
+
+
+def test_append_equals_rebuild(spark):
+    """The ingestion loop's append half: minhash_append_index(corpus idx,
+    batch) must yield an index whose probe results are IDENTICAL to an
+    index built from scratch on corpus+batch — per-doc-independent
+    signatures make incremental maintenance exact."""
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    # treat the increment as already-ingested; probe with a THIRD batch
+    probe_batch = docs.filter(F.col("doc_id").isin([1, 7, 115])).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    grown = MHI.minhash_append_index(
+        MHI.minhash_build_index(corpus, portable=True, **PARAMS), inc
+    )
+    rebuilt = MHI.minhash_build_index(
+        corpus.unionByName(inc), portable=True, **PARAMS
+    )
+    got_g = MHI.minhash_query_index(probe_batch, grown).toPandas()
+    got_r = MHI.minhash_query_index(probe_batch, rebuilt).toPandas()
+    key = lambda df: {
+        (int(n), int(c), float(e))
+        for n, c, e in df[["new_id", "corpus_id", "est_jaccard"]].to_numpy()
+    }
+    assert key(got_g) == key(got_r)
+    assert key(got_g), "probe batch must collide with something"
