@@ -221,55 +221,80 @@ def minhash_append_index(
 ) -> dict:
     """Grow the index with an ingested batch (the post-dedup half of the
     ingestion loop: probe with :func:`minhash_query_index`, drop the
-    near-dups, append the survivors).  Hashes ONLY ``new_docs`` and
-    unions the new bucket/signature rows onto the existing frames —
-    per-batch cost O(batch), and the result is EXACTLY the index
-    :func:`minhash_build_index` would build from scratch on
-    corpus + batch (signatures are per-doc-independent; pinned by
-    parity test).  At rest the equivalent is appending the same rows to
-    the bucketed tables (``write_bucketed`` with mode='append' keeps
-    the bucket spec)."""
-    sig = minhash_signatures(
+    near-dups, append the survivors).  Hashes ONLY ``new_docs`` — the
+    whole body delegates to :func:`minhash_build_index` on the batch so
+    the two paths can never drift — and unions the new rows onto the
+    index: per-batch hashing cost is O(batch), and probe results equal
+    a from-scratch rebuild on corpus + batch exactly (per-doc-independent
+    signatures; pinned by parity test).
+
+    ID contract: ``new_docs`` ids must be NEW — the near-dup probe drops
+    text duplicates, not id collisions, so re-appending an id already in
+    the index (a retried batch, an id reuse) leaves duplicate
+    ``corpus_id`` rows that break the query's distinct-pairs output.
+    Idempotence is the caller's (e.g. anti-join the batch on ids already
+    at rest — the upsert pattern in sources/coercion.py).
+
+    Lineage: each append adds one union leg.  ``persist=True``
+    checkpoints the UNIONED frames — an explicit O(index) compaction
+    for in-memory loops (checkpointing only the increment would leave
+    an ever-deeper union tree and per-probe re-analysis cost).  The
+    production loop avoids both costs by living AT REST: write the
+    returned ``new_buckets`` / ``new_sigs`` (the increment-only frames)
+    with ``minhash_write_index(..., mode='append')`` — same bucket
+    spec, O(batch) written — and re-open via
+    :func:`minhash_read_index`."""
+    inc = minhash_build_index(
         new_docs,
         id_col,
         text_col,
         index["shingle_k"],
         index["num_hashes"],
+        index["bands"],
         index["seed"],
-        portable=index["portable"],
-    )
-    buckets = _banded(
-        sig, id_col, "corpus_id", index["num_hashes"], index["bands"],
         index["portable"],
+        persist=False,
     )
-    sigs = sig.select(
-        F.col(id_col).alias("corpus_id"), F.col("__sig__").alias("__csig__")
-    )
+    buckets = index["buckets"].unionByName(inc["buckets"])
+    sigs = index["sigs"].unionByName(inc["sigs"])
     if persist:
         buckets = buckets.localCheckpoint(eager=True)
         sigs = sigs.localCheckpoint(eager=True)
     return {
         **index,
-        "buckets": index["buckets"].unionByName(buckets),
-        "sigs": index["sigs"].unionByName(sigs),
+        "buckets": buckets,
+        "sigs": sigs,
+        "new_buckets": inc["buckets"],
+        "new_sigs": inc["sigs"],
     }
 
 
-def minhash_write_index(index: dict, table_prefix: str, n_buckets: int = 32) -> None:
+def minhash_write_index(
+    index: dict, table_prefix: str, n_buckets: int = 32, mode: str = "overwrite",
+) -> None:
     """Persist the index AT REST, bucketed for exchange-free probes:
     ``{prefix}_buckets`` bucketed+sorted by the probe join key
     ``(band, bhash)`` and ``{prefix}_sigs`` bucketed by ``corpus_id``
     (the estimate join key).  A later :func:`minhash_read_index` +
     query join then shuffles only the increment — the corpus side reads
     co-located buckets (one fewer Exchange than the in-memory index
-    plan; asserted in tests)."""
+    plan; asserted in tests).
+
+    ``mode='append'`` is the ingestion loop's O(batch) write: pass the
+    increment-only frames from :func:`minhash_append_index`
+    (``{"buckets": idx["new_buckets"], "sigs": idx["new_sigs"]}``) and
+    the new rows land in the SAME bucket spec without rewriting the
+    corpus.  Do not overwrite a prefix from an index that was READ from
+    that prefix — Spark refuses to overwrite a table its plan scans."""
     from financial_data_science_spark.operators.skew import write_bucketed
 
     write_bucketed(
         index["buckets"], f"{table_prefix}_buckets", ["band", "bhash"],
-        n_buckets, sort_key=["band", "bhash"],
+        n_buckets, sort_key=["band", "bhash"], mode=mode,
     )
-    write_bucketed(index["sigs"], f"{table_prefix}_sigs", "corpus_id", n_buckets)
+    write_bucketed(
+        index["sigs"], f"{table_prefix}_sigs", "corpus_id", n_buckets, mode=mode,
+    )
 
 
 def minhash_read_index(

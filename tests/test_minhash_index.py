@@ -225,28 +225,80 @@ def test_stream_probe_matches_batch_and_holds_zero_state(spark, tmp_path):
     assert progress is None or progress["stateOperators"] in ([], None)
 
 
+def _pairs_key(df):
+    return {
+        (int(n), int(c), float(e))
+        for n, c, e in df[["new_id", "corpus_id", "est_jaccard"]].to_numpy()
+    }
+
+
 def test_append_equals_rebuild(spark):
     """The ingestion loop's append half: minhash_append_index(corpus idx,
     batch) must yield an index whose probe results are IDENTICAL to an
     index built from scratch on corpus+batch — per-doc-independent
-    signatures make incremental maintenance exact."""
+    signatures make incremental maintenance exact.  Covers both the
+    lazy-union and the persist=True (compacting checkpoint) branches."""
     docs = _docs(spark)
     corpus, inc = _split(docs)
     # treat the increment as already-ingested; probe with a THIRD batch
     probe_batch = docs.filter(F.col("doc_id").isin([1, 7, 115])).select(
         (F.col("doc_id") + 1000).alias("doc_id"), "text"
     )
-    grown = MHI.minhash_append_index(
-        MHI.minhash_build_index(corpus, portable=True, **PARAMS), inc
-    )
     rebuilt = MHI.minhash_build_index(
         corpus.unionByName(inc), portable=True, **PARAMS
     )
-    got_g = MHI.minhash_query_index(probe_batch, grown).toPandas()
-    got_r = MHI.minhash_query_index(probe_batch, rebuilt).toPandas()
-    key = lambda df: {
-        (int(n), int(c), float(e))
-        for n, c, e in df[["new_id", "corpus_id", "est_jaccard"]].to_numpy()
-    }
-    assert key(got_g) == key(got_r)
-    assert key(got_g), "probe batch must collide with something"
+    want = _pairs_key(MHI.minhash_query_index(probe_batch, rebuilt).toPandas())
+    assert want, "probe batch must collide with something"
+    base = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+    for persist in (False, True):
+        grown = MHI.minhash_append_index(base, inc, persist=persist)
+        got = _pairs_key(
+            MHI.minhash_query_index(probe_batch, grown).toPandas()
+        )
+        assert got == want, f"persist={persist}"
+    # the increment-only frames carry exactly the batch's rows
+    assert set(
+        r["corpus_id"] for r in grown["new_sigs"].collect()
+    ) == set(r["doc_id"] for r in inc.select("doc_id").collect())
+
+
+def test_append_at_rest_loop(spark, tmp_path):
+    """The production ingestion loop lives AT REST: write the base index
+    bucketed, append a batch by writing ONLY the increment frames with
+    mode='append' (same bucket spec, O(batch) rows written), re-open,
+    and probe — results must equal the from-scratch rebuild."""
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    probe_batch = docs.filter(F.col("doc_id").isin([1, 7, 115])).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS mhapp LOCATION '{tmp_path}/mhapp'"
+    )
+    try:
+        base = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+        MHI.minhash_write_index(base, "mhapp.t", n_buckets=4)
+        grown = MHI.minhash_append_index(
+            MHI.minhash_read_index(spark, "mhapp.t", portable=True, **PARAMS),
+            inc,
+        )
+        MHI.minhash_write_index(
+            {"buckets": grown["new_buckets"], "sigs": grown["new_sigs"]},
+            "mhapp.t", n_buckets=4, mode="append",
+        )
+        reopened = MHI.minhash_read_index(
+            spark, "mhapp.t", portable=True, **PARAMS
+        )
+        got = _pairs_key(
+            MHI.minhash_query_index(probe_batch, reopened).toPandas()
+        )
+        rebuilt = MHI.minhash_build_index(
+            corpus.unionByName(inc), portable=True, **PARAMS
+        )
+        want = _pairs_key(
+            MHI.minhash_query_index(probe_batch, rebuilt).toPandas()
+        )
+        assert got == want and want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mhapp.t_buckets")
+        spark.sql("DROP TABLE IF EXISTS mhapp.t_sigs")
