@@ -57,7 +57,15 @@ _MOD31 = (1 << 31) - 1
 def _band_key(b: int, rows_per_band: int, portable: bool):
     """Band key over h{i} signature columns — same fold family as
     similarity.minhash_candidates (xxhash-backed F.hash in production,
-    the 65537-fold arithmetic key when the oracle must replay it)."""
+    the 65537-fold arithmetic key when the oracle must replay it).
+
+    Deliberately duplicated from the band_key closure in
+    similarity.minhash_candidates: similarity.py is source-hash-pinned
+    by the sealed bench floor's minhash_lsh_production canary
+    (tools/floorlib.py), so the shared helper belongs there only after
+    the next re-seal (SCALE.md r12 pointers).  Until then drift is
+    pinned by the cross-formulation parity tests and the catalog
+    oracles, which replay this exact fold."""
     cols = [
         F.col(f"h{i}")
         for i in range(b * rows_per_band, (b + 1) * rows_per_band)
@@ -131,13 +139,19 @@ def minhash_build_index(
     sig = minhash_signatures(
         docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable
     )
+    if persist:
+        # checkpoint the SHARED signature frame once — the corpus is
+        # hashed exactly one time, and buckets (a band-explode
+        # projection) re-materializes from the checkpointed rows, not
+        # from text.  Checkpointing buckets/sigs independently instead
+        # would run the full shingle/hash aggregate twice.
+        sig = sig.localCheckpoint(eager=True)
     buckets = _banded(sig, id_col, "corpus_id", num_hashes, bands, portable)
     sigs = sig.select(
         F.col(id_col).alias("corpus_id"), F.col("__sig__").alias("__csig__")
     )
     if persist:
         buckets = buckets.localCheckpoint(eager=True)
-        sigs = sigs.localCheckpoint(eager=True)
     return {
         "buckets": buckets,
         "sigs": sigs,

@@ -854,25 +854,26 @@ def minhash_lsh_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["minhash_lsh_stopshingle"] = _minhash_oracle_sql(max_df=0.25)
 
 
-def _minhash_index_oracle_sql(
-    num_hashes: int = 64, bands: int = 32, seed: int = 42, split_mod: int = 5,
-) -> str:
-    """DuckDB replay of INCREMENTAL LSH dedup: the same portable
-    signature chain as _minhash_oracle_sql over ALL docs (signatures are
-    per-doc-independent, so computing both sides together is exactly the
-    build+query split), then the bucket join restricted to cross pairs —
-    increment (doc_id % split_mod = 0) vs corpus (rest)."""
+def _minhash_sig_chain_sql(num_hashes: int, seed: int = 42) -> str:
+    """Shared WITH-prefix of the portable MinHash replay — tokens ->
+    distinct 3-gram shingles -> polynomial base hash -> affine min
+    family -> signature array ``sa(doc_id, sig)``.  One definition for
+    the r11 oracle generators so the tokenization/shingle SQL cannot
+    drift between them (the older r5-era generators inline the same
+    text with extra arms — max_df census, per-doc band rows — and are
+    kept verbatim for record stability; edit HERE first and mirror
+    there if the shared chain ever changes)."""
     import random
 
     from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
 
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD)) for _ in range(num_hashes)]
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
+              for _ in range(num_hashes)]
     mins = ",\n             ".join(
         f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
     )
     sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
-    assert num_hashes // bands == 2, "band key fold is written for rows_per_band=2"
     return f"""
     WITH toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
@@ -887,7 +888,21 @@ def _minhash_index_oracle_sql(
     sig AS (SELECT doc_id,
              {mins}
             FROM h0 GROUP BY doc_id),
-    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig)"""
+
+
+def _minhash_index_oracle_sql(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42, split_mod: int = 5,
+) -> str:
+    """DuckDB replay of INCREMENTAL LSH dedup: the shared portable
+    signature chain over ALL docs (signatures are per-doc-independent,
+    so computing both sides together is exactly the build+query split),
+    then the bucket join restricted to cross pairs — increment
+    (doc_id % split_mod = 0) vs corpus (rest)."""
+    from financial_data_science_spark.functions.porthash import MOD
+
+    assert num_hashes // bands == 2, "band key fold is written for rows_per_band=2"
+    return _minhash_sig_chain_sql(num_hashes, seed) + f""",
     banded AS (
       SELECT doc_id, sig, band,
              (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
@@ -5497,37 +5512,14 @@ def _stream_index_probe_oracle_sql(
     num_hashes: int = 8, bands: int = 4, seed: int = 42, split_mod: int = 5,
 ) -> str:
     """DuckDB replay of the streaming index probe: per-doc band keys
-    (the same portable fold minhash_band_keys computes row-wise), split
-    into increment and corpus halves, joined on the band key — the
-    collision-evidence SET is order-free, so the streaming join's
-    append output replays exactly."""
-    import random
+    (the same portable fold minhash_band_keys computes row-wise) from
+    the shared signature chain, split into increment and corpus halves,
+    joined on the band key — the collision-evidence SET is order-free,
+    so the streaming join's append output replays exactly."""
+    from financial_data_science_spark.functions.porthash import MOD
 
-    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
-
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
-              for _ in range(num_hashes)]
-    mins = ",\n             ".join(
-        f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
-    )
-    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
     assert num_hashes // bands == 2, "band fold is written for rows_per_band=2"
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
-      FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
-               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
-      FROM toks),
-    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
-    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM ex),
-    sig AS (SELECT doc_id,
-             {mins}
-            FROM h0 GROUP BY doc_id),
-    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+    return _minhash_sig_chain_sql(num_hashes, seed) + f""",
     bk AS (
       SELECT doc_id, CAST(band AS INTEGER) AS band,
              (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
@@ -8185,7 +8177,7 @@ _GATE_ORDER = [
     "pivot_event_type_totals",
     "range_bucket_lookup",
     "seq_in_group",
-    # oldest-checked cohort: r8 (40 of 49; deferrals documented above)
+    # oldest-checked cohort: r8 (37 of 49; 12 deferrals documented above)
     "adf_by_user",
     "backtest_attribution",
     "car_by_relative_day",

@@ -124,6 +124,16 @@ def curate_document_stream(
         minhash_band_keys,
     )
 
+    if bounded_state and novelty_window is not None:
+        # the three novelty arms are mutually exclusive and emit
+        # DIFFERENT shapes (per-doc rows vs per-(window, bucket) rows);
+        # silently preferring one would change semantics at a distance
+        raise ValueError(
+            "pass either bounded_state=True (dropDuplicatesWithinWatermark"
+            " per-doc rows) or novelty_window=... (window-ARGMIN bucket"
+            " rows), not both"
+        )
+
     p6 = _quality_p6(beta, feature_exprs, text_col)
 
     curated = contamination_screen(

@@ -22,11 +22,11 @@ def test_gate_prefix_is_pinned():
     """The driver checks the first 50 queries() entries; the round-11
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    two r11 debut rows (the only catalog entries with no driver
+    four r11 debut rows (the only catalog entries with no driver
     CORRECTNESS record), and must draw the rest from the
     oldest-driver-checked cohorts (refresh rotation: ALL 8 r7-stale
-    rows — the r10 verdict pinned them by name — then 39 of the 49
-    r8-stale rows)."""
+    rows — the r10 verdict pinned them by name — then 37 of the 49
+    r8-stale rows, 12 deferred with documented justifications)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50

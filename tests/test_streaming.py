@@ -311,6 +311,14 @@ def test_stream_curation_plan_has_one_stateful_op(spark):
             stream, spark, beta=(0.1, 0.2), score_cut=0.5,
             bench_hashes=[1],
         )
+    # the three novelty arms are mutually exclusive — an ambiguous
+    # combination must raise, not silently pick a shape
+    with pytest.raises(ValueError, match="not both"):
+        curate_document_stream(
+            stream, spark, beta=(0.1, 0.2, -0.3), score_cut=0.5,
+            bench_hashes=[1], bounded_state=True,
+            novelty_window="3 minutes",
+        )
 
 
 def test_stream_ann_top1_matches_batch_ivf(spark):

@@ -54,6 +54,8 @@ def main() -> None:
         "B_worktree": _load(os.path.join(repo, "bench.py"),
                             "ab_new")._production_curation_v3,
     }
+    from pyspark.sql import functions as F
+
     quiet: dict[str, list[float]] = {k: [] for k in variants}
     rows: dict[str, int] = {}
     sigs_seen: dict[str, set] = {k: set() for k in variants}
@@ -71,18 +73,19 @@ def main() -> None:
             print(f"# {name}: {dt:.2f}s steal {stl:.1f}% "
                   f"{'KEPT' if stl < MAX_STEAL_PCT else 'drop'}",
                   file=sys.stderr, flush=True)
-    # content signature, untimed, once per variant: (count, sum of row
-    # hashes) — an edit that swaps WHICH rows survive while keeping the
-    # kept-row count identical must not "win" the A/B on timing
-    from pyspark.sql import functions as F
-
-    for name, fn in variants.items():
-        df = fn(spark, SF_DIR)
-        sig = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*df.columns)).alias("x"),
-        ).collect()[0]
-        sigs_seen[name].add((sig["n"], sig["x"]))
+            # content signature, untimed, EVERY round: (count, sum of
+            # row hashes) — catches both a variant that swaps WHICH
+            # rows survive (same count) and NONDETERMINISTIC survival
+            # across executions (the multi-sample guarantee a single
+            # end-of-run signature would lose)
+            df = fn(spark, SF_DIR)
+            sig = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*df.columns)).alias("x"),
+            ).collect()[0]
+            sigs_seen[name].add((sig["n"], sig["x"]))
+    assert all(len(v) == 1 for v in sigs_seen.values()), (
+        f"nondeterministic content within a variant: {sigs_seen}")
     assert len(set(map(frozenset, sigs_seen.values()))) == 1, (
         f"content-signature mismatch across variants: {sigs_seen}")
     print(json.dumps({

@@ -90,7 +90,7 @@ probe = (
     .select("new_id", "corpus_id")
 )
 
-emitted: list[tuple[float, int, int]] = []  # (wall, min_new_id, n_rows)
+emitted: list[tuple[float, int, int, int]] = []  # (wall, lo_id, hi_id, n_rows)
 lock = threading.Lock()
 
 
@@ -101,7 +101,9 @@ def sink(batch_df, batch_id):
     ).collect()[0]
     if rows["n"]:
         with lock:
-            emitted.append((time.time(), int(rows["hi"]), int(rows["n"])))
+            emitted.append(
+                (time.time(), int(rows["lo"]), int(rows["hi"]), int(rows["n"]))
+            )
 
 
 q = (
@@ -133,20 +135,22 @@ while time.time() < deadline:
             sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
         )
     with lock:
-        done = emitted and emitted[-1][1] >= total - 1
+        done = emitted and emitted[-1][2] >= total - 1
     if done:
         break
 q.processAllAvailable()
 q.stop()
 
-# latency: per emitted batch, attribute to the newest file included
+# latency: per emitted batch, attribute to the OLDEST file included —
+# conservative: when the DAG lags and a micro-batch coalesces several
+# files, the reported delay is the worst row's, not the freshest's
 lat = []
 with lock:
-    for wall, hi_id, n in emitted:
-        f_idx = hi_id // ROWS_PER_FILE
+    for wall, lo_id, hi_id, n in emitted:
+        f_idx = lo_id // ROWS_PER_FILE
         lat.append(wall - arrivals.get(f_idx, t0))
 lat.sort()
-n_rows_total = sum(n for _, _, n in emitted)
+n_rows_total = sum(n for _, _, _, n in emitted)
 p50 = lat[len(lat) // 2] if lat else float("nan")
 p95 = lat[int(len(lat) * 0.95)] if lat else float("nan")
 print(
