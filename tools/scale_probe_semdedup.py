@@ -8,6 +8,12 @@ affordable at probe scale only) the within-cluster join captures as
 nlist grows, alongside the pair-generation cost it avoids
 (sum of within-cluster products vs n^2/2).
 
+Scale limit, measured: at the 20k-vector sf1 blowup the exact ground
+truth is a 400M-pair inequality join (BroadcastNestedLoopJoin) that ran
+>30 min without completing on local[32] — the all-pairs oracle is
+affordable at the 2k probe scale ONLY, which is rather the point the
+blocking exists to make.
+
 Run: PYTHONPATH=/root/repo python tools/scale_probe_semdedup.py
 """
 import os
