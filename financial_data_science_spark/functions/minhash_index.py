@@ -34,10 +34,15 @@ pinned by parity test and by the DuckDB oracle of the
 variant, stop-shingle ``max_df`` filtering, is deliberately NOT
 computed per batch: a production ingest freezes the stop-shingle
 census from the standing corpus (else the kept-shingle set drifts with
-every batch and old signatures go stale); freezing is the composition
-``minhash_build_index(corpus, ...)`` after a corpus-level census —
-left to the caller, documented here so nobody "fixes" it into a
-per-batch census.
+every batch and old signatures go stale).  Freezing is API (r12):
+``minhash_build_index(corpus, max_df=...)`` censuses ONCE and carries
+the stop set in the index (``"stop"``; persisted as ``{prefix}_stop``
+by :func:`minhash_write_index`), and every probe/append hashes its
+increment under that frozen set — a per-batch census cannot happen by
+construction (``minhash_signatures`` refuses max_df + stop_frame
+together).  Parity pinned by test (frozen-census increment equals the
+batch run under the same census) and by the
+``minhash_index_frozen_census`` catalog oracle.
 
 Reference: the reference repo has no incremental dedup (its dedup
 recipes re-run in full); this is part of the LLM-training-pipeline
@@ -49,33 +54,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from financial_data_science_spark.functions.similarity import minhash_signatures
-
-_MOD31 = (1 << 31) - 1
-
-
-def _band_key(b: int, rows_per_band: int, portable: bool):
-    """Band key over h{i} signature columns — same fold family as
-    similarity.minhash_candidates (xxhash-backed F.hash in production,
-    the 65537-fold arithmetic key when the oracle must replay it).
-
-    Deliberately duplicated from the band_key closure in
-    similarity.minhash_candidates: similarity.py is source-hash-pinned
-    by the sealed bench floor's minhash_lsh_production canary
-    (tools/floorlib.py), so the shared helper belongs there only after
-    the next re-seal (SCALE.md r12 pointers).  Until then drift is
-    pinned by the cross-formulation parity tests and the catalog
-    oracles, which replay this exact fold."""
-    cols = [
-        F.col(f"h{i}")
-        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-    ]
-    if not portable:
-        return F.hash(*cols)
-    acc = F.lit(0).cast("long")
-    for c in cols:  # h < 2^31 so the running product stays < 2^48
-        acc = (acc * F.lit(65537) + c) % F.lit(_MOD31)
-    return acc
+from financial_data_science_spark.functions.similarity import (
+    lsh_band_key as _band_key,
+    minhash_signatures,
+    stop_shingle_census,
+)
 
 
 def _banded(
@@ -121,6 +104,8 @@ def minhash_build_index(
     seed: int = 42,
     portable: bool = False,
     persist: bool = False,
+    max_df: float | int | None = None,
+    stop_frame: DataFrame | None = None,
 ) -> dict:
     """ADD-ONCE half of incremental MinHash dedup: shingle/hash/band the
     standing corpus a single time.
@@ -130,14 +115,45 @@ def minhash_build_index(
     are what the per-batch probe join needs and nothing more; the raw
     text never needs to be re-read once the index exists.
 
+    ``max_df`` FREEZES a stop-shingle census from this corpus (the
+    module-docstring rule, now API instead of caller composition):
+    shingles in more than ``max_df`` docs are censused ONCE here
+    (similarity.stop_shingle_census), the corpus signatures are built
+    under that stop set, the frame rides in the index under ``"stop"``
+    (persisted by :func:`minhash_write_index` as ``{prefix}_stop``),
+    and :func:`minhash_query_index` / :func:`minhash_append_index`
+    apply the SAME frozen set to every increment — never a per-batch
+    re-census, which would drift the kept-shingle set and silently
+    stale every at-rest signature.
+
+    ``stop_frame`` applies an ALREADY-frozen census instead (mutually
+    exclusive with ``max_df``) — how :func:`minhash_append_index`
+    hashes a batch under the corpus census, and how a caller carries a
+    census across index generations.
+
     ``persist=True`` materializes both frames with an eager
     localCheckpoint (the single-process 'index on disk' stance, same as
     ivf_build_index); on a cluster use :func:`minhash_write_index`,
     which buckets the table by ``bhash`` so probe joins skip the
     corpus-side exchange entirely.
     """
+    if max_df is not None and stop_frame is not None:
+        raise ValueError(
+            "minhash_build_index: pass max_df (freeze a census from this "
+            "corpus) or stop_frame (apply one already frozen), not both"
+        )
+    stop = stop_frame
+    if max_df is not None:
+        stop = stop_shingle_census(
+            docs, id_col, text_col, shingle_k, max_df, portable=portable
+        )
+        # the stop set is consumed by this build AND every later probe/
+        # append — freeze it eagerly (it is tiny: only the >max_df tail)
+        # so the census aggregate never re-runs per batch
+        stop = stop.localCheckpoint(eager=True)
     sig = minhash_signatures(
-        docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable
+        docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable,
+        stop_frame=stop,
     )
     if persist:
         # checkpoint the SHARED signature frame once — the corpus is
@@ -155,6 +171,7 @@ def minhash_build_index(
     return {
         "buckets": buckets,
         "sigs": sigs,
+        "stop": stop,
         "shingle_k": shingle_k,
         "num_hashes": num_hashes,
         "bands": bands,
@@ -191,6 +208,9 @@ def minhash_query_index(
         num_hashes,
         index["seed"],
         portable=index["portable"],
+        # frozen-census rule: the increment hashes under the CORPUS
+        # stop set persisted with the index — never a per-batch census
+        stop_frame=index.get("stop"),
     )
     nb = _banded(
         sig, id_col, "new_id", num_hashes, index["bands"], index["portable"]
@@ -268,6 +288,9 @@ def minhash_append_index(
         index["seed"],
         index["portable"],
         persist=False,
+        # frozen-census rule: the batch hashes under the CORPUS stop
+        # set, never its own census (which would drift the kept set)
+        stop_frame=index.get("stop"),
     )
     buckets = index["buckets"].unionByName(inc["buckets"])
     sigs = index["sigs"].unionByName(inc["sigs"])
@@ -283,6 +306,11 @@ def minhash_append_index(
     }
 
 
+# hash-family params persisted with (and validated against) the at-rest
+# index; order fixed so the meta row round-trips positionally
+_PARAM_KEYS = ("shingle_k", "num_hashes", "bands", "seed", "portable")
+
+
 def minhash_write_index(
     index: dict, table_prefix: str, n_buckets: int = 32, mode: str = "overwrite",
 ) -> None:
@@ -294,14 +322,35 @@ def minhash_write_index(
     co-located buckets (one fewer Exchange than the in-memory index
     plan; asserted in tests).
 
+    The hash-family params travel WITH the index: a one-row
+    ``{prefix}_meta`` table records (shingle_k, num_hashes, bands, seed,
+    portable), and :func:`minhash_read_index` reads them back — a
+    probe under mismatched params would not error, it would silently
+    return empty collisions or wrong est_jaccard denominators, so the
+    params are data, not a caller contract.
+
     ``mode='append'`` is the ingestion loop's O(batch) write: pass the
     increment-only frames from :func:`minhash_append_index`
     (``{"buckets": idx["new_buckets"], "sigs": idx["new_sigs"]}``) and
     the new rows land in the SAME bucket spec without rewriting the
-    corpus.  Do not overwrite a prefix from an index that was READ from
+    corpus; if the passed dict carries params they are validated
+    against the at-rest meta first (appending rows hashed under a
+    different family is the exact corruption the meta exists to stop).
+    Do not overwrite a prefix from an index that was READ from
     that prefix — Spark refuses to overwrite a table its plan scans."""
     from financial_data_science_spark.operators.skew import write_bucketed
 
+    spark = index["buckets"].sparkSession
+    params = {k: index[k] for k in _PARAM_KEYS if k in index}
+    if mode == "append" and params:
+        at_rest = _read_meta(spark, table_prefix)
+        if at_rest is not None and at_rest != params:
+            raise ValueError(
+                f"minhash_write_index(mode='append'): params {params} do not "
+                f"match the at-rest index {table_prefix} ({at_rest}) — "
+                "appending rows hashed under a different family corrupts "
+                "the index"
+            )
     write_bucketed(
         index["buckets"], f"{table_prefix}_buckets", ["band", "bhash"],
         n_buckets, sort_key=["band", "bhash"], mode=mode,
@@ -309,26 +358,81 @@ def minhash_write_index(
     write_bucketed(
         index["sigs"], f"{table_prefix}_sigs", "corpus_id", n_buckets, mode=mode,
     )
+    if mode != "append":
+        # the frozen stop-shingle census (if any) is part of the index:
+        # a probe without it hashes boilerplate the corpus signatures
+        # never saw.  Broadcast-sized (the >max_df tail), plain table.
+        if index.get("stop") is not None:
+            index["stop"].write.mode("overwrite").saveAsTable(
+                f"{table_prefix}_stop"
+            )
+        elif spark.catalog.tableExists(f"{table_prefix}_stop"):
+            # overwriting a censused index with an uncensused one must
+            # not leave the stale stop table behind
+            spark.sql(f"DROP TABLE {table_prefix}_stop")
+        if len(params) != len(_PARAM_KEYS):
+            raise ValueError(
+                "minhash_write_index: index dict is missing hash-family "
+                f"params {sorted(set(_PARAM_KEYS) - set(params))} — pass the "
+                "dict returned by minhash_build_index"
+            )
+        spark.createDataFrame(
+            [tuple(params[k] for k in _PARAM_KEYS)],
+            "shingle_k int, num_hashes int, bands int, seed int, portable boolean",
+        ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+
+
+def _read_meta(spark: SparkSession, table_prefix: str) -> dict | None:
+    """The persisted hash-family params, or None for a pre-meta index."""
+    if not spark.catalog.tableExists(f"{table_prefix}_meta"):
+        return None
+    row = spark.table(f"{table_prefix}_meta").collect()[0]
+    return {k: row[k] for k in _PARAM_KEYS}
 
 
 def minhash_read_index(
     spark: SparkSession,
     table_prefix: str,
-    shingle_k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    portable: bool = False,
+    shingle_k: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
+    portable: bool | None = None,
 ) -> dict:
     """Re-open an at-rest index written by :func:`minhash_write_index`.
-    The hash-family params are the caller's contract (they are not
-    inferable from the tables); pass the same values used at build."""
+
+    Hash-family params come from the persisted ``{prefix}_meta`` table;
+    explicitly passed values are VALIDATED against it (raise on
+    mismatch — a silently mismatched family yields empty collisions or
+    wrong est_jaccard denominators, not an error).  For a pre-meta
+    index (no ``{prefix}_meta`` table) the passed values are trusted
+    as before, with the historical defaults (3, 32, 8, 42, False) for
+    any left as None."""
+    defaults = {"shingle_k": 3, "num_hashes": 32, "bands": 8, "seed": 42,
+                "portable": False}
+    passed = {"shingle_k": shingle_k, "num_hashes": num_hashes,
+              "bands": bands, "seed": seed, "portable": portable}
+    at_rest = _read_meta(spark, table_prefix)
+    if at_rest is None:
+        params = {k: defaults[k] if passed[k] is None else passed[k]
+                  for k in _PARAM_KEYS}
+    else:
+        mismatch = {k: (passed[k], at_rest[k]) for k in _PARAM_KEYS
+                    if passed[k] is not None and passed[k] != at_rest[k]}
+        if mismatch:
+            raise ValueError(
+                f"minhash_read_index({table_prefix}): passed params "
+                f"{mismatch} (passed, at-rest) contradict the persisted "
+                "index meta — drop the arguments or rebuild the index"
+            )
+        params = at_rest
     return {
         "buckets": spark.table(f"{table_prefix}_buckets"),
         "sigs": spark.table(f"{table_prefix}_sigs"),
-        "shingle_k": shingle_k,
-        "num_hashes": num_hashes,
-        "bands": bands,
-        "seed": seed,
-        "portable": portable,
+        "stop": (
+            spark.table(f"{table_prefix}_stop")
+            if spark.catalog.tableExists(f"{table_prefix}_stop")
+            else None
+        ),
+        **params,
     }

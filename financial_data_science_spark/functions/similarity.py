@@ -344,6 +344,7 @@ def minhash_signatures(
     seed: int = 42,
     portable: bool = False,
     max_df: float | int | None = None,
+    stop_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``h0..h{k-1}`` columns + ``__sig__`` array.
 
@@ -368,14 +369,28 @@ def minhash_signatures(
     broadcast anti-join; the df census is one combinable aggregate.
     Docs whose every shingle is stopped drop out of the signature
     frame (all-boilerplate docs have no dedup identity — deliberate).
+
+    ``stop_frame`` applies a PRE-COMPUTED stop set instead of censusing
+    this frame — the frozen-census half of incremental dedup
+    (:func:`stop_shingle_census` builds it from the standing corpus;
+    the index persists it; each arriving batch hashes under it).  One
+    column named by family (``__shingle__`` portable / ``__h64__``
+    production); mutually exclusive with ``max_df``, which would
+    re-census and drift the kept-shingle set.
     """
     import random
 
+    if max_df is not None and stop_frame is not None:
+        raise ValueError(
+            "minhash_signatures: pass max_df (census THIS frame) or "
+            "stop_frame (apply a frozen census), not both — a per-batch "
+            "re-census is exactly the drift the frozen set exists to stop"
+        )
     rng = random.Random(seed)
     p = (1 << 31) - 1
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
     tcol = F.col(text_col) if isinstance(text_col, str) else text_col
-    if portable and max_df is None:
+    if portable and max_df is None and stop_frame is None:
         # composed one-fold-per-token gram hashes, no string
         # materialization at all: the signature is min-of-affine over
         # the hash values, so neither gram strings nor duplicate hash
@@ -476,6 +491,14 @@ def minhash_signatures(
             .select(census_key)
         )
         exploded = exploded.join(F.broadcast(stop), census_key, "left_anti")
+    elif stop_frame is not None:
+        # frozen census: the stop set was computed elsewhere (the
+        # standing corpus) — no census pass here, just the broadcast
+        # anti-join; the caller guarantees the family matches (the
+        # at-rest index meta validates it)
+        exploded = exploded.join(
+            F.broadcast(stop_frame.select(census_key)), census_key, "left_anti"
+        )
     exploded = exploded.select(
         id_col,
         # one string hash per shingle; the k-family is affine mixes of it
@@ -491,6 +514,88 @@ def minhash_signatures(
     return sig.withColumn("__sig__", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]))
 
 
+def lsh_band_key(b: int, rows_per_band: int, portable: bool) -> Column:
+    """Band key over ``h{i}`` signature columns — THE one definition of
+    the LSH band fold (murmur3-backed ``F.hash`` in production, the
+    65537-fold 31-bit arithmetic key when a SQL oracle must replay it).
+    Shared by :func:`minhash_candidates` and the incremental index
+    (functions/minhash_index.py), folded here at the r12 re-seal after
+    one round of documented duplication behind the sealed-floor pin."""
+    cols = [
+        F.col(f"h{i}")
+        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+    ]
+    if not portable:
+        return F.hash(*cols)
+    acc = F.lit(0).cast("long")
+    for c in cols:  # (acc*65537 + h) % p — h < p so products stay < 2^48
+        acc = (acc * F.lit(65537) + c) % F.lit((1 << 31) - 1)
+    return acc
+
+
+def stop_shingle_census(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_df: float | int = 0.25,
+    portable: bool = False,
+) -> DataFrame:
+    """The STOP-SHINGLE set of a corpus as a standalone frame — shingles
+    whose document frequency exceeds ``max_df`` (float = corpus
+    fraction, int = absolute count; same sklearn-style type dispatch as
+    :func:`minhash_signatures`).
+
+    One column, named by hash family: ``__shingle__`` (the gram string)
+    on the portable path, ``__h64__`` (xxhash64) in production — the
+    census key :func:`minhash_signatures` anti-joins on, so the frame
+    feeds its ``stop_frame=`` parameter directly.
+
+    This is the FREEZE half of the incremental-dedup census rule
+    (minhash_index module docstring): a production ingest censuses the
+    STANDING corpus once, persists this frame with the index, and
+    applies it to every arriving batch — re-censusing per batch would
+    drift the kept-shingle set and silently stale every at-rest
+    signature.  One combinable count aggregate over the exploded grams;
+    the result is tiny (only the >max_df tail) and broadcastable."""
+    from financial_data_science_spark.functions.porthash import gram_structs31
+    from financial_data_science_spark.functions.text import tokens
+
+    tcol = F.col(text_col) if isinstance(text_col, str) else text_col
+    if portable:
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    gram_structs31(tokens(F.lower(tcol)), shingle_k),
+                    lambda g: g["s"],
+                )
+            ).alias("__shingle__"),
+        )
+        census_key = "__shingle__"
+    else:
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_k)).alias("__shingle__"),
+        ).select(id_col, F.xxhash64("__shingle__").alias("__h64__"))
+        census_key = "__h64__"
+    if isinstance(max_df, float):
+        if not 0.0 < max_df <= 1.0:
+            raise ValueError(
+                f"float max_df must be a fraction in (0, 1], got {max_df}; "
+                "pass an int for an absolute document count"
+            )
+        limit = int(max_df * docs.count())
+    else:
+        limit = int(max_df)
+    return (
+        exploded.groupBy(census_key)
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") > limit)
+        .select(census_key)
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -501,6 +606,7 @@ def minhash_candidates(
     seed: int = 42,
     portable: bool = False,
     max_df: float | int | None = None,
+    stop_frame: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join on (band, hash).
 
@@ -513,21 +619,17 @@ def minhash_candidates(
     ``portable=True``: arithmetic shingle hash + arithmetic band key
     (instead of xxhash64 + murmur3) so a SQL oracle can recompute the
     exact candidate set; production default stays on the JVM hashes.
+    ``max_df`` / ``stop_frame`` forward to :func:`minhash_signatures`
+    (census here vs apply a frozen census).
     """
     rows_per_band = num_hashes // bands
 
     def band_key(b: int):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        if not portable:
-            return F.hash(*cols)
-        acc = F.lit(0).cast("long")
-        for c in cols:  # (acc*65537 + h) % p — h < p so products stay < 2^48
-            acc = (acc * F.lit(65537) + c) % F.lit((1 << 31) - 1)
-        return acc
+        return lsh_band_key(b, rows_per_band, portable)
 
     sig = minhash_signatures(
         docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable,
-        max_df=max_df,
+        max_df=max_df, stop_frame=stop_frame,
     )
     banded = sig.select(
         id_col,

@@ -941,6 +941,89 @@ def minhash_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["minhash_index_increment"] = _minhash_index_oracle_sql()
 
 
+def _minhash_index_frozen_oracle_sql(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42, split_mod: int = 5,
+    max_df: float = 0.005,
+) -> str:
+    """DuckDB replay of the FROZEN-CENSUS incremental probe: the
+    stop-shingle census is computed over the CORPUS side only (df >
+    floor(max_df * |corpus|) — the standing-corpus freeze rule), every
+    doc's grams (corpus AND increment) are filtered by that one frozen
+    set, then the shared signature/band/cross-join chain runs as in
+    _minhash_index_oracle_sql.  A per-batch census would use the
+    increment's own df — this SQL proves the Spark side does not."""
+    import random
+
+    from financial_data_science_spark.functions.porthash import MOD, sql_tokhash31
+
+    assert num_hashes // bands == 2, "band key fold is written for rows_per_band=2"
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, MOD), rng.randrange(0, MOD))
+              for _ in range(num_hashes)]
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    sig_list = "[" + ", ".join(f"h{i}" for i in range(num_hashes)) + "]"
+    limit_sql = (f"CAST(floor({max_df} * (SELECT count(*) FROM documents "
+                 f"WHERE doc_id % {split_mod} != 0)) AS BIGINT)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS shingle FROM sh),
+    dfc AS (
+      SELECT shingle, count(*) AS df FROM ex
+      WHERE doc_id % {split_mod} != 0 GROUP BY 1),
+    stop AS (SELECT shingle FROM dfc WHERE df > {limit_sql}),
+    exf AS (SELECT e.doc_id, e.shingle FROM ex e ANTI JOIN stop s USING (shingle)),
+    h0 AS (SELECT doc_id, {sql_tokhash31('shingle')} AS h FROM exf),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM h0 GROUP BY doc_id),
+    sa AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+    banded AS (
+      SELECT doc_id, sig, band,
+             (sig[2*band+1] * 65537 + sig[2*band+2]) % {MOD} AS bhash
+      FROM sa, range(0, {bands}) t(band))
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           len(list_filter(range(1, {num_hashes + 1}), i -> n.sig[i] = c.sig[i])) / {num_hashes}.0 AS est_jaccard
+    FROM banded n JOIN banded c
+      ON n.band = c.band AND n.bhash = c.bhash
+    WHERE n.doc_id % {split_mod} = 0 AND c.doc_id % {split_mod} != 0
+      AND len(list_filter(range(1, {num_hashes + 1}), i -> n.sig[i] = c.sig[i])) / {num_hashes}.0 >= 0.4
+    """
+
+
+@query("minhash_index_frozen_census", None)
+def minhash_index_frozen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup with a FROZEN stop-shingle census — the
+    configuration a production ingest actually runs (r11 verdict item 4,
+    now API: minhash_build_index(max_df=)).  The census is taken ONCE
+    over the standing corpus (doc_id % 5 != 0), persisted with the
+    index, and the arriving increment hashes UNDER that frozen set —
+    never its own df census, whose drift would stale every at-rest
+    signature.  The oracle censuses the corpus side only and applies
+    the one frozen set to both halves, so a per-batch re-census on the
+    Spark side would hash-mismatch."""
+    from financial_data_science_spark.functions import minhash_index as MHI
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    index = MHI.minhash_build_index(
+        corpus, num_hashes=64, bands=32, portable=True, max_df=0.005
+    )
+    return MHI.minhash_query_index(increment, index, min_est=0.4)
+
+
+ORACLE["minhash_index_frozen_census"] = _minhash_index_frozen_oracle_sql()
+
+
 def _minhash_bucket_oracle_sql(num_hashes: int = 8, bands: int = 4,
                                seed: int = 42,
                                source: str = "documents",
@@ -8177,8 +8260,10 @@ _GATE_ORDER = [
     "pivot_event_type_totals",
     "range_bucket_lookup",
     "seq_in_group",
+    # r12 debut (frozen-census index arm; adf_by_user rotates out —
+    # r11-green — pending the full r12 rotation below this round)
+    "minhash_index_frozen_census",
     # oldest-checked cohort: r8 (37 of 49; 12 deferrals documented above)
-    "adf_by_user",
     "backtest_attribution",
     "car_by_relative_day",
     "clean_trades_stats",

@@ -302,3 +302,136 @@ def test_append_at_rest_loop(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mhapp.t_buckets")
         spark.sql("DROP TABLE IF EXISTS mhapp.t_sigs")
+
+
+# ---------------------------------------------------------- frozen census
+
+
+def _boilerplate_docs(spark):
+    """Docs where a shared boilerplate prefix dominates: without a stop
+    census the boilerplate shingles drag unrelated docs into shared
+    buckets; the corpus census (max_df) must stop them."""
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(200)]
+    boiler = "copyright notice all rights reserved see license terms"
+    base = [boiler + " " + " ".join(rng.choice(vocab, 40)) for _ in range(40)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted cross near-dup whose similarity lives in the UNIQUE tail
+    words = base[3].split()
+    words[-5] = "edited"
+    rows.append((100, " ".join(words)))  # %5==0 -> increment
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _pairs_set(pdf):
+    return {
+        (int(n), int(c), float(e))
+        for n, c, e in pdf[["new_id", "corpus_id", "est_jaccard"]].to_numpy()
+    }
+
+
+def test_frozen_census_increment_equals_batch_under_same_census(spark):
+    """The r11-verdict parity contract: an increment probed against a
+    max_df index equals the cross-pair subset of a BATCH run over
+    corpus+increment under the SAME frozen census (minhash_candidates
+    with stop_frame=) — and the frozen set actually stops something."""
+    docs = _boilerplate_docs(spark)
+    corpus, inc = _split(docs)
+    for portable in (True, False):
+        idx = MHI.minhash_build_index(
+            corpus, portable=portable, max_df=0.25, **PARAMS
+        )
+        assert idx["stop"] is not None and idx["stop"].count() > 0
+        got = _pairs_set(MHI.minhash_query_index(inc, idx).toPandas())
+        batch = S.minhash_candidates(
+            docs, portable=portable, stop_frame=idx["stop"], **PARAMS
+        ).toPandas()
+        want = set()
+        for l, r, e in batch[["left_id", "right_id", "est_jaccard"]].to_numpy():
+            if (l % 5 == 0) != (r % 5 == 0):
+                n, c = (l, r) if l % 5 == 0 else (r, l)
+                want.add((int(n), int(c), float(e)))
+        assert got == want, f"portable={portable}"
+        # the planted unique-tail near-dup survives the census
+        assert any((n, c) == (100, 3) for n, c, _ in got)
+
+
+def test_frozen_census_append_uses_corpus_census(spark):
+    """Appended batches hash under the FROZEN corpus census (never a
+    per-batch re-census): append + probe equals a from-scratch rebuild
+    over corpus+batch that applies the same frozen set via stop_frame."""
+    docs = _boilerplate_docs(spark)
+    corpus, inc = _split(docs)
+    probe = spark.createDataFrame(
+        pd.DataFrame([(500, docs.filter(F.col("doc_id") == 3)
+                       .collect()[0]["text"])], columns=["doc_id", "text"])
+    )
+    idx = MHI.minhash_build_index(corpus, portable=True, max_df=0.25, **PARAMS)
+    grown = MHI.minhash_append_index(idx, inc)
+    got = _pairs_set(MHI.minhash_query_index(probe, grown).toPandas())
+    rebuilt = MHI.minhash_build_index(
+        corpus.unionByName(inc), portable=True, stop_frame=idx["stop"], **PARAMS
+    )
+    want = _pairs_set(MHI.minhash_query_index(probe, rebuilt).toPandas())
+    assert got == want and want
+
+
+def test_census_and_stop_frame_are_mutually_exclusive(spark):
+    docs = _boilerplate_docs(spark)
+    corpus, _ = _split(docs)
+    idx = MHI.minhash_build_index(corpus, portable=True, max_df=0.25, **PARAMS)
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        MHI.minhash_build_index(
+            corpus, portable=True, max_df=0.25, stop_frame=idx["stop"], **PARAMS
+        )
+    with pytest.raises(ValueError, match="not both"):
+        S.minhash_signatures(
+            corpus, max_df=0.25, stop_frame=idx["stop"]
+        )
+
+
+# ------------------------------------------------------- at-rest meta
+
+
+def test_at_rest_meta_roundtrip_and_validation(spark, tmp_path):
+    """The hash-family params and the frozen stop set are INDEX DATA:
+    written with it, read back without caller args, and validated
+    against any explicitly passed value (advisor r11: a silent mismatch
+    yields empty collisions, not an error)."""
+    import pytest
+
+    docs = _boilerplate_docs(spark)
+    corpus, inc = _split(docs)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS mhmeta LOCATION '{tmp_path}/mh'")
+    try:
+        idx = MHI.minhash_build_index(
+            corpus, portable=True, max_df=0.25, **PARAMS
+        )
+        MHI.minhash_write_index(idx, "mhmeta.t", n_buckets=4)
+        # read back with NO params: everything comes from {prefix}_meta
+        reopened = MHI.minhash_read_index(spark, "mhmeta.t")
+        for k in ("shingle_k", "num_hashes", "bands", "seed", "portable"):
+            assert reopened[k] == (idx[k] if k != "portable" else True)
+        assert reopened["stop"] is not None
+        got = _pairs_set(MHI.minhash_query_index(inc, reopened).toPandas())
+        want = _pairs_set(MHI.minhash_query_index(inc, idx).toPandas())
+        assert got == want and want
+        # explicit args must match the at-rest meta
+        with pytest.raises(ValueError, match="contradict"):
+            MHI.minhash_read_index(spark, "mhmeta.t", num_hashes=64)
+        # appending rows hashed under a different family must refuse
+        other = MHI.minhash_build_index(
+            inc, portable=True, num_hashes=8, bands=4, shingle_k=3, seed=42
+        )
+        with pytest.raises(ValueError, match="do not match"):
+            MHI.minhash_write_index(other, "mhmeta.t", n_buckets=4,
+                                    mode="append")
+        # overwriting with an uncensused index drops the stale stop set
+        plain = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+        MHI.minhash_write_index(plain, "mhmeta.t", n_buckets=4)
+        assert MHI.minhash_read_index(spark, "mhmeta.t")["stop"] is None
+    finally:
+        for t in ("t_buckets", "t_sigs", "t_meta", "t_stop"):
+            spark.sql(f"DROP TABLE IF EXISTS mhmeta.{t}")
