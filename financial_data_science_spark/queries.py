@@ -5591,6 +5591,108 @@ def _semantic_dedup_oracle_sql(
 ORACLE["semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 
+def _semantic_dedup_capped_oracle_sql(
+    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
+    tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
+    max_depth: int = 1, budget_w: int = 8,
+) -> str:
+    """DuckDB replay of the SKEW-GUARDED SemDeDup (semdedup.py): the
+    shared deterministic IVF chain bins every vector, then each
+    refinement level re-runs the same Lloyd recipe GROUPED by oversized
+    cell (init = nsub lowest-id members, unrolled sweeps, rounded
+    grids, ties to the lowest sub) and renumbers cells injectively as
+    cell*(nsub+1)+sub; the final pair join applies the sorted-
+    neighborhood budget to cells still over cap.  Every level and sweep
+    is unrolled statically — the Spark side's skip-level fast path is
+    pure renumbering with identical ids."""
+    chain = _ivf_chain_sql(nlist, iters, dim, train_mod)
+    level = """,
+    cnt{d} AS (SELECT cell, count(*) AS cnt FROM cells{prev} GROUP BY 1),
+    big{d} AS (SELECT cell FROM cnt{d} WHERE cnt > {cap}),
+    mem{d} AS MATERIALIZED (
+      SELECT c.vec_id, c.v, c.cell FROM cells{prev} c JOIN big{d} USING (cell)),
+    sc{d}_0 AS MATERIALIZED (
+      SELECT cell, j AS sub, list_transform(v, x -> round(x, 6)) AS cv FROM (
+        SELECT cell, v,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+               count(*) OVER (PARTITION BY cell) AS cnt
+        FROM mem{d}) m, range(1, {nsub1}) t(j)
+      WHERE m.rn = 1 + (j - 1) * (m.cnt - 1) // {nsubm1})"""
+    sweep = """,
+    sa{d}_{k} AS MATERIALIZED (SELECT vec_id, cell, sub FROM (
+        SELECT m.vec_id, m.cell, c.sub,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY round(list_cosine_similarity(m.v, c.cv), 6) DESC,
+                          c.sub) AS rn
+        FROM mem{d} m JOIN sc{d}_{pk} c USING (cell)) WHERE rn = 1),
+    sc{d}_{k} AS MATERIALIZED (SELECT cell, sub, list(av ORDER BY i) AS cv FROM (
+        SELECT a.cell, a.sub, i, round(avg(m.v[i]), 6) AS av
+        FROM sa{d}_{k} a JOIN mem{d} m ON m.vec_id = a.vec_id, range(1, {dim1}) t(i)
+        GROUP BY a.cell, a.sub, i) GROUP BY cell, sub)"""
+    fin = """,
+    fa{d} AS (SELECT vec_id, sub FROM (
+        SELECT m.vec_id, c.sub,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY round(list_cosine_similarity(m.v, c.cv), 6) DESC,
+                          c.sub) AS rn
+        FROM mem{d} m JOIN sc{d}_{ks} c USING (cell)) WHERE rn = 1),
+    cells{d} AS MATERIALIZED (
+      SELECT c.vec_id, c.v, c.cell * {nsub1} + coalesce(f.sub, 0) AS cell
+      FROM cells{prev} c LEFT JOIN fa{d} f ON f.vec_id = c.vec_id)"""
+    body = """,
+    cells0 AS (SELECT vec_id, v, CAST(cluster AS BIGINT) AS cell FROM binned)"""
+    for d in range(1, max_depth + 1):
+        body += level.format(d=d, prev=d - 1, cap=cap, nsub1=nsub + 1,
+                             nsubm1=nsub - 1)
+        for k in range(1, sub_iters + 1):
+            body += sweep.format(d=d, k=k, pk=k - 1, dim1=dim + 1)
+        body += fin.format(d=d, prev=d - 1, ks=sub_iters, nsub1=nsub + 1)
+    return chain + body + f""",
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+             count(*) OVER (PARTITION BY cell) AS cnt
+      FROM cells{max_depth})
+    SELECT l.cell, l.vec_id AS left_id, r.vec_id AS right_id,
+           round(round(list_cosine_similarity(l.v, r.v), 6), 4) AS cos,
+           l.cnt > {cap} AS truncated
+    FROM ranked l JOIN ranked r
+      ON l.cell = r.cell AND l.rn < r.rn
+      AND (l.cnt <= {cap} OR r.rn - l.rn <= {budget_w})
+    WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {tau}
+    """
+
+
+@query("semantic_dedup_capped", None)
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the CLUSTER-SKEW GUARDS engaged — the r11 verdict's
+    one weak-at-scale item closed (functions/semdedup.py): oversized
+    k-means cells are recursively split by the same deterministic Lloyd
+    quantizer (grouped training, no per-cell driver loop), and cells
+    that defeat the splitter (near-point-mass templates) stop at a
+    sorted-neighborhood pair budget instead of going quadratic —
+    worst-case pairs per cell max(cap^2/2, n*budget_w), never the
+    corpus cross join plain semantic_dedup degrades to on
+    boilerplate-dense embeddings.  Truncated cells are labeled in the
+    output, not silently capped.  cap=16/nsub=2 here force BOTH guards
+    live at gate scale (split + budget); production dials are
+    cap~10^3-10^4 at tens of thousands of cells.  The oracle replays
+    training, per-cell sub-training, renumbering, ranking, and the
+    budget join bit-for-bit."""
+    from financial_data_science_spark.functions.semdedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, nlist=8, iters=3, train_mod=4, tau=0.4, cap=16, nsub=2,
+        sub_iters=2, max_depth=1, budget_w=8,
+    )
+
+
+ORACLE["semantic_dedup_capped"] = _semantic_dedup_capped_oracle_sql()
+
+
 def _stream_index_probe_oracle_sql(
     num_hashes: int = 8, bands: int = 4, seed: int = 42, split_mod: int = 5,
 ) -> str:
@@ -8189,117 +8291,113 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-11 rotation (seventh gate rotation).  Slots: 1 anchor (the
-# flagship), 4 debut rows (the only catalog entries with no driver
-# CORRECTNESS record: the bounded-state window-ARGMIN arm of the
-# composed curation DAG, the incremental MinHash index probe and its
-# streaming arm, and the SemDeDup k-means-blocked semantic dedup — all
-# built this round), then the ENTIRE oldest-driver-checked cohort —
-# all 8 rows last checked in r7, which the r10 rotation deferred and
-# would hit 4-rounds-stale if deferred again (the r10 verdict pinned
-# these by name) — and 37 of the 49 rows last checked in r8.  The 12
-# r8-cohort rows deferred to r12 each have a same-kernel sibling IN
-# this gate or a fresher green record:
-#   q3_top_revenue_orders (scan/join/agg/top-k; q1 in this gate shares
-#                          the shape, and q3 is a bench headline timed
-#                          every round)
-#   q5_nation_revenue     (same scan/join/agg family as q1 in this
-#                          gate; also a bench headline timed every
-#                          round)
-#   cube_revenue          (grouping-sets over the same lineitem agg as
-#                          q1 in this gate; pytest-pinned)
-#   quality_classifier_score (the apply leg of the IRLS chain;
-#                          quality_classifier_irls + _irls_k3 in this
-#                          gate, and the score gate runs inside
-#                          corpus_curation_pipeline_v3 in this gate)
-#   quality_classifier_model_store (same trained chain + the named
-#                          store kernel of named_store_roundtrip, r9)
-#   stream_curation_pipeline (strictly contained in the debut
-#                          stream_curation_bounded — same screen/gate/
-#                          novelty DAG — and stream_curation_tagged,
-#                          r10; locally strict-verified this session)
-#   stream_contamination_flags (contamination kernel rides in the two
-#                          curation streams above; contamination_overlap
-#                          r9 + judge strict re-run)
-#   stream_ann_top1       (stream_ann_top1_production r9-green, judge
-#                          strict re-ran at sf0.1)
-#   bpe_token_counts      (the trivial count leg; all four heavy BPE
-#                          entries r10-green)
-#   quality_classifier_irls_k3 (the general-k IRLS chain strictly
-#                          contains the k=2 kernel of
-#                          quality_classifier_irls, which stays in this
-#                          gate; both strict-re-verified in the local
-#                          full-catalog replica this round)
-#   monthly_rollup        (bench headline, timed at sf0.1 every round —
-#                          the q3/q5 deferral precedent; month-window
-#                          rollup family also exercised by
-#                          split_back_adjust and smoothed_holdings in
-#                          this gate; strict-re-verified in the local
-#                          full-catalog replica this round)
-#   tfidf_top_terms       (bench headline, timed at sf0.1 every round;
-#                          text.py kernel family re-verified via
-#                          text_quality (r10-green) and the local
-#                          full-catalog replica this round)
+# Round-12 rotation (eighth gate rotation).  Slots: 1 anchor (the
+# flagship), 2 debut rows (the only catalog entries with no driver
+# CORRECTNESS record: the frozen-census arm of the incremental MinHash
+# index and the skew-guarded SemDeDup — both built this round), then
+# the ENTIRE oldest-driver-checked cohort — all 12 rows last checked in
+# r8, which the r11 rotation deferred with documented justifications
+# and which would hit 4-rounds-stale if deferred again (the r11 verdict
+# pinned them by name: item 2) — and 35 of the 49 rows last checked in
+# r9 (including the four the r11 verdict item 6 named:
+# cached_section_reuse, sql_front_end, predicate_parser_filter,
+# identifier_find_dispatch).  The 14 r9-cohort rows deferred to r13
+# each have a same-kernel sibling IN this gate or fresher independent
+# coverage:
+#   ann_ivf_topk          (bench headline timed at sf0.1 every round;
+#                          the identical quantizer chain faces the
+#                          oracle via ann_ivfpq_topk in this gate and
+#                          the two new semdedup entries)
+#   ann_ivfpq_residual    (same train/bin/probe chain as
+#                          ann_ivfpq_topk + ann_ivfpq_query_only, both
+#                          in this gate; refined arm r10-green)
+#   ann_recall_at_k       (pure composition of ann_ivf_topk — bench
+#                          headline — and cosine_topk, r10-green)
+#   asof_join_backward    (bench headline AND a v3 floor canary: timed
+#                          and certified against the sealed floor on
+#                          every accepted record; kernel source-hash
+#                          pinned by the floor)
+#   embedding_near_dups   (bench extended timed every round + an
+#                          extended-section canary of the r12 re-seal;
+#                          hyperplane kernel otherwise unchanged)
+#   corpus_curation_pipeline_v2 (strictly contained in
+#                          corpus_curation_pipeline_v3, r11-green)
+#   stream_ann_top1_production (same IVF-probe stream DAG as
+#                          stream_ann_top1 in this gate; append arm
+#                          drain recipe pytest-pinned)
+#   hard_negative_mining  (production + ivf twins r10-green; same
+#                          mining kernel, portable-hash arm only)
+#   supply_closeness      (graph.py sweep family: eigenvector/kcore/
+#                          betweenness r11-green in the r11 gate)
+#   supply_hits           (same graph sweep family, r11 coverage)
+#   supply_personalized_pagerank (pagerank bench headline timed every
+#                          round; same sweep kernel)
+#   cosupply_clustering   (same graph family; clustering-coefficient
+#                          kernel pytest-pinned)
+#   multimodal_resize     (multimodal decode/feature siblings
+#                          r10-green; resize kernel pytest-pinned
+#                          against the stdlib PNG codec)
+#   bond_portfolio_pricing (functions/finance.py family re-verified
+#                          via ohlc_volatility r11-green + the Jorion
+#                          ch.5 pytest oracle)
 # Everything rotated out stays guarded by the full-catalog hash-strict
-# local replica (tools/check_correctness.py), and its r5-r10 driver
+# local replica (tools/check_correctness.py), and its r5-r11 driver
 # records stand.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
     # debut rows: built this round, no driver record yet
-    "stream_curation_bounded",  # bounded-state window-ARGMIN novelty
-    "minhash_index_increment",  # incremental LSH dedup index probe
-    "semantic_dedup",           # SemDeDup k-means-blocked near-dups
-    "stream_minhash_index_probe",  # zero-state streaming index probe
-    # oldest-checked cohort: r7 (all 8 — the r10 verdict item 4 list)
-    "compound_by_year",
-    "dedup_keep_last",
-    "ffill_last_error",
-    "lang_id",
-    "month_end_trading_days",
-    "pivot_event_type_totals",
-    "range_bucket_lookup",
-    "seq_in_group",
-    # r12 debut (frozen-census index arm; adf_by_user rotates out —
-    # r11-green — pending the full r12 rotation below this round)
-    "minhash_index_frozen_census",
-    # oldest-checked cohort: r8 (37 of 49; 12 deferrals documented above)
-    "backtest_attribution",
-    "car_by_relative_day",
-    "clean_trades_stats",
-    "coercion_keep_drop_replace",
-    "corpus_curation_pipeline_v3",
-    "cosine_ann_bucketed",
-    "dated_lookup_apply",
-    "doc_chunking",
-    "document_filter_gate",
-    "ewma_riskmetrics_vol",
-    "ff_scale_sentinels",
-    "hac_mean_discount",
-    "io_regroup",
-    "minhash_lsh_stopshingle",
-    "mixture_sample_sources",
-    "next_trading_day",
-    "ohlc_volatility",
-    "permno_links_asof",
-    "pii_pattern_census",
-    "portfolio_monthly_returns",
-    "prevailing_click_at_purchase",
-    "q1_pricing_summary",
-    "quality_classifier_irls",
-    "repetition_quality",
-    "rolling_beta_12m",
-    "smoothed_holdings",
-    "split_back_adjust",
-    "structural_break_fstats",
-    "supply_betweenness_sampled",
-    "supply_eigenvector",
-    "supply_kcore",
-    "tcode_transforms",
-    "unpivot_flag_revenue",
-    "upsert_insert_ignore",
-    "vintage_latest_asof",
-    "weighted_avg_price",
+    "minhash_index_frozen_census",  # frozen-census incremental dedup
+    "semantic_dedup_capped",    # skew-guarded SemDeDup (split + budget)
+    # oldest-checked cohort: r8 (all 12 — the r11 verdict item 2 list)
+    "bpe_token_counts",
+    "cube_revenue",
+    "monthly_rollup",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "quality_classifier_irls_k3",
+    "quality_classifier_model_store",
+    "quality_classifier_score",
+    "stream_ann_top1",
+    "stream_contamination_flags",
+    "stream_curation_pipeline",
+    "tfidf_top_terms",
+    # oldest-checked cohort: r9 (35 of 49; 14 deferrals documented above)
+    "ann_ivfpq_query_only",
+    "ann_ivfpq_topk",
+    "ann_sq8_topk",
+    "batch_assign_epochs",
+    "bivariate_spread_holdings",
+    "cached_section_reuse",
+    "coercion_roundtrip",
+    "contamination_overlap",
+    "csv_load_coercion",
+    "daily_portfolio_performance",
+    "dedup_canonical_keep",
+    "drop_unchanged_rows",
+    "event_study_corrected",
+    "fama_macbeth_premium",
+    "fft_cross_correlation",
+    "hash_split_assign",
+    "identifier_find_dispatch",
+    "lapsed_supplier_parts",
+    "max_drawdown_windows",
+    "min_variance_weights_3",
+    "named_store_roundtrip",
+    "outlier_fences_tukey",
+    "pad_sequences_batch",
+    "parametric_risk_summary",
+    "pii_redaction",
+    "predicate_parser_filter",
+    "sql_front_end",
+    "stream_dedup_distinct_keys",
+    "stream_ewma_final",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_tick_bins_5min",
+    "supply_community_quality",
+    "ticker_bridge_join",
+    "token_budget_packing",
 ]
 
 

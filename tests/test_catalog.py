@@ -19,14 +19,14 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-11
+    """The driver checks the first 50 queries() entries; the round-12
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    four r11 debut rows (the only catalog entries with no driver
+    two r12 debut rows (the only catalog entries with no driver
     CORRECTNESS record), and must draw the rest from the
-    oldest-driver-checked cohorts (refresh rotation: ALL 8 r7-stale
-    rows — the r10 verdict pinned them by name — then 37 of the 49
-    r8-stale rows, 12 deferred with documented justifications)."""
+    oldest-driver-checked cohorts (refresh rotation: ALL 12 r8-stale
+    rows — the r11 verdict pinned them by name — then 35 of the 49
+    r9-stale rows, 14 deferred with documented justifications)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -34,20 +34,20 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r11 debut rows: built this round, first-ever driver record
-        "stream_curation_bounded",
-        "minhash_index_increment",
-        "semantic_dedup",
-        "stream_minhash_index_probe",
-        # the full r7-stale cohort (would be 4 rounds stale if deferred)
-        "compound_by_year", "dedup_keep_last", "ffill_last_error",
-        "lang_id", "month_end_trading_days", "pivot_event_type_totals",
-        "range_bucket_lookup", "seq_in_group",
-        # r8-cohort representatives across kernel families
-        "q1_pricing_summary", "minhash_lsh_stopshingle",
-        "quality_classifier_irls", "corpus_curation_pipeline_v3",
-        "ewma_riskmetrics_vol", "hac_mean_discount",
-        "supply_eigenvector", "tcode_transforms", "vintage_latest_asof",
+        # r12 debut rows: built this round, first-ever driver record
+        "minhash_index_frozen_census",
+        "semantic_dedup_capped",
+        # the full r8-stale cohort (would be 4 rounds stale if deferred;
+        # r11 verdict item 2 names them)
+        "bpe_token_counts", "cube_revenue", "monthly_rollup",
+        "q3_top_revenue_orders", "q5_nation_revenue",
+        "quality_classifier_irls_k3", "quality_classifier_model_store",
+        "quality_classifier_score", "stream_ann_top1",
+        "stream_contamination_flags", "stream_curation_pipeline",
+        "tfidf_top_terms",
+        # the r9 reader/predicate rows the r11 verdict item 6 names
+        "cached_section_reuse", "sql_front_end",
+        "predicate_parser_filter", "identifier_find_dispatch",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is

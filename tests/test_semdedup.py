@@ -1,0 +1,140 @@
+"""Skew-guarded SemDeDup (functions/semdedup.py): the recursive cell
+split must break up spread mega-cells, the sorted-neighborhood budget
+must HARD-bound pairs in cells that defeat the splitter, and the
+guarded output must agree with plain within-cell pairing wherever no
+guard engaged."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_science_spark.functions.semdedup import (
+    kmeans_cell_split,
+    semantic_dedup_pairs,
+)
+from financial_data_science_spark.functions.similarity import ivf_build_index
+
+DIM = 8
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            columns=["vec_id", "embedding"],
+        )
+    )
+
+
+def _spread_blob(rng, center, n, jitter=0.15):
+    return [center + rng.normal(0, jitter, DIM) for _ in range(n)]
+
+
+def test_split_breaks_spread_mega_cell(spark):
+    """A dense-but-spread blob (the realistic boilerplate case: one
+    region, many templates) lands in one k-means cell; the split must
+    re-quantize it into strictly smaller sub-cells."""
+    rng = np.random.default_rng(7)
+    c1, c2 = np.ones(DIM), -np.ones(DIM)
+    blob, far = _spread_blob(rng, c1, 60), _spread_blob(rng, c2, 6)
+    # ids 0,1 seed the init: one from each region so the top-level
+    # quantizer genuinely separates blob from far and the blob lands
+    # in ONE cell
+    rows = [(i, v) for i, v in enumerate(
+        [blob[0], far[0]] + blob[1:] + far[1:]
+    )]
+    emb = _emb_df(spark, rows)
+    idx = ivf_build_index(emb, nlist=2, iters=2)
+    pre = idx["binned"].groupBy("cluster").count().toPandas()
+    assert pre["count"].max() >= 55  # the blob really is one cell
+    cells = kmeans_cell_split(
+        idx["binned"], cap=20, nsub=4, sub_iters=2, max_depth=1
+    )
+    post = cells.groupBy("cluster").count().toPandas()
+    assert len(post) > len(pre)
+    assert post["count"].max() < pre["count"].max()
+    # injective renumbering: every member still binned exactly once
+    assert post["count"].sum() == 66
+
+
+def test_budget_hard_bounds_point_mass_and_keeps_connectivity(spark):
+    """The adversarial cell: m near-identical vectors no quantizer can
+    separate.  Pair count must be <= m * budget_w (never m^2/2), pairs
+    must be labeled truncated, and rank-adjacency must CHAIN the blob
+    so greedy drop-the-larger still collapses it to the min id."""
+    rng = np.random.default_rng(11)
+    base = np.ones(DIM)
+    m, w = 60, 4
+    rows = [(i, base + rng.normal(0, 1e-6, DIM)) for i in range(m)]
+    emb = _emb_df(spark, rows)
+    out = semantic_dedup_pairs(
+        emb, nlist=2, iters=2, tau=0.9, cap=10, nsub=2, sub_iters=2,
+        max_depth=1, budget_w=w,
+    ).toPandas()
+    assert 0 < len(out) <= m * w          # hard bound, quadratic is 1770
+    assert out["truncated"].all()
+    # chain connectivity: greedy drop-the-larger over the pair list
+    dropped = set(out["right_id"])
+    assert set(range(m)) - dropped == {0}  # all collapse to the min id
+
+
+def test_no_guard_matches_plain_within_cell_pairs(spark):
+    """With cap above every cell size the guards are inert: output must
+    equal the plain semantic_dedup within-cell join (modulo the cell
+    renumbering and the truncated=false label)."""
+    rng = np.random.default_rng(3)
+    c1, c2 = np.ones(DIM), -np.ones(DIM)
+    rows = [(i, v) for i, v in enumerate(
+        _spread_blob(rng, c1, 12, 0.3) + _spread_blob(rng, c2, 12, 0.3)
+    )]
+    emb = _emb_df(spark, rows)
+    out = semantic_dedup_pairs(
+        emb, nlist=2, iters=2, tau=0.4, cap=100, nsub=2, sub_iters=2,
+        max_depth=1, budget_w=4,
+    ).toPandas()
+    assert not out["truncated"].any()
+    idx = ivf_build_index(emb, nlist=2, iters=2)
+    b = idx["binned"]
+    from financial_data_science_spark.functions.similarity import cosine
+
+    l = b.select(F.col("vec_id").alias("li"), F.col("embedding").alias("lv"),
+                 "cluster")
+    r = b.select(F.col("vec_id").alias("ri"), F.col("embedding").alias("rv"),
+                 "cluster")
+    plain = (
+        l.join(r, "cluster").filter(F.col("li") < F.col("ri"))
+        .withColumn("c6", F.round(cosine(F.col("lv"), F.col("rv")), 6))
+        .filter(F.col("c6") >= 0.4)
+        .select("li", "ri")
+        .toPandas()
+    )
+    assert set(zip(out["left_id"], out["right_id"])) == set(
+        zip(plain["li"], plain["ri"])
+    )
+    # skip-level parity: cell ids renumbered by (nsub+1) even with no
+    # split (the static-SQL oracle always applies the arithmetic)
+    cells = kmeans_cell_split(b, cap=100, nsub=2, sub_iters=2, max_depth=1)
+    got = sorted(set(r["cluster"] for r in cells.select("cluster").collect()))
+    want = sorted(set(r["cluster"] * 3 for r in b.select("cluster").collect()))
+    assert got == want
+
+
+def test_max_depth_recursion_tightens_cells(spark):
+    """Depth 2 must re-split sub-cells that level 1 left oversized."""
+    rng = np.random.default_rng(19)
+    rows = [(i, v) for i, v in enumerate(
+        _spread_blob(rng, np.ones(DIM), 80, 0.5)
+    )]
+    emb = _emb_df(spark, rows)
+    idx = ivf_build_index(emb, nlist=1, iters=1)
+    d1 = kmeans_cell_split(idx["binned"], cap=10, nsub=2, sub_iters=1,
+                           max_depth=1)
+    d2 = kmeans_cell_split(idx["binned"], cap=10, nsub=2, sub_iters=1,
+                           max_depth=2)
+    m1 = d1.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+    m2 = d2.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+    assert m2 < m1
+    assert d2.count() == 80

@@ -122,3 +122,117 @@ for nlist in (4, 8, 16, 32):
         f"PLANTED nlist={nlist:3d} co-cluster recall={hit}/200={hit/200:.3f}",
         flush=True,
     )
+
+
+# ---- planted-SKEW arm (r12): the mega-cell worst case the guards exist
+# for.  30% of the corpus is collapsed into ONE dense region two ways:
+#   spread blob  — one region, distinct templates (Lloyd CAN split it);
+#   point mass   — near-identical vectors (no quantizer separates them;
+#                  only the sorted-neighborhood budget bounds the pairs).
+# Measured: within-cell pairs EVALUATED (the quadratic cost driver) and
+# wall for plain semantic_dedup blocking vs the guarded
+# semantic_dedup_pairs, plus planted-duplicate recall under the guard.
+from financial_data_science_spark.functions.semdedup import (
+    kmeans_cell_split,
+    semantic_dedup_pairs,
+)
+
+base_rows = emb.select("vec_id", "embedding").toPandas()
+nbase = len(base_rows)
+nblob = int(0.3 * nbase / 0.7)          # blob = 30% of the augmented corpus
+center = np.array(base_rows.iloc[0]["embedding"], dtype=float)
+CAP, NSUB, W = 64, 8, 8
+
+for kind in ("spread", "pointmass"):
+    rng = np.random.default_rng(29)
+    scale = np.linalg.norm(center) / np.sqrt(len(center))
+    jit = 0.30 * scale if kind == "spread" else 1e-6
+    blob = [
+        (2_000_000 + j, [float(x) for x in center + rng.normal(0, jit, len(center))])
+        for j in range(nblob)
+    ]
+    aug2 = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(pd.DataFrame(blob, columns=["vec_id", "embedding"]))
+    ).localCheckpoint(eager=True)
+    n2 = aug2.count()
+
+    def pair_budget(binned_df, cap=None, w=None):
+        sizes = binned_df.groupBy("cluster").count().toPandas()["count"]
+        if cap is None:
+            return int((sizes * (sizes - 1) // 2).sum())
+        return int(sum(
+            c * (c - 1) // 2 if c <= cap else c * w for c in sizes
+        ))
+
+    t0 = time.time()
+    idx = ivf_build_index(aug2, nlist=8, iters=3, train_mod=4, persist=True)
+    plain_pairs = pair_budget(idx["binned"])
+    t_plain = time.time() - t0
+    t0 = time.time()
+    cells = kmeans_cell_split(
+        idx["binned"], cap=CAP, nsub=NSUB, sub_iters=2, max_depth=2
+    ).localCheckpoint(eager=True)
+    guarded_pairs = pair_budget(cells, cap=CAP, w=W)
+    maxcell = int(cells.groupBy("cluster").count().agg(
+        F.max("count")).collect()[0][0])
+    t_guard = time.time() - t0
+    t0 = time.time()
+    out = semantic_dedup_pairs(
+        aug2, nlist=8, iters=3, train_mod=4, tau=0.9, cap=CAP, nsub=NSUB,
+        sub_iters=2, max_depth=2, budget_w=W,
+    )
+    npairs = out.count()
+    ntrunc = out.filter(F.col("truncated")).count()
+    t_e2e = time.time() - t0
+    print(
+        f"SKEW {kind:9s} n={n2} blob={nblob} | plain within-cell pairs="
+        f"{plain_pairs} ({t_plain:.1f}s build) | guarded pair budget="
+        f"{guarded_pairs} max cell={maxcell} ({t_guard:.1f}s split) | "
+        f"e2e tau=0.9 pairs={npairs} truncated={ntrunc} ({t_e2e:.1f}s)",
+        flush=True,
+    )
+
+
+# ---- structured-mega-cell arm (r12): 8 distinct template families
+# sharing one region — the mega-cell with REAL substructure (the
+# boilerplate-families case the splitter exists for).  Isotropic blobs
+# above defeat Lloyd by construction (means collapse to the center —
+# there is no substructure to find; the budget arm bounds those); here
+# the split must actually separate the families.
+rng = np.random.default_rng(31)
+scale = np.linalg.norm(center) / np.sqrt(len(center))
+fam_centers = []
+for f in range(8):
+    c = center.copy()
+    c[f * 8:(f + 1) * 8] += 1.5 * scale   # disjoint coordinate blocks
+    fam_centers.append(c)
+blob = [
+    (2_000_000 + j, [float(x) for x in
+                     fam_centers[j % 8] + rng.normal(0, 0.05 * scale, len(center))])
+    for j in range(nblob)
+]
+aug3 = emb.select("vec_id", "embedding").unionByName(
+    spark.createDataFrame(pd.DataFrame(blob, columns=["vec_id", "embedding"]))
+).localCheckpoint(eager=True)
+idx = ivf_build_index(aug3, nlist=8, iters=3, train_mod=4, persist=True)
+pre = idx["binned"].groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+t0 = time.time()
+cells = kmeans_cell_split(
+    idx["binned"], cap=CAP, nsub=NSUB, sub_iters=2, max_depth=2
+).localCheckpoint(eager=True)
+post = cells.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+# family purity of the blob's sub-cells: members of one family should
+# co-locate (split quality, not just size)
+fam = cells.filter(F.col("vec_id") >= 2_000_000).select(
+    "cluster", (F.col("vec_id") % 8).alias("fam"))
+purity = (fam.groupBy("cluster", "fam").count()
+          .groupBy("cluster").agg(F.max("count").alias("top"),
+                                  F.sum("count").alias("tot"))
+          .agg(F.sum("top").alias("t"), F.sum("tot").alias("n")).collect()[0])
+print(
+    f"MULTIBLOB n={aug3.count()} families=8 | max cell pre-split={pre} "
+    f"post-split={post} | blob sub-cell family purity="
+    f"{purity['t']}/{purity['n']}={purity['t']/purity['n']:.3f} "
+    f"({time.time()-t0:.1f}s split)",
+    flush=True,
+)
