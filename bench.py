@@ -104,6 +104,10 @@ EXTENDED_QUERIES = [
     # unchanged vs the sealed floor (floor_ratio_table compares shared
     # queries only; this one simply has no floor row until re-seal)
     "minhash_index_increment_production",
+    # r12: same END-append rule; both get their first floor rows at the
+    # r12 re-seal
+    "semantic_dedup_capped",
+    "minhash_index_frozen_census_production",
 ]
 
 
@@ -390,6 +394,31 @@ def _production_minhash_index_increment(spark, sf_dir):
     return MHI.minhash_query_index(increment, index, min_est=0.4)
 
 
+def _production_minhash_index_frozen_census(spark, sf_dir):
+    """xxhash64 frozen-census incremental probe — the production twin of
+    the catalog's `minhash_index_frozen_census` (portable oracle path).
+    Under v3 semantics the untimed build stage pays what production pays
+    once per corpus: the stop-shingle census over the standing 80%
+    corpus (one combinable count aggregate, hash-keyed census rows) AND
+    the corpus shingle/hash/band pass under that frozen set.  The timed
+    action is the per-batch half a 100 TB ingest repeats: hash the 20%
+    increment UNDER THE FROZEN SET (broadcast anti-join, no census) and
+    bucket-probe the persisted index."""
+    from pyspark.sql import functions as F
+
+    from financial_data_science_spark.functions import minhash_index as MHI
+    from financial_data_science_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    index = MHI.minhash_build_index(
+        corpus, num_hashes=64, bands=32, portable=False, persist=True,
+        max_df=0.005,
+    )
+    return MHI.minhash_query_index(increment, index, min_est=0.4)
+
+
 EXTRA = {
     "minhash_lsh_production": _production_minhash,
     "simhash_production": _production_simhash,
@@ -398,6 +427,8 @@ EXTRA = {
     "curation_v3_production": _production_curation_v3,
     "minhash_lsh_stopshingle_production": _production_stopshingle,
     "minhash_index_increment_production": _production_minhash_index_increment,
+    "minhash_index_frozen_census_production":
+        _production_minhash_index_frozen_census,
 }
 
 

@@ -26,22 +26,31 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR_PATH = os.path.join(REPO, "tools", "bench_v3_floor.json")
 
-# Five canaries in two weight classes.  The original three became
+# Seven canaries in two weight classes.  The original three became
 # 57-266ms under v3 plan-reuse timing, where a 1.15x ratio gate is
 # 13-40ms — scheduler-jitter territory on a shared box (a 0.75%-steal
-# attempt was observed failing on a 19ms excess).  The two HEAVY
-# canaries (~0.7s / ~1.5s at the sealed floor) carry the burst
-# detection the gate exists for: a 1.2-1.6x drift burst moves them by
-# 150-900ms, far above jitter.  The tiny three keep their ratio gate
-# but gain an absolute slack (quiet_bench CANARY_ABS_SLACK, default
-# 30ms ~= 1-2 scheduler quanta) so sub-quantum differences on
-# sub-300ms kernels stop masquerading as drift.
+# attempt was observed failing on a 19ms excess).  The HEAVY canaries
+# (~0.7-2.1s at the sealed floor) carry the burst detection the gate
+# exists for: a 1.2-1.6x drift burst moves them by 150-900ms, far above
+# jitter.  The tiny three keep their ratio gate but gain an absolute
+# slack (quiet_bench CANARY_ABS_SLACK, default 30ms ~= 1-2 scheduler
+# quanta) so sub-quantum differences on sub-300ms kernels stop
+# masquerading as drift.
+#
+# r12: two EXTENDED-SECTION canaries added (ann_ivfpq_topk 0.897s,
+# embedding_near_dups 2.109s at the r11 floor) — the r11 record
+# investigation showed the extended section drifts independently of the
+# headline canaries, so certification previously covered it only by
+# proxy.  Both are timed late in the bench run, bracketing the session
+# phase the headline canaries never see.
 CANARIES = [
     "asof_join_backward",
     "text_quality",
     "q1_pricing_summary",
     "event_window_trading_days",
     "minhash_lsh_production",
+    "ann_ivfpq_topk",
+    "embedding_near_dups",
 ]
 
 # primary kernel modules per canary; the query function's own source is
@@ -56,6 +65,12 @@ CANARY_SOURCE_FILES = {
         "financial_data_science_spark/plans/calendar.py",
     ],
     "minhash_lsh_production": [
+        "financial_data_science_spark/functions/similarity.py",
+    ],
+    "ann_ivfpq_topk": [
+        "financial_data_science_spark/functions/similarity.py",
+    ],
+    "embedding_near_dups": [
         "financial_data_science_spark/functions/similarity.py",
     ],
 }

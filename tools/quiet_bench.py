@@ -67,6 +67,7 @@ from floorlib import (  # noqa: E402
     CANARIES,
     REPO,
     canary_source_hashes,
+    flat_query_times,
     floor_ratio_table,
     load_floor,
 )
@@ -92,12 +93,14 @@ def probe(seconds: float = 5.0) -> float:
 
 def canary_ratios(record: dict, floor: dict) -> dict[str, float]:
     """Per-canary observed/floor ratio, pulled from the record itself
-    (the canaries are headline queries, so they were just timed under
-    exactly the conditions being certified)."""
+    (the canaries were just timed under exactly the conditions being
+    certified).  r12: canaries live in the headline AND extended
+    sections (the extended section drifts independently — r11 record
+    investigation), so both are resolved through the flat view."""
+    obs_all, ref_all = flat_query_times(record), flat_query_times(floor)
     out = {}
     for name in CANARIES:
-        obs = record.get("queries", {}).get(name)
-        ref = floor.get("queries", {}).get(name)
+        obs, ref = obs_all.get(name), ref_all.get(name)
         out[name] = (
             round(obs / ref, 3) if obs is not None and ref else float("inf")
         )
@@ -112,9 +115,10 @@ def panel_certifies(record: dict, floor: dict) -> tuple[bool, dict]:
     vals = sorted(ratios.values())
     median = vals[len(vals) // 2] if len(vals) % 2 else round(
         (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2, 3)
+    floor_flat = flat_query_times(floor)
     heavy = {
         n: r for n, r in ratios.items()
-        if (floor.get("queries", {}).get(n) or 0) >= HEAVY_CANARY_FLOOR_SEC
+        if (floor_flat.get(n) or 0) >= HEAVY_CANARY_FLOOR_SEC
     }
     diag = {
         "ratios": ratios,
