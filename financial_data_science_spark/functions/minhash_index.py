@@ -390,6 +390,47 @@ def _read_meta(spark: SparkSession, table_prefix: str) -> dict | None:
     return {k: row[k] for k in _PARAM_KEYS}
 
 
+def minhash_compact_index(
+    spark: SparkSession, table_prefix: str, n_buckets: int = 32,
+) -> None:
+    """Compact an at-rest index: rewrite ``{prefix}_buckets`` /
+    ``{prefix}_sigs`` into ONE file set each, same bucket spec.
+
+    ``minhash_write_index(mode='append')`` lands one file per bucket
+    per append (the O(batch) write that keeps ingestion cheap) — after
+    B batches the bucket table is B x n_buckets files and every probe
+    pays B-fold open/footer overhead (measured growth in
+    tools/scale_probe_index_lifecycle.py: 32 files/batch).  This is the
+    maintenance job a deployment schedules between batches: read, eagerly
+    materialize (a plan cannot overwrite a table it scans), rewrite
+    bucketed+sorted exactly as the original write, so probe plans — and
+    their exchange-free corpus side — are unchanged.  Results are
+    row-identical; only the file layout changes.
+
+    The meta/stop tables are one-row/tiny and never appended to, so
+    they are left alone.  Single-process stance matches the rest of the
+    module: the materialize-then-overwrite swap is not atomic across
+    engines — on a shared metastore run it in the ingestion loop's own
+    maintenance window (or use a table format with atomic REPLACE)."""
+    from financial_data_science_spark.operators.skew import write_bucketed
+
+    for suffix, keys, sort in (
+        ("_buckets", ["band", "bhash"], ["band", "bhash"]),
+        ("_sigs", ["corpus_id"], None),
+    ):
+        table = f"{table_prefix}{suffix}"
+        frozen = spark.table(table).localCheckpoint(eager=True)
+        # repartition on the bucket keys into n_buckets tasks: bucket
+        # assignment and repartition share Spark's hash partitioning, so
+        # each task holds exactly one bucket's rows -> ONE file per
+        # bucket (a bucketed write otherwise emits one file per
+        # task x bucket, which is the fragmentation being repaired)
+        frozen = frozen.repartition(n_buckets, *[F.col(k) for k in keys])
+        write_bucketed(
+            frozen, table, keys, n_buckets, sort_key=sort, mode="overwrite",
+        )
+
+
 def minhash_read_index(
     spark: SparkSession,
     table_prefix: str,

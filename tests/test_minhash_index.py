@@ -435,3 +435,48 @@ def test_at_rest_meta_roundtrip_and_validation(spark, tmp_path):
     finally:
         for t in ("t_buckets", "t_sigs", "t_meta", "t_stop"):
             spark.sql(f"DROP TABLE IF EXISTS mhmeta.{t}")
+
+
+def test_compact_index_preserves_probe_and_shrinks_files(spark, tmp_path):
+    """Append-mode writes land one file set per batch; compaction must
+    rewrite into ONE set per table (same bucket spec — the probe plan
+    and its results must be identical before/after)."""
+    import glob
+
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    half = inc.filter(F.col("doc_id") < 110)
+    rest = inc.filter(F.col("doc_id") >= 110)
+    probe = docs.filter(F.col("doc_id").isin([1, 7, 115])).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    wh = f"{tmp_path}/mhcmp"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS mhcmp LOCATION '{wh}'")
+    try:
+        base = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+        MHI.minhash_write_index(base, "mhcmp.t", n_buckets=4)
+        for batch in (half, rest):
+            grown = MHI.minhash_append_index(
+                MHI.minhash_read_index(spark, "mhcmp.t"), batch
+            )
+            MHI.minhash_write_index(
+                {"buckets": grown["new_buckets"], "sigs": grown["new_sigs"]},
+                "mhcmp.t", n_buckets=4, mode="append",
+            )
+        n_before = len(glob.glob(f"{wh}/t_buckets/*.parquet"))
+        want = _pairs_key(
+            MHI.minhash_query_index(
+                probe, MHI.minhash_read_index(spark, "mhcmp.t")
+            ).toPandas()
+        )
+        MHI.minhash_compact_index(spark, "mhcmp.t", n_buckets=4)
+        n_after = len(glob.glob(f"{wh}/t_buckets/*.parquet"))
+        assert n_after < n_before and n_after <= 4
+        reopened = MHI.minhash_read_index(spark, "mhcmp.t")
+        got = _pairs_key(MHI.minhash_query_index(probe, reopened).toPandas())
+        assert got == want and want
+        # params still come from the untouched meta table
+        assert reopened["num_hashes"] == PARAMS["num_hashes"]
+    finally:
+        for t in ("t_buckets", "t_sigs", "t_meta", "t_stop"):
+            spark.sql(f"DROP TABLE IF EXISTS mhcmp.{t}")

@@ -67,6 +67,11 @@ n_base = docs.count()
 spark.sql(f"CREATE DATABASE IF NOT EXISTS mhlc LOCATION '{WAREHOUSE}'")
 for t in ("t_buckets", "t_sigs", "t_meta", "t_stop"):
     spark.sql(f"DROP TABLE IF EXISTS mhlc.{t}")
+    # a previous probe run's files under a fresh derby metastore are
+    # invisible to DROP TABLE — clear the location too
+    import shutil
+
+    shutil.rmtree(f"{WAREHOUSE}/{t}", ignore_errors=True)
 
 t0 = time.time()
 base = MHI.minhash_build_index(docs, portable=False, **PARAMS)
@@ -149,3 +154,31 @@ print(
     f"(probe+dedup+append+at-rest write, single node)",
     flush=True,
 )
+
+# the maintenance window: compact the fragmented bucket table back to
+# one file set and show the probe is unchanged (and faster to open).
+# Probe batch = verbatim copies of standing docs in a fresh id space,
+# so it MUST collide (nonzero evidence rows on both sides of the swap).
+probe_batch = docs.limit(200).select(
+    (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+).localCheckpoint(eager=True)
+t0 = time.time()
+pre = MHI.minhash_query_index(
+    probe_batch, MHI.minhash_read_index(spark, "mhlc.t"), min_est=MIN_EST
+).count()
+t_pre = time.time() - t0
+t0 = time.time()
+MHI.minhash_compact_index(spark, "mhlc.t", n_buckets=32)
+t_cmp = time.time() - t0
+nfiles = len(glob.glob(f"{WAREHOUSE}/t_buckets/*.parquet"))
+t0 = time.time()
+post = MHI.minhash_query_index(
+    probe_batch, MHI.minhash_read_index(spark, "mhlc.t"), min_est=MIN_EST
+).count()
+t_post = time.time() - t0
+print(
+    f"compaction: {t_cmp:.1f}s -> {nfiles} bucket files; probe "
+    f"{pre} rows {t_pre:.2f}s before == {post} rows {t_post:.2f}s after",
+    flush=True,
+)
+assert pre == post
