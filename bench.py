@@ -104,10 +104,12 @@ EXTENDED_QUERIES = [
     # unchanged vs the sealed floor (floor_ratio_table compares shared
     # queries only; this one simply has no floor row until re-seal)
     "minhash_index_increment_production",
-    # r12: same END-append rule; both get their first floor rows at the
-    # r12 re-seal
+    # r12: same END-append rule; the first two got their floor rows at
+    # the r12 re-seal; the index probe landed after it and earns its
+    # row at the next seal (until then it is timed but has no ratio)
     "semantic_dedup_capped",
     "minhash_index_frozen_census_production",
+    "semdedup_index_probe",
 ]
 
 

@@ -99,10 +99,31 @@ def kmeans_cell_split(
     mega-cells pays Spark's scheduling cost once, not per cell.  The
     per-sweep centroid frame (<= n_oversized * nsub rows) is eagerly
     checkpointed to keep the sweep-over-sweep plan flat."""
+    out, _levels = _cell_split_levels(
+        binned, id_col, vec_col, cell_col, cap, nsub, sub_iters, max_depth
+    )
+    return out
+
+
+def _cell_split_levels(
+    binned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    cap: int,
+    nsub: int,
+    sub_iters: int,
+    max_depth: int,
+) -> tuple[DataFrame, list]:
+    """:func:`kmeans_cell_split` body, additionally returning each
+    level's FINAL sub-centroid frame (``(__cell__, __sub__, __cv__)``;
+    ``None`` for a skipped level) — what :func:`semdedup_query_index`
+    needs to route NEW vectors through the same refinement chain."""
     if nsub < 2:
         raise ValueError("kmeans_cell_split: nsub must be >= 2")
     out = binned.withColumn("__cell__", F.col(cell_col).cast("long"))
     v = F.col(vec_col)
+    levels: list = []
     for _ in range(max_depth):
         counts = out.groupBy("__cell__").agg(F.count(F.lit(1)).alias("__cnt__"))
         big = counts.filter(F.col("__cnt__") > cap).select("__cell__")
@@ -113,6 +134,7 @@ def kmeans_cell_split(
         # always unrolls
         if big.limit(1).count() == 0:
             out = out.withColumn("__cell__", F.col("__cell__") * (nsub + 1))
+            levels.append(None)
             continue
         mem = (
             out.join(big, "__cell__")
@@ -186,6 +208,7 @@ def kmeans_cell_split(
                 .localCheckpoint(eager=True)
             )
         final = _assign(cents)
+        levels.append(cents)
         out = (
             out.join(
                 final.select(F.col("__id__").alias(id_col), "__sub__"),
@@ -199,7 +222,7 @@ def kmeans_cell_split(
             )
             .drop("__sub__")
         )
-    return out.withColumn(cell_col, F.col("__cell__")).drop("__cell__")
+    return out.withColumn(cell_col, F.col("__cell__")).drop("__cell__"), levels
 
 
 def semantic_dedup_pairs(
@@ -276,6 +299,149 @@ def semantic_dedup_pairs(
             "cell",
             "left_id",
             "right_id",
+            F.round(F.col("c6"), 4).alias("cos"),
+            (F.col("__cnt__") > cap).alias("truncated"),
+        )
+    )
+
+
+def semdedup_build_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    iters: int = 3,
+    train_mod: int = 1,
+    cap: int = 1000,
+    nsub: int = 4,
+    sub_iters: int = 2,
+    max_depth: int = 1,
+    persist: bool = False,
+) -> dict:
+    """BIN-ONCE half of ingestion-time semantic dedup — the SemDeDup
+    analog of minhash_index.minhash_build_index: train the deterministic
+    quantizer, bin the standing corpus, split oversized cells, and keep
+    everything a per-batch probe needs so arriving embeddings NEVER
+    trigger a corpus re-train/re-bin (``semantic_dedup_pairs`` re-runs
+    both per call — right for a one-shot sweep, wrong per batch at
+    100 TB, the same argument as the MinHash index).
+
+    Returns ``{"cells": DataFrame[(id, vec, cell, __rn__, __cnt__)],
+    "centroids": rows, "levels": [per-level sub-centroid frames],
+    ...params}``.  ``__rn__``/``__cnt__`` pre-rank each cell by id so
+    the probe's representative cap (see :func:`semdedup_query_index`)
+    is a filter, not a per-batch window.  The quantizer is FROZEN, like
+    the stop-shingle census: batches are assigned through the recorded
+    centroid chain, and the corpus statistics never drift under
+    ingestion.  ``persist=True`` eagerly checkpoints the cell table
+    (the at-rest stance; on a cluster write it bucketed by ``cell`` —
+    the probe join key — via operators.skew.write_bucketed)."""
+    from financial_data_science_spark.functions.similarity import ivf_build_index
+
+    index = ivf_build_index(
+        emb, id_col=id_col, vec_col=vec_col, nlist=nlist, iters=iters,
+        train_mod=train_mod,
+    )
+    binned, levels = _cell_split_levels(
+        index["binned"], id_col, vec_col, "cluster", cap, nsub, sub_iters,
+        max_depth,
+    )
+    cells = binned.select(
+        F.col("cluster").alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(id_col)
+        ).alias("__rn__"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("__cnt__"),
+    )
+    if persist:
+        cells = cells.localCheckpoint(eager=True)
+    return {
+        "cells": cells,
+        "centroids": index["centroids"],
+        "levels": levels,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "nsub": nsub,
+        "cap": cap,
+    }
+
+
+def semdedup_query_index(
+    queries: DataFrame,
+    index: dict,
+    tau: float = 0.4,
+    query_id: str | None = None,
+) -> DataFrame:
+    """Per-batch half: semantic near-dup pairs between arriving vectors
+    and the indexed corpus — assignment is MAP-SIDE (top-level argmax
+    against the inlined centroid literal, then one broadcast join +
+    argmax per recorded refinement level; skipped levels are pure id
+    arithmetic), so per-batch cost is O(batch) plus the within-cell
+    candidate join.
+
+    Candidate bound: in a cell the splitter left over ``cap`` (the
+    point-mass case), each new vector compares against only the cell's
+    ``cap`` lowest-id REPRESENTATIVES — decision-equivalent for the
+    near-identical blobs that produce such cells (any one member
+    witnesses the duplicate), and a hard per-query bound of ``cap``
+    comparisons per probed cell; those pairs carry ``truncated=true``.
+
+    Output: ``(query_id, corpus_id, cos, truncated)`` with
+    ``round(cosine, 6) >= tau``.  Ids in ``queries`` must be disjoint
+    from the indexed ids (same contract as minhash_query_index)."""
+    from financial_data_science_spark.functions.similarity import (
+        _assign_clusters,
+    )
+
+    id_col, vec_col = index["id_col"], index["vec_col"]
+    nsub, cap = index["nsub"], index["cap"]
+    query_id = query_id or f"new_{id_col}"
+    probes = _assign_clusters(
+        queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
+        ),
+        "__qv__",
+        index["centroids"],
+        6,
+    ).withColumn("__cell__", F.col("cluster").cast("long")).drop("cluster")
+    for cents in index["levels"]:
+        if cents is None:
+            probes = probes.withColumn(
+                "__cell__", F.col("__cell__") * (nsub + 1)
+            )
+            continue
+        scored = probes.join(F.broadcast(cents), "__cell__").select(
+            query_id,
+            "__sub__",
+            F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("__s__"),
+        )
+        best = scored.groupBy(query_id).agg(
+            F.max(
+                F.struct(F.col("__s__"), (-F.col("__sub__")).alias("__negsub__"))
+            ).alias("__b__")
+        ).select(query_id, (-F.col("__b__.__negsub__")).alias("__sub__"))
+        probes = (
+            probes.join(best, query_id, "left")
+            .withColumn(
+                "__cell__",
+                F.col("__cell__") * (nsub + 1)
+                + F.coalesce(F.col("__sub__"), F.lit(0)),
+            )
+            .drop("__sub__")
+        )
+    reps = index["cells"].filter(
+        (F.col("__cnt__") <= cap) | (F.col("__rn__") <= cap)
+    )
+    return (
+        probes.withColumnRenamed("__cell__", "cell")
+        .join(reps.withColumnRenamed("cell", "cell"), "cell")
+        .withColumn("c6", F.round(cosine(F.col("__qv__"), F.col(vec_col)), 6))
+        .filter(F.col("c6") >= tau)
+        .select(
+            query_id,
+            F.col(id_col).alias("corpus_id"),
             F.round(F.col("c6"), 4).alias("cos"),
             (F.col("__cnt__") > cap).alias("truncated"),
         )

@@ -2950,14 +2950,18 @@ def dated_lookup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_chain_sql(
     nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
+    where: str = "",
 ) -> str:
     """The shared WITH-chain of the deterministic IVF replay — training
     sweeps through the full-corpus ``binned`` CTE — reused verbatim by
     the topk oracle and the recall oracle so both replay the identical
-    quantizer."""
+    quantizer.  ``where`` restricts the indexed corpus (e.g.
+    ``" WHERE vec_id % 5 != 0"`` for the ingestion-split oracles);
+    the train sample and binning then cover only that subset, exactly
+    as building the index on a filtered frame does."""
     head = f"""
     WITH e AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{where}),
     et AS MATERIALIZED (SELECT * FROM e WHERE vec_id % {train_mod} = 0),
     c0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
@@ -5591,21 +5595,17 @@ def _semantic_dedup_oracle_sql(
 ORACLE["semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 
-def _semantic_dedup_capped_oracle_sql(
-    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
-    tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
-    max_depth: int = 1, budget_w: int = 8,
+def _cell_split_sql_body(
+    max_depth: int, cap: int, nsub: int, sub_iters: int, dim: int,
 ) -> str:
-    """DuckDB replay of the SKEW-GUARDED SemDeDup (semdedup.py): the
-    shared deterministic IVF chain bins every vector, then each
-    refinement level re-runs the same Lloyd recipe GROUPED by oversized
-    cell (init = nsub lowest-id members, unrolled sweeps, rounded
-    grids, ties to the lowest sub) and renumbers cells injectively as
-    cell*(nsub+1)+sub; the final pair join applies the sorted-
-    neighborhood budget to cells still over cap.  Every level and sweep
-    is unrolled statically — the Spark side's skip-level fast path is
-    pure renumbering with identical ids."""
-    chain = _ivf_chain_sql(nlist, iters, dim, train_mod)
+    """Shared WITH-chain body of the recursive cell split replay
+    (semdedup._cell_split_levels): per unrolled level — per-cell counts,
+    oversized set, evenly-spaced-rank init, unrolled Lloyd sweeps with
+    rounded grids and ties-to-lowest-sub, final assignment, injective
+    renumbering cell*(nsub+1)+sub.  Starts from ``binned`` (the shared
+    IVF chain's output) and ends at ``cells{max_depth}``.  Used by the
+    capped-pairs oracle AND the index-probe oracle so the corpus-side
+    refinement cannot drift between them."""
     level = """,
     cnt{d} AS (SELECT cell, count(*) AS cnt FROM cells{prev} GROUP BY 1),
     big{d} AS (SELECT cell FROM cnt{d} WHERE cnt > {cap}),
@@ -5647,6 +5647,24 @@ def _semantic_dedup_capped_oracle_sql(
         for k in range(1, sub_iters + 1):
             body += sweep.format(d=d, k=k, pk=k - 1, dim1=dim + 1)
         body += fin.format(d=d, prev=d - 1, ks=sub_iters, nsub1=nsub + 1)
+    return body
+
+
+def _semantic_dedup_capped_oracle_sql(
+    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
+    tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
+    max_depth: int = 1, budget_w: int = 8,
+) -> str:
+    """DuckDB replay of the SKEW-GUARDED SemDeDup (semdedup.py): the
+    shared deterministic IVF chain bins every vector, the shared split
+    body refines oversized cells (evenly-spaced-rank init, unrolled
+    sweeps, rounded grids, ties to the lowest sub, injective
+    renumbering), and the final pair join applies the sorted-
+    neighborhood budget to cells still over cap.  Every level and sweep
+    is unrolled statically — the Spark side's skip-level fast path is
+    pure renumbering with identical ids."""
+    chain = _ivf_chain_sql(nlist, iters, dim, train_mod)
+    body = _cell_split_sql_body(max_depth, cap, nsub, sub_iters, dim)
     return chain + body + f""",
     ranked AS (
       SELECT vec_id, v, cell,
@@ -5691,6 +5709,105 @@ def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["semantic_dedup_capped"] = _semantic_dedup_capped_oracle_sql()
+
+
+def _semdedup_index_oracle_sql(
+    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
+    tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
+    max_depth: int = 1, split_mod: int = 5,
+) -> str:
+    """DuckDB replay of the BIN-ONCE / probe-per-batch semantic dedup
+    (semdedup.semdedup_build_index + semdedup_query_index): the IVF
+    chain and the shared split body run over the CORPUS side only
+    (vec_id % split_mod != 0 — the frozen quantizer), then the batch
+    (vec_id % split_mod = 0) is routed through the SAME recorded chain
+    — top-level argmax against c{iters}, then per level an argmax over
+    the level's final sub-centroids (LEFT join: cells that never split
+    contribute sub = 0) — and joined against the corpus cells'
+    representatives (full cell when cnt <= cap, else the cap lowest-id
+    members, pairs labeled truncated)."""
+    chain = _ivf_chain_sql(
+        nlist, iters, dim, train_mod,
+        where=f" WHERE vec_id % {split_mod} != 0",
+    )
+    body = _cell_split_sql_body(max_depth, cap, nsub, sub_iters, dim)
+    qlevel = """,
+    qa{d} AS (SELECT vec_id, sub FROM (
+        SELECT q.vec_id, c.sub,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                          c.sub) AS rn
+        FROM q{prev} q JOIN sc{d}_{ks} c USING (cell)) WHERE rn = 1),
+    q{d} AS (
+      SELECT q.vec_id, q.v, q.cell * {nsub1} + coalesce(a.sub, 0) AS cell
+      FROM q{prev} q LEFT JOIN qa{d} a ON a.vec_id = q.vec_id)"""
+    qskip = """,
+    q{d} AS (SELECT vec_id, v, cell * {nsub1} AS cell FROM q{prev})"""
+    qbody = f""",
+    q0 AS (SELECT vec_id, v, CAST(cluster AS BIGINT) AS cell FROM (
+        SELECT b.vec_id, b.v, c.cluster,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id % {split_mod} = 0) b, c{iters} c) WHERE rn = 1)"""
+    for d in range(1, max_depth + 1):
+        # the split body always materializes sc{d}_{ks}; if that level
+        # had no oversized cell the frame is EMPTY and the LEFT join
+        # yields sub = 0 for every batch vector — identical to the
+        # Spark side's skip-level arithmetic, so one template serves
+        qbody += qlevel.format(d=d, prev=d - 1, ks=sub_iters,
+                               nsub1=nsub + 1)
+    return chain + body + qbody + f""",
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+             count(*) OVER (PARTITION BY cell) AS cnt
+      FROM cells{max_depth})
+    SELECT q.vec_id AS new_vec_id, r.vec_id AS corpus_id,
+           round(round(list_cosine_similarity(q.v, r.v), 6), 4) AS cos,
+           r.cnt > {cap} AS truncated
+    FROM q{max_depth} q JOIN ranked r USING (cell)
+    WHERE (r.cnt <= {cap} OR r.rn <= {cap})
+      AND round(list_cosine_similarity(q.v, r.v), 6) >= {tau}
+    """
+
+
+@query("semdedup_index_probe", None)
+def semdedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN-ONCE semantic dedup probe — the embedding-side analog of
+    minhash_index_increment, completing the ingestion-time dedup pair
+    (hash index for near-literal text, frozen quantizer for semantic
+    dups): the standing corpus (vec_id % 5 != 0) is trained/binned/
+    split ONCE (semdedup.semdedup_build_index); the arriving batch
+    (vec_id % 5 == 0) is routed map-side through the FROZEN assignment
+    chain — centroid-literal argmax, then one broadcast join per
+    recorded refinement level — and compared only against its final
+    cell's representatives (whole cell when small; the cap lowest-id
+    members of cells the splitter could not break, labeled truncated —
+    decision-equivalent for the point-mass blobs that produce such
+    cells, since any one member witnesses the duplicate).  Per-batch
+    cost is O(batch x cap), independent of corpus size; corpus
+    statistics never drift under ingestion (the frozen-census
+    principle, applied to the quantizer).  The oracle replays corpus
+    training, splitting, batch routing, and the representative-capped
+    join value-for-value."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = semdedup_build_index(
+        corpus, nlist=8, iters=3, train_mod=4, cap=16, nsub=2, sub_iters=2,
+        max_depth=1, persist=True,
+    )
+    return semdedup_query_index(batch, index, tau=0.4)
+
+
+ORACLE["semdedup_index_probe"] = _semdedup_index_oracle_sql()
 
 
 def _stream_index_probe_oracle_sql(
@@ -8292,16 +8409,17 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-12 rotation (eighth gate rotation).  Slots: 1 anchor (the
-# flagship), 2 debut rows (the only catalog entries with no driver
+# flagship), 3 debut rows (the only catalog entries with no driver
 # CORRECTNESS record: the frozen-census arm of the incremental MinHash
-# index and the skew-guarded SemDeDup — both built this round), then
+# index, the skew-guarded SemDeDup, and the bin-once semantic-dedup
+# index probe — all built this round), then
 # the ENTIRE oldest-driver-checked cohort — all 12 rows last checked in
 # r8, which the r11 rotation deferred with documented justifications
 # and which would hit 4-rounds-stale if deferred again (the r11 verdict
 # pinned them by name: item 2) — and 35 of the 49 rows last checked in
 # r9 (including the four the r11 verdict item 6 named:
 # cached_section_reuse, sql_front_end, predicate_parser_filter,
-# identifier_find_dispatch).  The 14 r9-cohort rows deferred to r13
+# identifier_find_dispatch).  The 15 r9-cohort rows deferred to r13
 # each have a same-kernel sibling IN this gate or fresher independent
 # coverage:
 #   ann_ivf_topk          (bench headline timed at sf0.1 every round;
@@ -8340,6 +8458,11 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #   bond_portfolio_pricing (functions/finance.py family re-verified
 #                          via ohlc_volatility r11-green + the Jorion
 #                          ch.5 pytest oracle)
+#   token_budget_packing  (the packing kernel rides inside
+#                          corpus_curation_pipeline_v3 — r11-green and
+#                          in this gate — and bpe_tokenize_and_pack,
+#                          r10-green; distributed-prefix-sum shape
+#                          pytest-pinned)
 # Everything rotated out stays guarded by the full-catalog hash-strict
 # local replica (tools/check_correctness.py), and its r5-r11 driver
 # records stand.
@@ -8349,6 +8472,7 @@ _GATE_ORDER = [
     # debut rows: built this round, no driver record yet
     "minhash_index_frozen_census",  # frozen-census incremental dedup
     "semantic_dedup_capped",    # skew-guarded SemDeDup (split + budget)
+    "semdedup_index_probe",     # bin-once semantic dedup, frozen quantizer
     # oldest-checked cohort: r8 (all 12 — the r11 verdict item 2 list)
     "bpe_token_counts",
     "cube_revenue",
@@ -8362,7 +8486,7 @@ _GATE_ORDER = [
     "stream_contamination_flags",
     "stream_curation_pipeline",
     "tfidf_top_terms",
-    # oldest-checked cohort: r9 (35 of 49; 14 deferrals documented above)
+    # oldest-checked cohort: r9 (34 of 49; 15 deferrals documented above)
     "ann_ivfpq_query_only",
     "ann_ivfpq_topk",
     "ann_sq8_topk",
@@ -8397,7 +8521,6 @@ _GATE_ORDER = [
     "stream_tick_bins_5min",
     "supply_community_quality",
     "ticker_bridge_join",
-    "token_budget_packing",
 ]
 
 

@@ -22,11 +22,11 @@ def test_gate_prefix_is_pinned():
     """The driver checks the first 50 queries() entries; the round-12
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    two r12 debut rows (the only catalog entries with no driver
+    three r12 debut rows (the only catalog entries with no driver
     CORRECTNESS record), and must draw the rest from the
     oldest-driver-checked cohorts (refresh rotation: ALL 12 r8-stale
-    rows — the r11 verdict pinned them by name — then 35 of the 49
-    r9-stale rows, 14 deferred with documented justifications)."""
+    rows — the r11 verdict pinned them by name — then 34 of the 49
+    r9-stale rows, 15 deferred with documented justifications)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -37,6 +37,7 @@ def test_gate_prefix_is_pinned():
         # r12 debut rows: built this round, first-ever driver record
         "minhash_index_frozen_census",
         "semantic_dedup_capped",
+        "semdedup_index_probe",
         # the full r8-stale cohort (would be 4 rounds stale if deferred;
         # r11 verdict item 2 names them)
         "bpe_token_counts", "cube_revenue", "monthly_rollup",

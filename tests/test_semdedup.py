@@ -138,3 +138,66 @@ def test_max_depth_recursion_tightens_cells(spark):
     m2 = d2.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
     assert m2 < m1
     assert d2.count() == 80
+
+
+def test_split_is_partitioning_invariant(spark):
+    """The determinism contract: cell assignments depend only on the
+    DATA (ids, vectors), never on physical partitioning or input order
+    — the property the DuckDB oracle replay rests on."""
+    rng = np.random.default_rng(23)
+    rows = [(i, v) for i, v in enumerate(
+        _spread_blob(rng, np.ones(DIM), 50, 0.4)
+        + _spread_blob(rng, -np.ones(DIM), 30, 0.4)
+    )]
+    emb = _emb_df(spark, rows)
+    idx = ivf_build_index(emb, nlist=2, iters=2)
+    base = idx["binned"].localCheckpoint(eager=True)
+
+    def cells_of(frame):
+        out = kmeans_cell_split(frame, cap=12, nsub=3, sub_iters=2,
+                                max_depth=2)
+        return {r["vec_id"]: r["cluster"] for r in
+                out.select("vec_id", "cluster").collect()}
+
+    a = cells_of(base.repartition(1))
+    b = cells_of(base.repartition(32, F.col("vec_id")))
+    c = cells_of(base.orderBy(F.col("vec_id").desc()).repartition(7))
+    assert a == b == c and len(set(a.values())) > 2
+
+
+def test_semdedup_index_probe_finds_planted_dups(spark):
+    """BIN-ONCE / probe-per-batch: exact copies of corpus vectors must
+    route through the frozen assignment chain to the same final cell
+    and be reported; far vectors report nothing; copies of a point-mass
+    member are caught through the cap'd representatives (truncated
+    label, <= cap comparisons)."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+
+    rng = np.random.default_rng(41)
+    spread = _spread_blob(rng, np.ones(DIM), 30, 0.4)
+    mass = [np.full(DIM, -1.0) + rng.normal(0, 1e-7, DIM) for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(spread + mass)]
+    emb = _emb_df(spark, rows)
+    idx = semdedup_build_index(
+        emb, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=1,
+        persist=True,
+    )
+    batch = _emb_df(spark, [
+        (1000, spread[5]),               # exact copy -> must be found
+        (1001, np.full(DIM, -1.0)),      # point-mass copy -> truncated hit
+        (1002, np.array([1.0] * (DIM // 2) + [-1.0] * (DIM // 2))),  # far
+    ])
+    out = semdedup_query_index(batch, idx, tau=0.95).toPandas()
+    hits = {int(q) for q in out["new_vec_id"]}
+    assert 1000 in hits and 1001 in hits and 1002 not in hits
+    exact = out[(out["new_vec_id"] == 1000) & (out["corpus_id"] == 5)]
+    assert len(exact) == 1 and exact.iloc[0]["cos"] == 1.0
+    mass_hits = out[out["new_vec_id"] == 1001]
+    assert mass_hits["truncated"].all()
+    assert 0 < len(mass_hits) <= 12      # the representative cap
+    # cross pairs only ever touch representatives: per query, per cell,
+    # never more than cap corpus comparisons even for the 40-row mass
+    assert out.groupby("new_vec_id").size().max() <= 12
