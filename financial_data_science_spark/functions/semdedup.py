@@ -49,7 +49,7 @@ practice (sorted-neighborhood is the classic bounded-blocking rule).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_data_science_spark.functions.similarity import cosine
@@ -446,3 +446,91 @@ def semdedup_query_index(
             (F.col("__cnt__") > cap).alias("truncated"),
         )
     )
+
+
+def semdedup_write_index(
+    index: dict, table_prefix: str, n_buckets: int = 32,
+) -> None:
+    """Persist a :func:`semdedup_build_index` result AT REST:
+    ``{prefix}_cells`` bucketed by ``cell`` (the probe join key — a
+    large probe batch then joins co-located buckets),
+    ``{prefix}_centroids`` (the top-level quantizer),
+    ``{prefix}_levels`` (every refinement level's sub-centroids under a
+    ``level`` column; a skipped level simply has no rows), and a
+    one-row ``{prefix}_meta`` carrying the structural params — like the
+    MinHash index's meta, they are DATA: probing under a different
+    cap/nsub/depth silently yields wrong cells, not an error.
+
+    No append mode, deliberately: unlike MinHash signatures (per-doc-
+    independent, append-exact), the cell table's representative ranks
+    and counts are corpus-order statistics, and the frozen quantizer
+    itself ages as the corpus distribution moves — the production
+    cadence is probe-per-batch between PERIODIC REBUILDS (batch the
+    accepted vectors, rebuild on a maintenance schedule), the standard
+    ANN-index lifecycle."""
+    from pyspark.sql import types as T
+
+    from financial_data_science_spark.operators.skew import write_bucketed
+
+    cells = index["cells"]
+    spark = cells.sparkSession
+    write_bucketed(cells, f"{table_prefix}_cells", ["cell"], n_buckets,
+                   sort_key=["cell"], mode="overwrite")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in index["centroids"]],
+        "cluster int, cv array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+    lvl_schema = T.StructType([
+        T.StructField("level", T.IntegerType()),
+        T.StructField("__cell__", T.LongType()),
+        T.StructField("__sub__", T.IntegerType()),
+        T.StructField("__cv__", T.ArrayType(T.DoubleType())),
+    ])
+    lvl = spark.createDataFrame([], lvl_schema)
+    for d, cents in enumerate(index["levels"], 1):
+        if cents is not None:
+            lvl = lvl.unionByName(
+                cents.select(
+                    F.lit(d).alias("level"),
+                    F.col("__cell__"),
+                    F.col("__sub__").cast("int").alias("__sub__"),
+                    F.col("__cv__").cast("array<double>").alias("__cv__"),
+                )
+            )
+    lvl.write.mode("overwrite").saveAsTable(f"{table_prefix}_levels")
+    spark.createDataFrame(
+        [(index["id_col"], index["vec_col"], int(index["nsub"]),
+          int(index["cap"]), len(index["levels"]))],
+        "id_col string, vec_col string, nsub int, cap int, max_depth int",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+
+
+def semdedup_read_index(spark: SparkSession, table_prefix: str) -> dict:
+    """Re-open an at-rest semantic dedup index written by
+    :func:`semdedup_write_index` — structural params come from the
+    persisted meta; nothing is the caller's to remember.  Levels with
+    no persisted sub-centroids are restored as the skip arm (pure id
+    arithmetic), exactly as built."""
+    meta = spark.table(f"{table_prefix}_meta").collect()[0]
+    cent_rows = sorted(
+        (r["cluster"], list(r["cv"]))
+        for r in spark.table(f"{table_prefix}_centroids").collect()
+    )
+    lvl = spark.table(f"{table_prefix}_levels")
+    present = {
+        r["level"] for r in lvl.select("level").distinct().collect()
+    }
+    levels = [
+        lvl.filter(F.col("level") == d).select("__cell__", "__sub__", "__cv__")
+        if d in present else None
+        for d in range(1, meta["max_depth"] + 1)
+    ]
+    return {
+        "cells": spark.table(f"{table_prefix}_cells"),
+        "centroids": cent_rows,
+        "levels": levels,
+        "id_col": meta["id_col"],
+        "vec_col": meta["vec_col"],
+        "nsub": meta["nsub"],
+        "cap": meta["cap"],
+    }

@@ -201,3 +201,43 @@ def test_semdedup_index_probe_finds_planted_dups(spark):
     # cross pairs only ever touch representatives: per query, per cell,
     # never more than cap corpus comparisons even for the 40-row mass
     assert out.groupby("new_vec_id").size().max() <= 12
+
+
+def test_semdedup_index_at_rest_roundtrip(spark, tmp_path):
+    """write -> read -> probe must equal the in-memory probe (params
+    from meta, skipped levels restored as the skip arm)."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+        semdedup_read_index,
+        semdedup_write_index,
+    )
+
+    rng = np.random.default_rng(47)
+    rows = [(i, v) for i, v in enumerate(
+        _spread_blob(rng, np.ones(DIM), 40, 0.4)
+        + _spread_blob(rng, -np.ones(DIM), 10, 0.4)
+    )]
+    emb = _emb_df(spark, rows)
+    batch = _emb_df(spark, [(1000 + i, rows[i][1]) for i in (2, 7, 44)])
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sdidx LOCATION '{tmp_path}/sd'")
+    try:
+        # max_depth=2 so level 2 is typically the SKIP arm (cells small
+        # after one split) — the restored index must replay it
+        idx = semdedup_build_index(
+            emb, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=2,
+            persist=True,
+        )
+        want = semdedup_query_index(batch, idx, tau=0.9).toPandas()
+        semdedup_write_index(idx, "sdidx.t", n_buckets=4)
+        re = semdedup_read_index(spark, "sdidx.t")
+        assert (re["nsub"], re["cap"], re["id_col"]) == (2, 12, "vec_id")
+        assert len(re["levels"]) == len(idx["levels"])
+        got = semdedup_query_index(batch, re, tau=0.9).toPandas()
+        key = lambda d: {(int(q), int(c), float(s), bool(t)) for q, c, s, t in
+                         d[["new_vec_id", "corpus_id", "cos", "truncated"]]
+                         .to_numpy()}
+        assert key(got) == key(want) and len(want) >= 3
+    finally:
+        for t in ("t_cells", "t_centroids", "t_levels", "t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS sdidx.{t}")
