@@ -241,3 +241,51 @@ def test_semdedup_index_at_rest_roundtrip(spark, tmp_path):
     finally:
         for t in ("t_cells", "t_centroids", "t_levels", "t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS sdidx.{t}")
+
+
+def test_at_rest_cells_probe_skips_corpus_side_exchange(spark, tmp_path):
+    """semdedup_write_index buckets the cell table by the probe join
+    key; a LARGE batch join (too big to broadcast) must then exchange
+    ONLY the batch side — the same 100 TB contract the MinHash index
+    pins (one fewer Exchange than the in-memory cell frame, bucketed
+    scan visible in the plan)."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_read_index,
+        semdedup_write_index,
+    )
+
+    rng = np.random.default_rng(53)
+    rows = [(i, v) for i, v in enumerate(
+        _spread_blob(rng, np.ones(DIM), 40, 0.4)
+    )]
+    emb = _emb_df(spark, rows)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sdpl LOCATION '{tmp_path}/sdpl'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        idx = semdedup_build_index(
+            emb, nlist=2, iters=1, cap=50, nsub=2, sub_iters=1, max_depth=1,
+            persist=True,
+        )
+        semdedup_write_index(idx, "sdpl.t", n_buckets=4)
+        re = semdedup_read_index(spark, "sdpl.t")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probes = _emb_df(spark, [(1000 + i, rows[i % 40][1]) for i in range(20)]) \
+            .select("vec_id", F.lit(0).cast("long").alias("cell")) \
+            .localCheckpoint(eager=True)
+        plan_mem = (
+            probes.join(idx["cells"], "cell")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan_rest = (
+            probes.join(re["cells"], "cell")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan_rest
+        n_mem = plan_mem.count("Exchange hashpartitioning")
+        n_rest = plan_rest.count("Exchange hashpartitioning")
+        assert n_rest == n_mem - 1, (n_mem, n_rest)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_cells", "t_centroids", "t_levels", "t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS sdpl.{t}")
