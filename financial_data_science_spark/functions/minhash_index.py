@@ -342,15 +342,26 @@ def minhash_write_index(
 
     spark = index["buckets"].sparkSession
     params = {k: index[k] for k in _PARAM_KEYS if k in index}
-    if mode == "append" and params:
-        at_rest = _read_meta(spark, table_prefix)
-        if at_rest is not None and at_rest != params:
-            raise ValueError(
-                f"minhash_write_index(mode='append'): params {params} do not "
-                f"match the at-rest index {table_prefix} ({at_rest}) — "
-                "appending rows hashed under a different family corrupts "
-                "the index"
-            )
+    # all validation happens BEFORE any table is touched: an incomplete
+    # param dict in overwrite mode must not leave fresh bucket/sig rows
+    # (or a dropped stop table) at rest under the previous generation's
+    # meta — the silent family mismatch the meta table exists to prevent
+    if mode == "append":
+        if params:
+            at_rest = _read_meta(spark, table_prefix)
+            if at_rest is not None and at_rest != params:
+                raise ValueError(
+                    f"minhash_write_index(mode='append'): params {params} do "
+                    f"not match the at-rest index {table_prefix} ({at_rest}) "
+                    "— appending rows hashed under a different family "
+                    "corrupts the index"
+                )
+    elif len(params) != len(_PARAM_KEYS):
+        raise ValueError(
+            "minhash_write_index: index dict is missing hash-family "
+            f"params {sorted(set(_PARAM_KEYS) - set(params))} — pass the "
+            "dict returned by minhash_build_index"
+        )
     write_bucketed(
         index["buckets"], f"{table_prefix}_buckets", ["band", "bhash"],
         n_buckets, sort_key=["band", "bhash"], mode=mode,
@@ -370,12 +381,6 @@ def minhash_write_index(
             # overwriting a censused index with an uncensused one must
             # not leave the stale stop table behind
             spark.sql(f"DROP TABLE {table_prefix}_stop")
-        if len(params) != len(_PARAM_KEYS):
-            raise ValueError(
-                "minhash_write_index: index dict is missing hash-family "
-                f"params {sorted(set(_PARAM_KEYS) - set(params))} — pass the "
-                "dict returned by minhash_build_index"
-            )
         spark.createDataFrame(
             [tuple(params[k] for k in _PARAM_KEYS)],
             "shingle_k int, num_hashes int, bands int, seed int, portable boolean",

@@ -38,9 +38,12 @@ oracle re-derives every pair:
 
 Scale shape: per-cell counts are one hash aggregate; sub-training
 shuffles only oversized-cell members (rare by construction); the pair
-join shuffles on the final cell id whose per-key product is bounded by
-``max(cap^2, cap * budget_w)``; nothing is all-pairs and nothing but
-nsub-row centroid frames is ever checkpointed.
+join runs in two arms so the JOIN ITSELF is bounded, not just its
+output — within-cap cells join on the cell id (per-key product <=
+``cap^2``), residual over-cap cells join on a rank-block key with
+per-key product <= ``2 * budget_w^2`` (O(n * budget_w) candidates per
+cell); nothing is all-pairs and nothing but nsub-row centroid frames
+is ever checkpointed.
 
 Reference: no counterpart (the reference repo has no semantic dedup);
 method from the public SemDeDup paper, guards from standard blocking
@@ -251,7 +254,9 @@ def semantic_dedup_pairs(
     only id-rank-adjacent pairs (distance <= ``budget_w``) were
     generated.  Worst-case pairs per cell:
     ``max(cap * (cap-1) / 2, cell_size * budget_w)`` — never quadratic
-    in an unbounded cell."""
+    in an unbounded cell; over-cap cells reach that bound through a
+    rank-block join key (not a post-join filter), so the candidate
+    fan-out the executor iterates is itself O(cell_size * budget_w)."""
     from financial_data_science_spark.functions.similarity import ivf_build_index
 
     index = ivf_build_index(
@@ -284,15 +289,38 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("__rv__"),
         F.col("__rn__").alias("__rrn__"),
     )
-    return (
-        l.join(r, "cell")
+    # Two join arms so the JOIN FAN-OUT itself is bounded, not just the
+    # emitted pairs: cells within cap join on the cell key (per-key
+    # product <= cap^2); cells STILL over cap join on a rank-block key
+    # blk = floor((rn-1)/budget_w) — a pair within budget_w ranks lives
+    # in the same or the adjacent block, so the left row fans to exactly
+    # two block keys and the per-key product is <= 2*budget_w^2, i.e.
+    # O(n * budget_w) candidate rows per cell instead of the O(n^2)
+    # cell-keyed product a post-join rank filter would still iterate
+    # (the 10^16-pair point-mass case this module exists to bound).
+    small = (
+        l.filter(F.col("__cnt__") <= cap)
+        .join(r, "cell")
+        .filter(F.col("__lrn__") < F.col("__rrn__"))
+    )
+    blk_l = F.floor((F.col("__lrn__") - 1) / budget_w)
+    big = (
+        l.filter(F.col("__cnt__") > cap)
+        .withColumn("__blk__", F.explode(F.array(blk_l, blk_l + 1)))
+        .join(
+            r.withColumn(
+                "__blk__", F.floor((F.col("__rrn__") - 1) / budget_w)
+            ),
+            ["cell", "__blk__"],
+        )
+        .drop("__blk__")
         .filter(
             (F.col("__lrn__") < F.col("__rrn__"))
-            & (
-                (F.col("__cnt__") <= cap)
-                | (F.col("__rrn__") - F.col("__lrn__") <= budget_w)
-            )
+            & (F.col("__rrn__") - F.col("__lrn__") <= budget_w)
         )
+    )
+    return (
+        small.unionByName(big)
         .withColumn("c6", F.round(cosine(F.col("__lv__"), F.col("__rv__")), 6))
         .filter(F.col("c6") >= tau)
         .select(

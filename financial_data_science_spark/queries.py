@@ -8416,7 +8416,7 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 # the ENTIRE oldest-driver-checked cohort — all 12 rows last checked in
 # r8, which the r11 rotation deferred with documented justifications
 # and which would hit 4-rounds-stale if deferred again (the r11 verdict
-# pinned them by name: item 2) — and 35 of the 49 rows last checked in
+# pinned them by name: item 2) — and 34 of the 49 rows last checked in
 # r9 (including the four the r11 verdict item 6 named:
 # cached_section_reuse, sql_front_end, predicate_parser_filter,
 # identifier_find_dispatch).  The 15 r9-cohort rows deferred to r13
