@@ -401,6 +401,7 @@ def semdedup_query_index(
     index: dict,
     tau: float = 0.4,
     query_id: str | None = None,
+    reps: str = "lowest",
 ) -> DataFrame:
     """Per-batch half: semantic near-dup pairs between arriving vectors
     and the indexed corpus — assignment is MAP-SIDE (top-level argmax
@@ -409,12 +410,43 @@ def semdedup_query_index(
     arithmetic), so per-batch cost is O(batch) plus the within-cell
     candidate join.
 
-    Candidate bound: in a cell the splitter left over ``cap`` (the
-    point-mass case), each new vector compares against only the cell's
-    ``cap`` lowest-id REPRESENTATIVES — decision-equivalent for the
-    near-identical blobs that produce such cells (any one member
-    witnesses the duplicate), and a hard per-query bound of ``cap``
-    comparisons per probed cell; those pairs carry ``truncated=true``.
+    Candidate bound: in a cell the splitter left over ``cap``, each new
+    vector compares against only ``cap`` REPRESENTATIVES of the cell —
+    a hard per-query bound of ``cap`` comparisons per probed cell;
+    those pairs carry ``truncated=true``.  Two deterministic,
+    arithmetic-replayable policies pick them (``reps``):
+
+    - ``"lowest"`` (default): the ``cap`` lowest-id members.
+      Decision-equivalent for near-point-mass blobs (any one member
+      witnesses the dup), and measured adequate for ISOTROPIC spread
+      cells where witnesses scatter over ranks (planted 858-member
+      blob, tau=0.95, ~8 witnesses/probe: decision recall 0.87-0.93
+      at cap 64-256, matching stratified).  Its failure mode is
+      id-LOCALIZED witness sets: when a probe's only witnesses are one
+      contiguous id-run (duplicate families arriving in crawl bursts —
+      ids follow ingestion order), everything past rank ``cap`` is
+      invisible — measured 0.14-0.20 decision recall on planted
+      20-member families in a 764-member cell at tau above the
+      inter-family cosine (tools/scale_probe_semdedup.py, probe-recall
+      FAMILY rows).
+    - ``"stratified"``: every ``ceil(cnt/cap)``-th id-rank (ranks with
+      ``(rn-1) % step == 0``), <= ``cap`` members evenly spaced over
+      the cell's id order.  Same bound, plus a coverage GUARANTEE: any
+      contiguous id-run of length >= step contains a representative,
+      so every duplicate family of at least ``ceil(cnt/cap)`` members
+      is witnessed — measured 1.000 decision recall on the same
+      planted families (vs 0.14-0.20 for lowest), isotropic-blob
+      recall unchanged (0.88-0.96; any deterministic cap-subset has
+      the same expectation there).
+
+    Both are probe-time filters over the persisted ``__rn__``/
+    ``__cnt__`` ranks, so either policy can probe any at-rest index
+    unchanged.  PAIR-list completeness inside truncated cells is
+    bounded by design under either policy (pair recall 0.17-0.37 at
+    cap 64-256 on the spread blob) — the dedup DECISION is the
+    preserved object; the residual spread-cell trade is the
+    rebuild-cadence trigger (MIGRATION.md), quantified per ``cap`` in
+    the probe-recall arm.
 
     Output: ``(query_id, corpus_id, cos, truncated)`` with
     ``round(cosine, 6) >= tau``.  Ids in ``queries`` must be disjoint
@@ -459,12 +491,22 @@ def semdedup_query_index(
             )
             .drop("__sub__")
         )
-    reps = index["cells"].filter(
-        (F.col("__cnt__") <= cap) | (F.col("__rn__") <= cap)
-    )
+    if reps == "lowest":
+        rep_pick = F.col("__rn__") <= cap
+    elif reps == "stratified":
+        # step = ceil(cnt / cap) in exact integer arithmetic (`div`),
+        # so DuckDB's BIGINT `//` replays it bit-for-bit
+        step = F.expr(f"(__cnt__ + {cap - 1}) div {cap}")
+        rep_pick = ((F.col("__rn__") - 1) % step) == 0
+    else:
+        raise ValueError(
+            f"semdedup_query_index: reps must be 'lowest' or 'stratified', "
+            f"got {reps!r}"
+        )
+    rep_rows = index["cells"].filter((F.col("__cnt__") <= cap) | rep_pick)
     return (
         probes.withColumnRenamed("__cell__", "cell")
-        .join(reps.withColumnRenamed("cell", "cell"), "cell")
+        .join(rep_rows.withColumnRenamed("cell", "cell"), "cell")
         .withColumn("c6", F.round(cosine(F.col("__qv__"), F.col(vec_col)), 6))
         .filter(F.col("c6") >= tau)
         .select(

@@ -5714,7 +5714,7 @@ ORACLE["semantic_dedup_capped"] = _semantic_dedup_capped_oracle_sql()
 def _semdedup_index_oracle_sql(
     nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
     tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
-    max_depth: int = 1, split_mod: int = 5,
+    max_depth: int = 1, split_mod: int = 5, reps: str = "lowest",
 ) -> str:
     """DuckDB replay of the BIN-ONCE / probe-per-batch semantic dedup
     (semdedup.semdedup_build_index + semdedup_query_index): the IVF
@@ -5724,8 +5724,14 @@ def _semdedup_index_oracle_sql(
     — top-level argmax against c{iters}, then per level an argmax over
     the level's final sub-centroids (LEFT join: cells that never split
     contribute sub = 0) — and joined against the corpus cells'
-    representatives (full cell when cnt <= cap, else the cap lowest-id
-    members, pairs labeled truncated)."""
+    representatives (full cell when cnt <= cap, else cap members under
+    the ``reps`` policy: the cap lowest-id ranks, or every
+    ceil(cnt/cap)-th rank for ``stratified`` — integer `//` replays
+    Spark's `div` exactly; pairs labeled truncated)."""
+    if reps == "lowest":
+        rep_pred = f"r.rn <= {cap}"
+    else:
+        rep_pred = f"((r.rn - 1) % ((r.cnt + {cap} - 1) // {cap})) = 0"
     chain = _ivf_chain_sql(
         nlist, iters, dim, train_mod,
         where=f" WHERE vec_id % {split_mod} != 0",
@@ -5768,7 +5774,7 @@ def _semdedup_index_oracle_sql(
            round(round(list_cosine_similarity(q.v, r.v), 6), 4) AS cos,
            r.cnt > {cap} AS truncated
     FROM q{max_depth} q JOIN ranked r USING (cell)
-    WHERE (r.cnt <= {cap} OR r.rn <= {cap})
+    WHERE (r.cnt <= {cap} OR {rep_pred})
       AND round(list_cosine_similarity(q.v, r.v), 6) >= {tau}
     """
 
@@ -5808,6 +5814,46 @@ def semdedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["semdedup_index_probe"] = _semdedup_index_oracle_sql()
+
+
+@query("semdedup_probe_stratified", None)
+def semdedup_probe_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRATIFIED-representative arm of the bin-once semantic dedup
+    probe (semdedup.semdedup_query_index(reps='stratified')): same
+    frozen index, same O(batch x cap) bound, but the <= cap
+    representatives of a cell the splitter could not break are every
+    ceil(cnt/cap)-th id-rank instead of the cap LOWEST ids.  Why it
+    exists (measured, tools/scale_probe_semdedup.py probe-recall
+    FAMILY rows): corpus ids follow ingestion order and real duplicate
+    families cluster in it (crawl-adjacent boilerplate), so a probe's
+    whole witness set is one contiguous id-run — the lowest-id policy
+    is blind past rank cap (decision recall 0.14-0.20 on planted
+    20-member families in a 764-member cell at tau above the
+    inter-family cosine), while stratified reps carry a coverage
+    guarantee (any id-run of length >= ceil(cnt/cap) contains a rep:
+    decision recall 1.000 on the same families, isotropic-blob recall
+    unchanged).  Probe-time filter over the persisted ranks — the SAME
+    at-rest index serves both policies.  The oracle replays the full
+    chain with the stratified rank predicate (integer // = Spark's
+    div)."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = semdedup_build_index(
+        corpus, nlist=8, iters=3, train_mod=4, cap=16, nsub=2, sub_iters=2,
+        max_depth=1, persist=True,
+    )
+    return semdedup_query_index(batch, index, tau=0.4, reps="stratified")
+
+
+ORACLE["semdedup_probe_stratified"] = _semdedup_index_oracle_sql(
+    reps="stratified"
+)
 
 
 def _stream_index_probe_oracle_sql(
@@ -8408,119 +8454,123 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-12 rotation (eighth gate rotation).  Slots: 1 anchor (the
-# flagship), 3 debut rows (the only catalog entries with no driver
-# CORRECTNESS record: the frozen-census arm of the incremental MinHash
-# index, the skew-guarded SemDeDup, and the bin-once semantic-dedup
-# index probe — all built this round), then
-# the ENTIRE oldest-driver-checked cohort — all 12 rows last checked in
-# r8, which the r11 rotation deferred with documented justifications
-# and which would hit 4-rounds-stale if deferred again (the r11 verdict
-# pinned them by name: item 2) — and 34 of the 49 rows last checked in
-# r9 (including the four the r11 verdict item 6 named:
-# cached_section_reuse, sql_front_end, predicate_parser_filter,
-# identifier_find_dispatch).  The 15 r9-cohort rows deferred to r13
-# each have a same-kernel sibling IN this gate or fresher independent
-# coverage:
-#   ann_ivf_topk          (bench headline timed at sf0.1 every round;
-#                          the identical quantizer chain faces the
-#                          oracle via ann_ivfpq_topk in this gate and
-#                          the two new semdedup entries)
-#   ann_ivfpq_residual    (same train/bin/probe chain as
-#                          ann_ivfpq_topk + ann_ivfpq_query_only, both
-#                          in this gate; refined arm r10-green)
-#   ann_recall_at_k       (pure composition of ann_ivf_topk — bench
-#                          headline — and cosine_topk, r10-green)
-#   asof_join_backward    (bench headline AND a v3 floor canary: timed
-#                          and certified against the sealed floor on
-#                          every accepted record; kernel source-hash
-#                          pinned by the floor)
-#   embedding_near_dups   (bench extended timed every round + an
-#                          extended-section canary of the r12 re-seal;
-#                          hyperplane kernel otherwise unchanged)
-#   corpus_curation_pipeline_v2 (strictly contained in
-#                          corpus_curation_pipeline_v3, r11-green)
-#   stream_ann_top1_production (same IVF-probe stream DAG as
-#                          stream_ann_top1 in this gate; append arm
-#                          drain recipe pytest-pinned)
-#   hard_negative_mining  (production + ivf twins r10-green; same
-#                          mining kernel, portable-hash arm only)
-#   supply_closeness      (graph.py sweep family: eigenvector/kcore/
-#                          betweenness r11-green in the r11 gate)
-#   supply_hits           (same graph sweep family, r11 coverage)
-#   supply_personalized_pagerank (pagerank bench headline timed every
-#                          round; same sweep kernel)
-#   cosupply_clustering   (same graph family; clustering-coefficient
-#                          kernel pytest-pinned)
-#   multimodal_resize     (multimodal decode/feature siblings
-#                          r10-green; resize kernel pytest-pinned
-#                          against the stdlib PNG codec)
-#   bond_portfolio_pricing (functions/finance.py family re-verified
-#                          via ohlc_volatility r11-green + the Jorion
-#                          ch.5 pytest oracle)
-#   token_budget_packing  (the packing kernel rides inside
-#                          corpus_curation_pipeline_v3 — r11-green and
-#                          in this gate — and bpe_tokenize_and_pack,
-#                          r10-green; distributed-prefix-sum shape
-#                          pytest-pinned)
+# Round-13 rotation (ninth gate rotation).  Slots: 1 anchor (the
+# flagship), 1 debut row (semdedup_probe_stratified — the only catalog
+# entry with no driver CORRECTNESS record), 1 changed-kernel re-gate
+# (semantic_dedup_capped: the over-cap pair join moved to a rank-block
+# key this round — output identical, plan different, so it faces the
+# driver again rather than riding its r12 record), then the ENTIRE
+# r9-stale cohort — all 15 rows the r12 rotation deferred (the r12
+# verdict item 1 pinned them by name, correcting SCALE.md's 14-count
+# which omitted token_budget_packing) — and 32 of the 49 rows last
+# checked in r10 (including all seven the r12 verdict item 2
+# prioritized for having no same-kernel sibling coverage:
+# jaccard_near_dups, event_window_trading_days, tick_bins_5min,
+# tw_value_5min, fractile_deciles, group_ols, delist_adjusted_compound).
+# The 17 r10-cohort rows deferred to r14 each have a same-kernel
+# sibling IN this gate or fresher independent coverage:
+#   ann_ivfpq_refined     (same IVF+PQ train/bin/probe chain as
+#                          ann_ivfpq_residual in this gate;
+#                          ann_ivfpq_topk/query_only r12-green)
+#   ann_pq_topk           (PQ codebook kernel rides inside
+#                          ann_ivfpq_residual, in this gate)
+#   hard_negative_mining_ivf (same mining kernel as
+#                          hard_negative_mining, in this gate)
+#   hard_negative_mining_production (ditto — portable-hash twin)
+#   near_dup_clusters     (composition of minhash_lsh_candidates — in
+#                          this gate — with the iterative min-id CC
+#                          kernel, convergence pytest-pinned)
+#   bpe_train_merges      (single-pass trainer strictly contained in
+#                          bpe_train_batched, in this gate)
+#   bpe_segment_tokens    (segmenter rides inside bpe_token_counts
+#                          r12-green and bpe_tokenize_and_pack, in
+#                          this gate)
+#   supply_graph_degrees  (degree kernel inside cosupply_graph_info,
+#                          in this gate)
+#   supply_assortativity  (same degree-join kernel as
+#                          cosupply_graph_info, in this gate)
+#   supply_link_prediction (neighbor-intersection kernel shared with
+#                          cosupply_clustering, in this gate)
+#   supply_communities    (label-propagation + modularity family:
+#                          supply_community_quality r12-green)
+#   stream_minhash_novelty (novelty tagging contained in
+#                          stream_curation_tagged, in this gate;
+#                          stream_minhash_index_probe r11-green)
+#   corpus_curation_pipeline (v1 strictly contained in
+#                          corpus_curation_pipeline_v2 — in this gate —
+#                          and v3 r11-green)
+#   multimodal_frame_sample (same stdlib PNG codec + binary plumbing
+#                          as multimodal_resize and multimodal_features,
+#                          both in this gate)
+#   dedup_exact_docs      (exact-dedup kernel r12-green via
+#                          dedup_canonical_keep; doc_fingerprints in
+#                          this gate)
+#   cosine_topk           (exact-cosine kernel rides inside
+#                          ann_recall_at_k and label_cosine_stats,
+#                          both in this gate)
+#   kupiec_var_backtest   (VaR kernel family: risk_summary in this
+#                          gate, parametric_risk_summary r12-green)
 # Everything rotated out stays guarded by the full-catalog hash-strict
-# local replica (tools/check_correctness.py), and its r5-r11 driver
-# records stand.
+# local replica (tools/check_correctness.py), and its r5-r12 driver
+# records stand.  r14 must take the 17 deferrals above plus the first
+# ~32 of the 49 r11-cohort rows (rest at r15) so nothing reaches
+# 4-stale.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # debut rows: built this round, no driver record yet
-    "minhash_index_frozen_census",  # frozen-census incremental dedup
-    "semantic_dedup_capped",    # skew-guarded SemDeDup (split + budget)
-    "semdedup_index_probe",     # bin-once semantic dedup, frozen quantizer
-    # oldest-checked cohort: r8 (all 12 — the r11 verdict item 2 list)
-    "bpe_token_counts",
-    "cube_revenue",
-    "monthly_rollup",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "quality_classifier_irls_k3",
-    "quality_classifier_model_store",
-    "quality_classifier_score",
-    "stream_ann_top1",
-    "stream_contamination_flags",
-    "stream_curation_pipeline",
-    "tfidf_top_terms",
-    # oldest-checked cohort: r9 (34 of 49; 15 deferrals documented above)
-    "ann_ivfpq_query_only",
-    "ann_ivfpq_topk",
-    "ann_sq8_topk",
-    "batch_assign_epochs",
-    "bivariate_spread_holdings",
-    "cached_section_reuse",
-    "coercion_roundtrip",
-    "contamination_overlap",
-    "csv_load_coercion",
-    "daily_portfolio_performance",
-    "dedup_canonical_keep",
-    "drop_unchanged_rows",
-    "event_study_corrected",
-    "fama_macbeth_premium",
-    "fft_cross_correlation",
-    "hash_split_assign",
-    "identifier_find_dispatch",
-    "lapsed_supplier_parts",
-    "max_drawdown_windows",
-    "min_variance_weights_3",
-    "named_store_roundtrip",
-    "outlier_fences_tukey",
-    "pad_sequences_batch",
-    "parametric_risk_summary",
-    "pii_redaction",
-    "predicate_parser_filter",
-    "sql_front_end",
-    "stream_dedup_distinct_keys",
-    "stream_ewma_final",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_tick_bins_5min",
-    "supply_community_quality",
-    "ticker_bridge_join",
+    # debut row: built this round, no driver record yet
+    "semdedup_probe_stratified",  # stratified-reps probe policy
+    # changed-kernel re-gate: rank-block pair join landed this round
+    "semantic_dedup_capped",
+    # oldest-checked cohort: r9 (all 15 — the r12 verdict item 1 list)
+    "ann_ivf_topk",
+    "ann_ivfpq_residual",
+    "ann_recall_at_k",
+    "asof_join_backward",
+    "bond_portfolio_pricing",
+    "corpus_curation_pipeline_v2",
+    "cosupply_clustering",
+    "embedding_near_dups",
+    "hard_negative_mining",
+    "multimodal_resize",
+    "stream_ann_top1_production",
+    "supply_closeness",
+    "supply_hits",
+    "supply_personalized_pagerank",
+    "token_budget_packing",
+    # oldest-checked cohort: r10 (32 of 49; 17 deferrals documented above)
+    "binary_payload_metadata",
+    "bpe_tokenize_and_pack",
+    "bpe_train_batched",
+    "compound_returns_by_supplier",
+    "cosupply_graph_info",
+    "delist_adjusted_compound",
+    "doc_fingerprints",
+    "event_range_agg_1h",
+    "event_window_trading_days",
+    "fractile_deciles",
+    "group_ols",
+    "holdings_turnover",
+    "jaccard_near_dups",
+    "keydev_event_labels",
+    "label_cosine_stats",
+    "minhash_lsh_candidates",
+    "multimodal_features",
+    "prevailing_latest_event",
+    "purchase_day_click_value",
+    "risk_summary",
+    "running_peak_drawdown",
+    "sessionization",
+    "signals_sink_roundtrip",
+    "simhash_near_dups",
+    "stream_curation_tagged",
+    "supply_graph_pagerank",
+    "text_quality",
+    "tick_bins_5min",
+    "tw_value_5min",
+    "users_click_no_purchase",
+    "window_group_share",
+    "winsorized_price_stats",
 ]
 
 

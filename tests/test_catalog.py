@@ -19,14 +19,15 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-12
+    """The driver checks the first 50 queries() entries; the round-13
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    three r12 debut rows (the only catalog entries with no driver
-    CORRECTNESS record), and must draw the rest from the
-    oldest-driver-checked cohorts (refresh rotation: ALL 12 r8-stale
-    rows — the r11 verdict pinned them by name — then 34 of the 49
-    r9-stale rows, 15 deferred with documented justifications)."""
+    r13 debut row (the only catalog entry with no driver CORRECTNESS
+    record) + the changed-kernel re-gate, and must draw the rest from
+    the oldest-driver-checked cohorts (refresh rotation: ALL 15
+    r9-stale rows — the r12 verdict item 1 pinned them by name — then
+    32 of the 49 r10-stale rows, 17 deferred with documented
+    justifications)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -34,21 +35,25 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r12 debut rows: built this round, first-ever driver record
-        "minhash_index_frozen_census",
+        # r13 debut row: built this round, first-ever driver record
+        "semdedup_probe_stratified",
+        # changed-kernel re-gate (rank-block pair join landed in r13)
         "semantic_dedup_capped",
-        "semdedup_index_probe",
-        # the full r8-stale cohort (would be 4 rounds stale if deferred;
-        # r11 verdict item 2 names them)
-        "bpe_token_counts", "cube_revenue", "monthly_rollup",
-        "q3_top_revenue_orders", "q5_nation_revenue",
-        "quality_classifier_irls_k3", "quality_classifier_model_store",
-        "quality_classifier_score", "stream_ann_top1",
-        "stream_contamination_flags", "stream_curation_pipeline",
-        "tfidf_top_terms",
-        # the r9 reader/predicate rows the r11 verdict item 6 names
-        "cached_section_reuse", "sql_front_end",
-        "predicate_parser_filter", "identifier_find_dispatch",
+        # the full r9-stale cohort (would be 4 rounds stale if deferred;
+        # r12 verdict item 1 names all 15, including the
+        # token_budget_packing row SCALE.md's r13 pointer miscounted)
+        "ann_ivf_topk", "ann_ivfpq_residual", "ann_recall_at_k",
+        "asof_join_backward", "bond_portfolio_pricing",
+        "corpus_curation_pipeline_v2", "cosupply_clustering",
+        "embedding_near_dups", "hard_negative_mining",
+        "multimodal_resize", "stream_ann_top1_production",
+        "supply_closeness", "supply_hits",
+        "supply_personalized_pagerank", "token_budget_packing",
+        # the r10 rows the r12 verdict item 2 prioritized (no
+        # same-kernel sibling coverage)
+        "jaccard_near_dups", "event_window_trading_days",
+        "tick_bins_5min", "tw_value_5min", "fractile_deciles",
+        "group_ols", "delist_adjusted_compound",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is

@@ -480,3 +480,54 @@ def test_compact_index_preserves_probe_and_shrinks_files(spark, tmp_path):
     finally:
         for t in ("t_buckets", "t_sigs", "t_meta", "t_stop"):
             spark.sql(f"DROP TABLE IF EXISTS mhcmp.{t}")
+
+
+def test_append_after_compact_equals_rebuild(spark, tmp_path):
+    """Compaction mid-ingestion must compose with later appends (the
+    r13 lifecycle-loop shape, tools/scale_probe_index_lifecycle.py):
+    build -> append -> COMPACT -> append again -> probe must equal a
+    from-scratch rebuild over the same docs — compaction only changes
+    the file layout, so rows appended after it land in the same bucket
+    spec and the evidence set is unchanged."""
+    docs = _docs(spark)
+    corpus, inc = _split(docs)
+    half = inc.filter(F.col("doc_id") < 110)
+    rest = inc.filter(F.col("doc_id") >= 110)
+    probe = docs.filter(F.col("doc_id").isin([1, 7, 115])).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    wh = f"{tmp_path}/mhcmp2"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS mhcmp2 LOCATION '{wh}'")
+    try:
+        base = MHI.minhash_build_index(corpus, portable=True, **PARAMS)
+        MHI.minhash_write_index(base, "mhcmp2.t", n_buckets=4)
+        grown = MHI.minhash_append_index(
+            MHI.minhash_read_index(spark, "mhcmp2.t"), half
+        )
+        MHI.minhash_write_index(
+            {"buckets": grown["new_buckets"], "sigs": grown["new_sigs"]},
+            "mhcmp2.t", n_buckets=4, mode="append",
+        )
+        MHI.minhash_compact_index(spark, "mhcmp2.t", n_buckets=4)
+        grown = MHI.minhash_append_index(
+            MHI.minhash_read_index(spark, "mhcmp2.t"), rest
+        )
+        MHI.minhash_write_index(
+            {"buckets": grown["new_buckets"], "sigs": grown["new_sigs"]},
+            "mhcmp2.t", n_buckets=4, mode="append",
+        )
+        got = _pairs_key(
+            MHI.minhash_query_index(
+                probe, MHI.minhash_read_index(spark, "mhcmp2.t")
+            ).toPandas()
+        )
+        rebuilt = MHI.minhash_build_index(
+            corpus.unionByName(inc), portable=True, **PARAMS
+        )
+        want = _pairs_key(
+            MHI.minhash_query_index(probe, rebuilt).toPandas()
+        )
+        assert got == want and want
+    finally:
+        for t in ("t_buckets", "t_sigs", "t_meta", "t_stop"):
+            spark.sql(f"DROP TABLE IF EXISTS mhcmp2.{t}")

@@ -45,6 +45,346 @@ TAU = 0.4
 emb = load_table(spark, SF, "embeddings").localCheckpoint(eager=True)
 n = emb.count()
 
+
+# ---- probe-recall arm (r13): the PROBE-SIDE truncation trade of
+# semdedup_query_index, quantified (the r12 verdict's What's-wrong #3).
+# The batch side has the rank-chain argument; the probe side only has a
+# label — so plant a SPREAD isotropic mega-cell (defeats the splitter;
+# the blob stays one over-cap cell), probe with near-twin batches, and
+# measure missed-pair / missed-DECISION rates vs cap for both
+# representative policies:
+#   lowest     — cap lowest-id ranks (r12 behavior): id-biased; a twin
+#                of a member past rank cap is missed with certainty
+#   stratified — every ceil(cnt/cap)-th rank (r13): unbiased across id
+#                epochs, same cap bound, same at-rest index
+# Twin placement arms: UNIFORM over the blob (any deterministic
+# cap-subset has the same cap/n expectation) and HIGH-RANK (last 10% of
+# blob ids — the realistic "recent ingestion duplicates" case, where
+# lowest-id reps are structurally blind).
+def probe_recall_arm():
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+
+    base = emb.select("vec_id", "embedding").toPandas()
+    center = np.array(base.iloc[0]["embedding"], dtype=float)
+    scale = np.linalg.norm(center) / np.sqrt(len(center))
+    nblob = int(0.3 * len(base) / 0.7)
+    rng = np.random.default_rng(43)
+    blob_vecs = [center + rng.normal(0, 0.30 * scale, len(center))
+                 for _ in range(nblob)]
+    blob = [(2_000_000 + j, [float(x) for x in v])
+            for j, v in enumerate(blob_vecs)]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(pd.DataFrame(blob, columns=["vec_id", "embedding"]))
+    ).localCheckpoint(eager=True)
+    ncorp = corpus.count()
+
+    def twins(kind, nprobe=100):
+        if kind == "uniform":
+            picks = rng.choice(nblob, min(nprobe, nblob), replace=False)
+        else:  # high-rank: last 10% of blob ids
+            pop = np.arange(int(0.9 * nblob), nblob)
+            picks = rng.choice(pop, min(nprobe, len(pop)), replace=False)
+        rows = []
+        for i, j in enumerate(sorted(int(p) for p in picks)):
+            v = blob_vecs[j] + rng.normal(0, 1e-4 * scale, len(center))
+            rows.append((9_000_000 + i, [float(x) for x in v]))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        ).localCheckpoint(eager=True)
+
+    PTAU = 0.95
+    from financial_data_science_spark.functions.similarity import cosine as _cos
+
+    def exact_truth(probes):
+        return (
+            probes.select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qv"))
+            .crossJoin(corpus.select(F.col("vec_id").alias("cid"),
+                                     F.col("embedding").alias("cv")))
+            .withColumn("c6", F.round(_cos(F.col("qv"), F.col("cv")), 6))
+            .filter(F.col("c6") >= PTAU)
+            .select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    batches = {k: twins(k) for k in ("uniform", "highrank")}
+    truths = {k: exact_truth(v) for k, v in batches.items()}
+    for k, t in truths.items():
+        print(f"PROBE-RECALL truth[{k}]: pairs={t.count()} "
+              f"probes-with-witness={t.select('qid').distinct().count()}"
+              f"/{batches[k].count()}",
+              flush=True)
+
+    for cap in (64, 128, 256):
+        idx = semdedup_build_index(
+            corpus, nlist=8, iters=3, train_mod=4, cap=cap, nsub=8,
+            sub_iters=2, max_depth=2, persist=True,
+        )
+        maxcell = idx["cells"].agg(F.max("__cnt__")).collect()[0][0]
+        for kind in ("uniform", "highrank"):
+            truth = truths[kind]
+            n_t = truth.count()
+            n_td = truth.select("qid").distinct().count()
+            for policy in ("lowest", "stratified"):
+                got = (
+                    semdedup_query_index(
+                        batches[kind], idx, tau=PTAU, reps=policy,
+                    )
+                    .select(F.col("new_vec_id").alias("qid"),
+                            F.col("corpus_id").alias("cid"))
+                    .localCheckpoint(eager=True)
+                )
+                hit = got.join(truth, ["qid", "cid"], "left_semi").count()
+                hitd = (got.join(truth, ["qid", "cid"], "left_semi")
+                        .select("qid").distinct().count())
+                print(
+                    f"PROBE-RECALL cap={cap:3d} max_cell={maxcell} "
+                    f"twins={kind:8s} reps={policy:10s} "
+                    f"pair_recall={hit}/{n_t}={hit/max(n_t,1):.3f} "
+                    f"decision_recall={hitd}/{n_td}={hitd/max(n_td,1):.3f}",
+                    flush=True,
+                )
+
+    # -- family sub-arm: id-LOCALIZED witness sets, the case the rep
+    # policy actually decides.  The isotropic blob above has ~8
+    # geometric witnesses per probe scattered uniformly over cell
+    # ranks, so ANY cap-subset makes most decisions (both policies
+    # ~0.9 there) — but real duplicate families arrive CONTIGUOUSLY in
+    # id order (crawl bursts of one template), so a probe's entire
+    # witness set is one id-run inside the cell.  Plant nfam tight
+    # families (intra-family cos ~1, inter-family ~0.92 < tau) whose
+    # centers are isotropic in one region (Lloyd reduces but cannot
+    # bound the cells), ids contiguous per family.  Guarantee under
+    # test: a stratified step of ceil(cnt/cap) <= family size hits
+    # EVERY family (any id-run of length >= step contains a rep),
+    # while lowest-id reps are structurally blind past rank cap.
+    # Measured (this arm, sf0.1): decision recall 0.14-0.20 under
+    # 'lowest' vs 1.000 under 'stratified' on both twin placements
+    # (not exactly 0 for 'lowest': families straddle several cells,
+    # and a high-ID family can still be low-RANK inside a cell whose
+    # other members have even higher ids).
+    FAM_M = 20            # >= the stratified step ceil(859/64)=14, so the
+    PTAU2 = 0.98          # id-run coverage guarantee is engaged; tau above
+    nfam = nblob // FAM_M  # the ~0.92 inter-family cosine isolates families
+    fam_centers = [center + rng.normal(0, 0.30 * scale, len(center))
+                   for _ in range(nfam)]
+    fam_vecs = [
+        fam_centers[f] + rng.normal(0, 1e-4 * scale, len(center))
+        for f in range(nfam) for _ in range(FAM_M)
+    ]
+    fam_blob = [(2_000_000 + j, [float(x) for x in v])
+                for j, v in enumerate(fam_vecs)]
+    corpus2 = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(fam_blob, columns=["vec_id", "embedding"])
+        )
+    ).localCheckpoint(eager=True)
+
+    def fam_twins(kind, nprobe=100):
+        if kind == "famuniform":
+            pop = np.arange(len(fam_vecs))
+        else:  # famhigh: members of the last 10% of families
+            pop = np.arange(int(0.9 * nfam) * FAM_M, nfam * FAM_M)
+        picks = rng.choice(pop, min(nprobe, len(pop)), replace=False)
+        rows = [
+            (9_000_000 + i,
+             [float(x) for x in
+              fam_vecs[j] + rng.normal(0, 1e-4 * scale, len(center))])
+            for i, j in enumerate(sorted(int(p) for p in picks))
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        ).localCheckpoint(eager=True)
+
+    def exact_truth2(probes):
+        return (
+            probes.select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qv"))
+            .crossJoin(corpus2.select(F.col("vec_id").alias("cid"),
+                                      F.col("embedding").alias("cv")))
+            .withColumn("c6", F.round(_cos(F.col("qv"), F.col("cv")), 6))
+            .filter(F.col("c6") >= PTAU2).select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    CAP2 = 64
+    idx2 = semdedup_build_index(
+        corpus2, nlist=8, iters=3, train_mod=4, cap=CAP2, nsub=8,
+        sub_iters=2, max_depth=1, persist=True,
+    )
+    maxcell2 = idx2["cells"].agg(F.max("__cnt__")).collect()[0][0]
+    for kind in ("famuniform", "famhigh"):
+        probes = fam_twins(kind)
+        truth = exact_truth2(probes)
+        n_t, n_td = truth.count(), truth.select("qid").distinct().count()
+        for policy in ("lowest", "stratified"):
+            got = (
+                semdedup_query_index(probes, idx2, tau=PTAU2, reps=policy)
+                .select(F.col("new_vec_id").alias("qid"),
+                        F.col("corpus_id").alias("cid"))
+                .localCheckpoint(eager=True)
+            )
+            hit = got.join(truth, ["qid", "cid"], "left_semi").count()
+            hitd = (got.join(truth, ["qid", "cid"], "left_semi")
+                    .select("qid").distinct().count())
+            print(
+                f"PROBE-RECALL FAMILY cap={CAP2} max_cell={maxcell2} "
+                f"fam={nfam}x{FAM_M} twins={kind:10s} reps={policy:10s} "
+                f"pair_recall={hit}/{n_t}={hit/max(n_t,1):.3f} "
+                f"decision_recall={hitd}/{n_td}={hitd/max(n_td,1):.3f}",
+                flush=True,
+            )
+
+
+# ---- drift arm (r13): the rebuild-cadence number.  The semantic index
+# is probe-between-periodic-rebuilds BY DESIGN (no append: cell ranks
+# are corpus-order statistics).  What a deployment needs is the decay
+# curve: as ingested batches accumulate OUTSIDE the frozen index, what
+# fraction of a new batch's true near-dup decisions does the frozen
+# probe still make?  Batches drift (content moves away from the
+# standing corpus) and duplicate recent content preferentially — the
+# realistic worst case for a frozen index.  Also measured: the
+# ACCUMULATED-POOL HIT SHARE (new batch brute-forced against the small
+# un-indexed pool) — a signal production can compute exactly without
+# ground truth, which is the rebuild trigger MIGRATION.md documents.
+def drift_arm():
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+    from financial_data_science_spark.functions.similarity import cosine as _cos
+
+    base = emb.select("vec_id", "embedding").toPandas()
+    dim = len(base.iloc[0]["embedding"])
+    center = np.array(base.iloc[0]["embedding"], dtype=float)
+    scale = np.linalg.norm(center) / np.sqrt(dim)
+    rng = np.random.default_rng(47)
+    drift_dir = rng.normal(0, 1, dim)
+    drift_dir /= np.linalg.norm(drift_dir)
+
+    PTAU = 0.95
+    NB, NFRESH, NDUP_RECENT, NDUP_BASE = 20, 60, 30, 10
+    all_batches = []  # list of (vec_id, vec ndarray)
+    batch_frames = {}
+    next_id = 3_000_000
+    for j in range(1, NB + 1):
+        rows = []
+        # fresh drifted content: random vectors pushed drift*j along a
+        # fixed direction — new topics the standing corpus never saw
+        for _ in range(NFRESH):
+            v = (rng.normal(0, scale, dim)
+                 + center * 0.2
+                 + drift_dir * (0.15 * j) * scale * np.sqrt(dim))
+            rows.append((next_id, v)); next_id += 1
+        # near-dups of RECENT content (previous batch) — the dup mass a
+        # frozen index cannot see
+        if all_batches:
+            prev = all_batches[-NFRESH - NDUP_RECENT - NDUP_BASE:]
+            for _ in range(NDUP_RECENT):
+                _, tv = prev[int(rng.integers(len(prev)))]
+                rows.append((next_id, tv + rng.normal(0, 1e-4 * scale, dim)))
+                next_id += 1
+        # near-dups of the STANDING corpus — what the frozen index CAN see
+        for _ in range(NDUP_BASE):
+            tv = np.array(
+                base.iloc[int(rng.integers(len(base)))]["embedding"],
+                dtype=float,
+            )
+            rows.append((next_id, tv + rng.normal(0, 1e-4 * scale, dim)))
+            next_id += 1
+        all_batches.extend(rows)
+        batch_frames[j] = spark.createDataFrame(
+            pd.DataFrame(
+                [(i, [float(x) for x in v]) for i, v in rows],
+                columns=["vec_id", "embedding"],
+            )
+        ).localCheckpoint(eager=True)
+
+    c0 = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    frozen = semdedup_build_index(
+        c0, nlist=8, iters=3, train_mod=4, cap=256, nsub=8, sub_iters=2,
+        max_depth=2, persist=True,
+    )
+
+    def decisions(pairs_df, qcol):
+        return pairs_df.select(F.col(qcol).alias("qid")).distinct()
+
+    for k in (1, 5, 10, 20):
+        probe = batch_frames[k]
+        # standing-at-k corpus = c0 + batches 1..k-1
+        standing = c0
+        pool = None
+        for j in range(1, k):
+            standing = standing.unionByName(batch_frames[j])
+            pool = (batch_frames[j] if pool is None
+                    else pool.unionByName(batch_frames[j]))
+        standing = standing.localCheckpoint(eager=True)
+
+        # exact truth vs the full standing corpus
+        truth = (
+            probe.select(F.col("vec_id").alias("qid"),
+                         F.col("embedding").alias("qv"))
+            .crossJoin(standing.select(F.col("vec_id").alias("cid"),
+                                       F.col("embedding").alias("cv")))
+            .withColumn("c6", F.round(_cos(F.col("qv"), F.col("cv")), 6))
+            .filter(F.col("c6") >= PTAU).select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+        n_td = truth.select("qid").distinct().count()
+
+        frozen_hits = decisions(
+            semdedup_query_index(probe, frozen, tau=PTAU), "new_vec_id"
+        ).join(decisions(truth, "qid"), "qid", "left_semi").count()
+
+        fresh_idx = semdedup_build_index(
+            standing, nlist=8, iters=3, train_mod=4, cap=256, nsub=8,
+            sub_iters=2, max_depth=2, persist=True,
+        )
+        fresh_hits = decisions(
+            semdedup_query_index(probe, fresh_idx, tau=PTAU), "new_vec_id"
+        ).join(decisions(truth, "qid"), "qid", "left_semi").count()
+
+        # the production-computable trigger: share of probe vectors whose
+        # ONLY witnesses live in the un-indexed accumulation pool
+        if pool is not None:
+            pool_hits = (
+                probe.select(F.col("vec_id").alias("qid"),
+                             F.col("embedding").alias("qv"))
+                .crossJoin(pool.select(F.col("embedding").alias("cv")))
+                .withColumn("c6", F.round(_cos(F.col("qv"), F.col("cv")), 6))
+                .filter(F.col("c6") >= PTAU).select("qid").distinct()
+            )
+            pool_share = pool_hits.count() / probe.count()
+        else:
+            pool_share = 0.0
+        print(
+            f"DRIFT k={k:2d} standing={standing.count():6d} "
+            f"truth_decisions={n_td} frozen={frozen_hits} "
+            f"({frozen_hits/max(n_td,1):.3f}) fresh={fresh_hits} "
+            f"({fresh_hits/max(n_td,1):.3f}) "
+            f"pool_hit_share={pool_share:.3f}",
+            flush=True,
+        )
+
+
+_ARMS = set(filter(None, os.environ.get(
+    "SPARK_GRAFT_SEMDEDUP_ARMS", "").split(",")))
+if _ARMS:
+    if "probe_recall" in _ARMS:
+        probe_recall_arm()
+    if "drift" in _ARMS:
+        drift_arm()
+    sys.exit(0)
+
 # exact ground truth: all >= tau pairs (n^2/2 — probe scale only)
 l = emb.select(F.col("vec_id").alias("li"), F.col("embedding").alias("lv"))
 r = emb.select(F.col("vec_id").alias("ri"), F.col("embedding").alias("rv"))
@@ -297,3 +637,8 @@ for k in (1, 50):
         f"warm probe of 200-vector batch {t_probe:.2f}s, {hits} pairs",
         flush=True,
     )
+
+
+# r13 arms (also runnable alone via SPARK_GRAFT_SEMDEDUP_ARMS=probe_recall,drift)
+probe_recall_arm()
+drift_arm()
