@@ -376,6 +376,79 @@ def drift_arm():
         )
 
 
+# ---- bin-once index probe arm (r12): per-batch probe wall vs corpus
+# size.  Same measurement shape as the IVF probe rows in SCALE.md: the
+# corpus is blown up 50x with deterministic per-copy jitter, the index
+# is built once per corpus (untimed half), and the timed half is a
+# fixed 200-vector batch routed through the frozen chain + the
+# representative-capped cell join (both rep policies at r13).  Claim:
+# probe wall is flat-to-sublinear in corpus size (assignment is
+# map-side; candidates are bounded per cell).
+def sdidx_arm():
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+
+    base = emb.select("vec_id", "embedding").toPandas()
+    nb = len(base)
+    batch_rows = [
+        (9_000_000 + j, [float(x) for x in np.array(base.iloc[j % nb]["embedding"]) * 1.0005])
+        for j in range(200)
+    ]
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(batch_rows, columns=["vec_id", "embedding"])
+    ).localCheckpoint(eager=True)
+
+    for k in (1, 50):
+        if k == 1:
+            corpus_k = emb.select("vec_id", "embedding")
+        else:
+            copies = []
+            for c in range(k):
+                copies.append(
+                    emb.select(
+                        (F.col("vec_id") + F.lit(c * 100_000)).alias("vec_id"),
+                        F.transform(
+                            "embedding",
+                            lambda x: x * (1.0 + F.lit(c) * 1e-4),
+                        ).alias("embedding"),
+                    )
+                )
+            corpus_k = copies[0]
+            for cdf in copies[1:]:
+                corpus_k = corpus_k.unionByName(cdf)
+        corpus_k = corpus_k.localCheckpoint(eager=True)
+        n = corpus_k.count()
+        t0 = time.time()
+        idxp = semdedup_build_index(
+            corpus_k, nlist=8, iters=3, train_mod=4, cap=256, nsub=8,
+            sub_iters=2, max_depth=2, persist=True,
+        )
+        t_build = time.time() - t0
+        out = semdedup_query_index(batch_df, idxp, tau=0.9)
+        out.count()  # warm the plan (v3 discipline)
+        t0 = time.time()
+        hits = out.count()
+        t_probe = time.time() - t0
+        # r13: the stratified-reps policy at the same corpus scale — same
+        # bound, different rank filter; must stay flat like 'lowest'
+        out_s = semdedup_query_index(batch_df, idxp, tau=0.9, reps="stratified")
+        out_s.count()
+        t0 = time.time()
+        hits_s = out_s.count()
+        t_probe_s = time.time() - t0
+        print(
+            f"SDIDX corpus={n:7d} ({k}x) | build {t_build:.1f}s (once) | "
+            f"warm probe of 200-vector batch {t_probe:.2f}s, {hits} pairs | "
+            f"stratified {t_probe_s:.2f}s, {hits_s} pairs",
+            flush=True,
+        )
+
+
 _ARMS = set(filter(None, os.environ.get(
     "SPARK_GRAFT_SEMDEDUP_ARMS", "").split(",")))
 if _ARMS:
@@ -383,6 +456,8 @@ if _ARMS:
         probe_recall_arm()
     if "drift" in _ARMS:
         drift_arm()
+    if "sdidx" in _ARMS:
+        sdidx_arm()
     sys.exit(0)
 
 # exact ground truth: all >= tau pairs (n^2/2 — probe scale only)
@@ -578,67 +653,7 @@ print(
 )
 
 
-# ---- bin-once index probe arm (r12): per-batch probe wall vs corpus
-# size.  Same measurement shape as the IVF probe rows in SCALE.md: the
-# corpus is blown up 50x with deterministic per-copy jitter, the index
-# is built once per corpus (untimed half), and the timed half is a
-# fixed 200-vector batch routed through the frozen chain + the
-# representative-capped cell join.  Claim: probe wall is flat-to-
-# sublinear in corpus size (assignment is map-side; candidates are
-# bounded per cell).
-from financial_data_science_spark.functions.semdedup import (
-    semdedup_build_index,
-    semdedup_query_index,
-)
-
-base = emb.select("vec_id", "embedding").toPandas()
-nb = len(base)
-batch_rows = [
-    (9_000_000 + j, [float(x) for x in np.array(base.iloc[j % nb]["embedding"]) * 1.0005])
-    for j in range(200)
-]
-batch_df = spark.createDataFrame(
-    pd.DataFrame(batch_rows, columns=["vec_id", "embedding"])
-).localCheckpoint(eager=True)
-
-for k in (1, 50):
-    if k == 1:
-        corpus_k = emb.select("vec_id", "embedding")
-    else:
-        copies = []
-        for c in range(k):
-            copies.append(
-                emb.select(
-                    (F.col("vec_id") + F.lit(c * 100_000)).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x: x * (1.0 + F.lit(c) * 1e-4),
-                    ).alias("embedding"),
-                )
-            )
-        corpus_k = copies[0]
-        for cdf in copies[1:]:
-            corpus_k = corpus_k.unionByName(cdf)
-    corpus_k = corpus_k.localCheckpoint(eager=True)
-    n = corpus_k.count()
-    t0 = time.time()
-    idxp = semdedup_build_index(
-        corpus_k, nlist=8, iters=3, train_mod=4, cap=256, nsub=8,
-        sub_iters=2, max_depth=2, persist=True,
-    )
-    t_build = time.time() - t0
-    out = semdedup_query_index(batch_df, idxp, tau=0.9)
-    out.count()  # warm the plan (v3 discipline)
-    t0 = time.time()
-    hits = out.count()
-    t_probe = time.time() - t0
-    print(
-        f"SDIDX corpus={n:7d} ({k}x) | build {t_build:.1f}s (once) | "
-        f"warm probe of 200-vector batch {t_probe:.2f}s, {hits} pairs",
-        flush=True,
-    )
-
-
-# r13 arms (also runnable alone via SPARK_GRAFT_SEMDEDUP_ARMS=probe_recall,drift)
+# r13 arms (each runnable alone via SPARK_GRAFT_SEMDEDUP_ARMS=probe_recall,drift,sdidx)
+sdidx_arm()
 probe_recall_arm()
 drift_arm()
