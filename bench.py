@@ -110,8 +110,9 @@ EXTENDED_QUERIES = [
     "semantic_dedup_capped",
     "minhash_index_frozen_census_production",
     "semdedup_index_probe",
-    # r13: same END-append rule; no floor row until the next re-seal
+    # r13: same END-append rule; no floor rows until the next re-seal
     "semdedup_probe_stratified",
+    "semdedup_pool_probe",
 ]
 
 

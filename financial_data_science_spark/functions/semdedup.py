@@ -396,6 +396,58 @@ def semdedup_build_index(
     }
 
 
+def _route_cells(
+    vectors: DataFrame, index: dict, out_id: str
+) -> DataFrame:
+    """Route vectors through the index's FROZEN assignment chain —
+    top-level argmax against the inlined centroid literal (no
+    Exchange), then one broadcast join + argmax per recorded refinement
+    level (skipped levels are pure id arithmetic).  Returns
+    ``(out_id, __qv__, __cell__)``.  Shared by the index probe, the
+    accumulation-pool probe, and pool assignment — all three must route
+    identically or cell joins silently miss."""
+    from financial_data_science_spark.functions.similarity import (
+        _assign_clusters,
+    )
+
+    id_col, vec_col = index["id_col"], index["vec_col"]
+    nsub = index["nsub"]
+    probes = _assign_clusters(
+        vectors.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("__qv__")
+        ),
+        "__qv__",
+        index["centroids"],
+        6,
+    ).withColumn("__cell__", F.col("cluster").cast("long")).drop("cluster")
+    for cents in index["levels"]:
+        if cents is None:
+            probes = probes.withColumn(
+                "__cell__", F.col("__cell__") * (nsub + 1)
+            )
+            continue
+        scored = probes.join(F.broadcast(cents), "__cell__").select(
+            out_id,
+            "__sub__",
+            F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("__s__"),
+        )
+        best = scored.groupBy(out_id).agg(
+            F.max(
+                F.struct(F.col("__s__"), (-F.col("__sub__")).alias("__negsub__"))
+            ).alias("__b__")
+        ).select(out_id, (-F.col("__b__.__negsub__")).alias("__sub__"))
+        probes = (
+            probes.join(best, out_id, "left")
+            .withColumn(
+                "__cell__",
+                F.col("__cell__") * (nsub + 1)
+                + F.coalesce(F.col("__sub__"), F.lit(0)),
+            )
+            .drop("__sub__")
+        )
+    return probes
+
+
 def semdedup_query_index(
     queries: DataFrame,
     index: dict,
@@ -451,46 +503,10 @@ def semdedup_query_index(
     Output: ``(query_id, corpus_id, cos, truncated)`` with
     ``round(cosine, 6) >= tau``.  Ids in ``queries`` must be disjoint
     from the indexed ids (same contract as minhash_query_index)."""
-    from financial_data_science_spark.functions.similarity import (
-        _assign_clusters,
-    )
-
     id_col, vec_col = index["id_col"], index["vec_col"]
-    nsub, cap = index["nsub"], index["cap"]
+    cap = index["cap"]
     query_id = query_id or f"new_{id_col}"
-    probes = _assign_clusters(
-        queries.select(
-            F.col(id_col).alias(query_id), F.col(vec_col).alias("__qv__")
-        ),
-        "__qv__",
-        index["centroids"],
-        6,
-    ).withColumn("__cell__", F.col("cluster").cast("long")).drop("cluster")
-    for cents in index["levels"]:
-        if cents is None:
-            probes = probes.withColumn(
-                "__cell__", F.col("__cell__") * (nsub + 1)
-            )
-            continue
-        scored = probes.join(F.broadcast(cents), "__cell__").select(
-            query_id,
-            "__sub__",
-            F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("__s__"),
-        )
-        best = scored.groupBy(query_id).agg(
-            F.max(
-                F.struct(F.col("__s__"), (-F.col("__sub__")).alias("__negsub__"))
-            ).alias("__b__")
-        ).select(query_id, (-F.col("__b__.__negsub__")).alias("__sub__"))
-        probes = (
-            probes.join(best, query_id, "left")
-            .withColumn(
-                "__cell__",
-                F.col("__cell__") * (nsub + 1)
-                + F.coalesce(F.col("__sub__"), F.lit(0)),
-            )
-            .drop("__sub__")
-        )
+    probes = _route_cells(queries, index, query_id)
     if reps == "lowest":
         rep_pick = F.col("__rn__") <= cap
     elif reps == "stratified":
@@ -516,6 +532,66 @@ def semdedup_query_index(
             (F.col("__cnt__") > cap).alias("truncated"),
         )
     )
+
+
+def semdedup_query_with_pool(
+    queries: DataFrame,
+    index: dict,
+    pool: DataFrame,
+    tau: float = 0.4,
+    query_id: str | None = None,
+    reps: str = "lowest",
+) -> DataFrame:
+    """The EXECUTABLE between-rebuilds step of the semantic-index
+    lifecycle: near-dup pairs of an arriving batch against BOTH the
+    frozen index and the un-indexed ACCUMULATION POOL (the accepted
+    survivors of batches since the last rebuild), in one DataFrame.
+
+    Why it exists (measured, tools/scale_probe_semdedup.py drift arm):
+    a frozen index's recall decays purely through accumulation — over
+    20 drifted batches decision recall fell 1.000 -> 0.268 while
+    base-corpus dups stayed fully caught, and the pool-hit share
+    tracked the lost mass exactly.  The rebuild trigger therefore
+    needs the pool probe, and this function is it: monitor
+    ``avg(source = 'pool')`` over probe decisions and rebuild when it
+    exceeds tolerance (MIGRATION.md recipe).
+
+    Scale shape: the pool rides the SAME frozen assignment chain as the
+    batch (:func:`_route_cells` — identical routing is what makes the
+    cell join sound), so the pool probe is a cell-keyed equi-join,
+    O(batch x pool_cell), never batch x pool brute force; no
+    representative cap on the pool side (it is small between rebuilds
+    BY CONSTRUCTION — its growth is itself the rebuild signal).
+
+    Output: ``(query_id, corpus_id, cos, truncated, source)`` with
+    ``source`` in ('index', 'pool'); index pairs carry the ``reps``
+    policy's truncation label, pool pairs are never truncated.  Ids in
+    ``queries`` and ``pool`` must be disjoint from each other and from
+    the indexed ids."""
+    id_col = index["id_col"]
+    query_id = query_id or f"new_{id_col}"
+    idx_pairs = semdedup_query_index(
+        queries, index, tau=tau, query_id=query_id, reps=reps
+    ).withColumn("source", F.lit("index"))
+    qcells = _route_cells(queries, index, query_id)
+    pcells = _route_cells(pool, index, "__pool_id__").select(
+        F.col("__pool_id__"),
+        F.col("__qv__").alias("__pv__"),
+        "__cell__",
+    )
+    pool_pairs = (
+        qcells.join(pcells, "__cell__")
+        .withColumn("c6", F.round(cosine(F.col("__qv__"), F.col("__pv__")), 6))
+        .filter(F.col("c6") >= tau)
+        .select(
+            query_id,
+            F.col("__pool_id__").alias("corpus_id"),
+            F.round(F.col("c6"), 4).alias("cos"),
+            F.lit(False).alias("truncated"),
+            F.lit("pool").alias("source"),
+        )
+    )
+    return idx_pairs.unionByName(pool_pairs)
 
 
 def semdedup_write_index(

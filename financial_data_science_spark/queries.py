@@ -5711,6 +5711,43 @@ def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["semantic_dedup_capped"] = _semantic_dedup_capped_oracle_sql()
 
 
+def _semdedup_route_sql(
+    prefix: str, where_pred: str, iters: int, nsub: int, sub_iters: int,
+    max_depth: int,
+) -> str:
+    """WITH-chain that routes one id-slice of `embeddings` through the
+    frozen assignment chain (semdedup._route_cells): top-level argmax
+    against c{iters}, then per level an argmax over the level's final
+    sub-centroids.  The split body always materializes sc{d}_{ks}; if
+    that level had no oversized cell the frame is EMPTY and the LEFT
+    join yields sub = 0 for every vector — identical to the Spark
+    side's skip-level arithmetic, so one template serves.  Shared by
+    the index-probe and pool-probe oracles so batch and pool routing
+    cannot drift."""
+    qlevel = """,
+    {p}a{d} AS (SELECT vec_id, sub FROM (
+        SELECT q.vec_id, c.sub,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                          c.sub) AS rn
+        FROM {p}{prev} q JOIN sc{d}_{ks} c USING (cell)) WHERE rn = 1),
+    {p}{d} AS (
+      SELECT q.vec_id, q.v, q.cell * {nsub1} + coalesce(a.sub, 0) AS cell
+      FROM {p}{prev} q LEFT JOIN {p}a{d} a ON a.vec_id = q.vec_id)"""
+    body = f""",
+    {prefix}0 AS (SELECT vec_id, v, CAST(cluster AS BIGINT) AS cell FROM (
+        SELECT b.vec_id, b.v, c.cluster,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+                          c.cluster) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE {where_pred}) b, c{iters} c) WHERE rn = 1)"""
+    for d in range(1, max_depth + 1):
+        body += qlevel.format(p=prefix, d=d, prev=d - 1, ks=sub_iters,
+                              nsub1=nsub + 1)
+    return body
+
+
 def _semdedup_index_oracle_sql(
     nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
     tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
@@ -5737,33 +5774,9 @@ def _semdedup_index_oracle_sql(
         where=f" WHERE vec_id % {split_mod} != 0",
     )
     body = _cell_split_sql_body(max_depth, cap, nsub, sub_iters, dim)
-    qlevel = """,
-    qa{d} AS (SELECT vec_id, sub FROM (
-        SELECT q.vec_id, c.sub,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC,
-                          c.sub) AS rn
-        FROM q{prev} q JOIN sc{d}_{ks} c USING (cell)) WHERE rn = 1),
-    q{d} AS (
-      SELECT q.vec_id, q.v, q.cell * {nsub1} + coalesce(a.sub, 0) AS cell
-      FROM q{prev} q LEFT JOIN qa{d} a ON a.vec_id = q.vec_id)"""
-    qskip = """,
-    q{d} AS (SELECT vec_id, v, cell * {nsub1} AS cell FROM q{prev})"""
-    qbody = f""",
-    q0 AS (SELECT vec_id, v, CAST(cluster AS BIGINT) AS cell FROM (
-        SELECT b.vec_id, b.v, c.cluster,
-               row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
-                          c.cluster) AS rn
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-              WHERE vec_id % {split_mod} = 0) b, c{iters} c) WHERE rn = 1)"""
-    for d in range(1, max_depth + 1):
-        # the split body always materializes sc{d}_{ks}; if that level
-        # had no oversized cell the frame is EMPTY and the LEFT join
-        # yields sub = 0 for every batch vector — identical to the
-        # Spark side's skip-level arithmetic, so one template serves
-        qbody += qlevel.format(d=d, prev=d - 1, ks=sub_iters,
-                               nsub1=nsub + 1)
+    qbody = _semdedup_route_sql(
+        "q", f"vec_id % {split_mod} = 0", iters, nsub, sub_iters, max_depth
+    )
     return chain + body + qbody + f""",
     ranked AS (
       SELECT vec_id, v, cell,
@@ -5854,6 +5867,92 @@ def semdedup_probe_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["semdedup_probe_stratified"] = _semdedup_index_oracle_sql(
     reps="stratified"
 )
+
+
+def _semdedup_pool_oracle_sql(
+    nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
+    tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
+    max_depth: int = 1, reps: str = "lowest",
+) -> str:
+    """DuckDB replay of the between-rebuilds lifecycle step
+    (semdedup.semdedup_query_with_pool): the IVF chain + split body run
+    over the CORPUS slice (vec_id % 5 >= 2); the BATCH (vec_id % 5 = 0)
+    and the accumulation POOL (vec_id % 5 = 1) are routed through the
+    same recorded chain by the shared routing template; the result is
+    the representative-capped index join (source 'index') UNION ALL the
+    cell-keyed batch x pool join (source 'pool', never truncated, no
+    cap)."""
+    if reps == "lowest":
+        rep_pred = f"r.rn <= {cap}"
+    else:
+        rep_pred = f"((r.rn - 1) % ((r.cnt + {cap} - 1) // {cap})) = 0"
+    chain = _ivf_chain_sql(
+        nlist, iters, dim, train_mod, where=" WHERE vec_id % 5 >= 2",
+    )
+    body = _cell_split_sql_body(max_depth, cap, nsub, sub_iters, dim)
+    qroute = _semdedup_route_sql(
+        "q", "vec_id % 5 = 0", iters, nsub, sub_iters, max_depth
+    )
+    proute = _semdedup_route_sql(
+        "p", "vec_id % 5 = 1", iters, nsub, sub_iters, max_depth
+    )
+    return chain + body + qroute + proute + f""",
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+             count(*) OVER (PARTITION BY cell) AS cnt
+      FROM cells{max_depth})
+    SELECT q.vec_id AS new_vec_id, r.vec_id AS corpus_id,
+           round(round(list_cosine_similarity(q.v, r.v), 6), 4) AS cos,
+           r.cnt > {cap} AS truncated, 'index' AS source
+    FROM q{max_depth} q JOIN ranked r USING (cell)
+    WHERE (r.cnt <= {cap} OR {rep_pred})
+      AND round(list_cosine_similarity(q.v, r.v), 6) >= {tau}
+    UNION ALL
+    SELECT q.vec_id AS new_vec_id, p.vec_id AS corpus_id,
+           round(round(list_cosine_similarity(q.v, p.v), 6), 4) AS cos,
+           FALSE AS truncated, 'pool' AS source
+    FROM q{max_depth} q JOIN p{max_depth} p USING (cell)
+    WHERE round(list_cosine_similarity(q.v, p.v), 6) >= {tau}
+    """
+
+
+@query("semdedup_pool_probe", None)
+def semdedup_pool_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE between-rebuilds lifecycle step of the semantic
+    dedup index (semdedup.semdedup_query_with_pool): an arriving batch
+    (vec_id % 5 == 0) is probed against BOTH the frozen index (corpus =
+    vec_id % 5 >= 2) and the un-indexed ACCUMULATION POOL (vec_id % 5
+    == 1 — the accepted survivors of batches since the last rebuild),
+    pairs labeled source='index'|'pool'.  Why: the drift arm measured
+    that a frozen index's decision recall decays 1.000 -> 0.268 purely
+    through accumulation (base-targeted dups stay fully caught), and
+    the pool-hit share tracks the lost mass — so the REBUILD TRIGGER is
+    avg(source='pool') over probe decisions, and this query is the
+    production shape that computes it.  The pool rides the SAME frozen
+    assignment chain as the batch (shared routing — what makes the cell
+    join sound), so the pool probe is a cell-keyed equi-join,
+    O(batch x pool_cell), never batch x pool brute force.  The oracle
+    replays corpus training/split, BOTH routings through the shared
+    template, the representative-capped index join, and the pool cell
+    join."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_with_pool,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 >= 2)
+    pool = emb.filter(F.col("vec_id") % 5 == 1)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = semdedup_build_index(
+        corpus, nlist=8, iters=3, train_mod=4, cap=16, nsub=2, sub_iters=2,
+        max_depth=1, persist=True,
+    )
+    return semdedup_query_with_pool(batch, index, pool, tau=0.4)
+
+
+ORACLE["semdedup_pool_probe"] = _semdedup_pool_oracle_sql()
 
 
 def _stream_index_probe_oracle_sql(
@@ -8455,8 +8554,9 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-13 rotation (ninth gate rotation).  Slots: 1 anchor (the
-# flagship), 1 debut row (semdedup_probe_stratified — the only catalog
-# entry with no driver CORRECTNESS record), 1 changed-kernel re-gate
+# flagship), 2 debut rows (semdedup_probe_stratified and
+# semdedup_pool_probe — the only catalog entries with no driver
+# CORRECTNESS record), 1 changed-kernel re-gate
 # (semantic_dedup_capped: the over-cap pair join moved to a rank-block
 # key this round — output identical, plan different, so it faces the
 # driver again rather than riding its r12 record), then the ENTIRE
@@ -8467,7 +8567,7 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 # prioritized for having no same-kernel sibling coverage:
 # jaccard_near_dups, event_window_trading_days, tick_bins_5min,
 # tw_value_5min, fractile_deciles, group_ols, delist_adjusted_compound).
-# The 17 r10-cohort rows deferred to r14 each have a same-kernel
+# The 18 r10-cohort rows deferred to r14 each have a same-kernel
 # sibling IN this gate or fresher independent coverage:
 #   ann_ivfpq_refined     (same IVF+PQ train/bin/probe chain as
 #                          ann_ivfpq_residual in this gate;
@@ -8510,16 +8610,21 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #                          both in this gate)
 #   kupiec_var_backtest   (VaR kernel family: risk_summary in this
 #                          gate, parametric_risk_summary r12-green)
+#   supply_graph_pagerank (same power-sweep kernel as
+#                          supply_personalized_pagerank, in this gate;
+#                          also a bench headline timed at sf0.1 every
+#                          round)
 # Everything rotated out stays guarded by the full-catalog hash-strict
 # local replica (tools/check_correctness.py), and its r5-r12 driver
-# records stand.  r14 must take the 17 deferrals above plus the first
-# ~32 of the 49 r11-cohort rows (rest at r15) so nothing reaches
+# records stand.  r14 must take the 18 deferrals above plus the first
+# ~31 of the 49 r11-cohort rows (rest at r15) so nothing reaches
 # 4-stale.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # debut row: built this round, no driver record yet
+    # debut rows: built this round, no driver record yet
     "semdedup_probe_stratified",  # stratified-reps probe policy
+    "semdedup_pool_probe",        # between-rebuilds pool probe + trigger
     # changed-kernel re-gate: rank-block pair join landed this round
     "semantic_dedup_capped",
     # oldest-checked cohort: r9 (all 15 — the r12 verdict item 1 list)
@@ -8538,7 +8643,7 @@ _GATE_ORDER = [
     "supply_hits",
     "supply_personalized_pagerank",
     "token_budget_packing",
-    # oldest-checked cohort: r10 (32 of 49; 17 deferrals documented above)
+    # oldest-checked cohort: r10 (31 of 49; 18 deferrals documented above)
     "binary_payload_metadata",
     "bpe_tokenize_and_pack",
     "bpe_train_batched",
@@ -8564,7 +8669,6 @@ _GATE_ORDER = [
     "signals_sink_roundtrip",
     "simhash_near_dups",
     "stream_curation_tagged",
-    "supply_graph_pagerank",
     "text_quality",
     "tick_bins_5min",
     "tw_value_5min",

@@ -289,3 +289,122 @@ def test_at_rest_cells_probe_skips_corpus_side_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("t_cells", "t_centroids", "t_levels", "t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS sdpl.{t}")
+
+
+def test_stratified_reps_cover_id_contiguous_families(spark):
+    """reps='stratified' picks every ceil(cnt/cap)-th id-rank: on small
+    cells both policies are the FULL cell (identical output), and in an
+    unsplittable cell an id-contiguous duplicate family of >= step
+    members must be witnessed under stratified even when it sits past
+    rank cap (where the lowest-id policy is structurally blind)."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+    )
+
+    rng = np.random.default_rng(53)
+    # one dense region of 6 id-contiguous families x 8: family centers
+    # ISOTROPIC around the region center (Lloyd reduces but cannot
+    # bound such cells — same geometry as the measured probe-recall
+    # FAMILY arm), members ~identical within a family.  Inter-family
+    # cosine ~0.92 << tau, intra ~1.0.  cap=12 -> step <= 4 <= 8, so
+    # stratified's id-run coverage guarantee is engaged.
+    center = np.ones(DIM)
+    fams = []
+    for f in range(6):
+        off = rng.normal(0, 0.3, DIM)
+        fams.append([center + off + rng.normal(0, 1e-7, DIM)
+                     for _ in range(8)])
+    flat = [v for fam in fams for v in fam]
+    far = _spread_blob(rng, -np.ones(DIM), 6, 0.1)
+    rows = [(i, v) for i, v in enumerate([flat[0], far[0]] + flat[1:]
+                                         + far[1:])]
+    emb = _emb_df(spark, rows)
+    idx = semdedup_build_index(
+        emb, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=1,
+        persist=True,
+    )
+    # fixture validity: the LAST family (highest ids 41-48) must sit in
+    # an over-cap cell with > cap lower-id members ahead of it, so the
+    # lowest-id reps cannot contain any of its members
+    fam_cells = idx["cells"].filter(
+        (F.col("vec_id") >= 41) & (F.col("vec_id") <= 48)
+    ).toPandas()
+    assert (fam_cells["__cnt__"] > 12).all()
+    assert (fam_cells["__rn__"] > 12).all()
+    # probe = twin of a member of the LAST family (highest ids)
+    batch = _emb_df(spark, [(1000, fams[-1][3])])
+    tau = 0.999
+    low = semdedup_query_index(batch, idx, tau=tau, reps="lowest").toPandas()
+    strat = semdedup_query_index(
+        batch, idx, tau=tau, reps="stratified"
+    ).toPandas()
+    # at tau ~1 only same-family members witness; the family's ids are
+    # all past rank cap=12 -> lowest misses, stratified must hit
+    assert len(low) == 0
+    assert len(strat) > 0 and strat["truncated"].all()
+    # small-cell equivalence: far-region copies read identically
+    batch2 = _emb_df(spark, [(2000, far[2])])
+    a = semdedup_query_index(batch2, idx, tau=0.95, reps="lowest").toPandas()
+    b = semdedup_query_index(
+        batch2, idx, tau=0.95, reps="stratified"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("corpus_id").reset_index(drop=True),
+        b.sort_values("corpus_id").reset_index(drop=True),
+    )
+    # invalid policy is an error, not a silent fallback
+    with pytest.raises(ValueError):
+        semdedup_query_index(batch, idx, reps="nope").toPandas()
+
+
+def test_query_with_pool_unions_index_and_pool_pairs(spark):
+    """semdedup_query_with_pool = index probe (source='index', identical
+    to semdedup_query_index) + cell-keyed pool probe (source='pool',
+    never truncated): a batch twin of an un-indexed pool vector must be
+    found through the pool arm only, a twin of a corpus vector through
+    the index arm only, and the index arm must match the plain probe
+    row-for-row."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+        semdedup_query_with_pool,
+    )
+
+    rng = np.random.default_rng(59)
+    spread = _spread_blob(rng, np.ones(DIM), 30, 0.4)
+    rows = [(i, v) for i, v in enumerate(spread)]
+    emb = _emb_df(spark, rows)
+    idx = semdedup_build_index(
+        emb, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=1,
+        persist=True,
+    )
+    # pool = accepted survivors since the last rebuild: near the same
+    # region (they route to the same cells) but distinct content
+    pool_vecs = [np.ones(DIM) + rng.normal(0, 0.4, DIM) for _ in range(5)]
+    pool = _emb_df(spark, [(500 + j, v) for j, v in enumerate(pool_vecs)])
+    batch = _emb_df(spark, [
+        (1000, spread[5]),      # corpus twin -> index arm
+        (1001, pool_vecs[2]),   # pool twin -> pool arm
+    ])
+    out = semdedup_query_with_pool(batch, idx, pool, tau=0.95).toPandas()
+    pool_hits = out[out["source"] == "pool"]
+    idx_hits = out[out["source"] == "index"]
+    assert (1001, 502) in {
+        (int(q), int(c))
+        for q, c in pool_hits[["new_vec_id", "corpus_id"]].to_numpy()
+    }
+    assert not pool_hits["truncated"].any()
+    # the index arm IS semdedup_query_index, row for row
+    plain = semdedup_query_index(batch, idx, tau=0.95).toPandas()
+    key = ["new_vec_id", "corpus_id", "cos", "truncated"]
+    pd.testing.assert_frame_equal(
+        idx_hits[key].sort_values(key).reset_index(drop=True),
+        plain[key].sort_values(key).reset_index(drop=True),
+    )
+    # the rebuild-trigger statistic is computable from the output alone:
+    # at the exact-twin threshold each probe's ONLY witness is its twin,
+    # so 1001's decision is pool-sourced and 1000's is index-sourced
+    exact = out[out["cos"] >= 0.999]
+    dec = exact.groupby("new_vec_id")["source"].apply(set)
+    assert dec[1001] == {"pool"} and dec[1000] == {"index"}
