@@ -408,3 +408,52 @@ def test_query_with_pool_unions_index_and_pool_pairs(spark):
     exact = out[out["cos"] >= 0.999]
     dec = exact.groupby("new_vec_id")["source"].apply(set)
     assert dec[1001] == {"pool"} and dec[1000] == {"index"}
+
+
+def test_query_with_pool_on_at_rest_index(spark, tmp_path):
+    """The between-rebuilds step must run against a re-opened at-rest
+    index unchanged (write -> read -> query_with_pool == the in-memory
+    result): the pool routing uses the restored centroid chain, so an
+    ingestion loop can hold ONLY the table prefix + the small pool
+    between rebuilds."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_with_pool,
+        semdedup_read_index,
+        semdedup_write_index,
+    )
+
+    rng = np.random.default_rng(61)
+    rows = [(i, v) for i, v in enumerate(
+        _spread_blob(rng, np.ones(DIM), 40, 0.4)
+        + _spread_blob(rng, -np.ones(DIM), 10, 0.4)
+    )]
+    emb = _emb_df(spark, rows)
+    pool = _emb_df(spark, [
+        (500 + j, np.ones(DIM) + rng.normal(0, 0.4, DIM)) for j in range(4)
+    ] + [(504, rows[2][1])])   # pool twin of the batch's first probe
+    batch = _emb_df(spark, [(1000 + i, rows[i][1]) for i in (2, 44)])
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS sdpool LOCATION '{tmp_path}/sdp'"
+    )
+    try:
+        idx = semdedup_build_index(
+            emb, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=2,
+            persist=True,
+        )
+        want = semdedup_query_with_pool(batch, idx, pool, tau=0.9).toPandas()
+        semdedup_write_index(idx, "sdpool.t", n_buckets=4)
+        re = semdedup_read_index(spark, "sdpool.t")
+        got = semdedup_query_with_pool(batch, re, pool, tau=0.9).toPandas()
+        key = lambda d: {
+            (int(q), int(c), float(s), bool(t), src)
+            for q, c, s, t, src in d[
+                ["new_vec_id", "corpus_id", "cos", "truncated", "source"]
+            ].to_numpy()
+        }
+        assert key(got) == key(want)
+        assert (want["source"] == "pool").any()
+        assert (want["source"] == "index").any()
+    finally:
+        for t in ("t_cells", "t_centroids", "t_levels", "t_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS sdpool.{t}")
