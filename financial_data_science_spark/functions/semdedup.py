@@ -503,10 +503,18 @@ def semdedup_query_index(
     Output: ``(query_id, corpus_id, cos, truncated)`` with
     ``round(cosine, 6) >= tau``.  Ids in ``queries`` must be disjoint
     from the indexed ids (same contract as minhash_query_index)."""
+    query_id = query_id or f"new_{index['id_col']}"
+    probes = _route_cells(queries, index, query_id)
+    return _join_reps(probes, index, tau, query_id, reps)
+
+
+def _join_reps(
+    probes: DataFrame, index: dict, tau: float, query_id: str, reps: str
+) -> DataFrame:
+    """The representative-capped cell join half of the index probe,
+    over an already-routed batch (``(query_id, __qv__, __cell__)``)."""
     id_col, vec_col = index["id_col"], index["vec_col"]
     cap = index["cap"]
-    query_id = query_id or f"new_{id_col}"
-    probes = _route_cells(queries, index, query_id)
     if reps == "lowest":
         rep_pick = F.col("__rn__") <= cap
     elif reps == "stratified":
@@ -570,10 +578,13 @@ def semdedup_query_with_pool(
     the indexed ids."""
     id_col = index["id_col"]
     query_id = query_id or f"new_{id_col}"
-    idx_pairs = semdedup_query_index(
-        queries, index, tau=tau, query_id=query_id, reps=reps
-    ).withColumn("source", F.lit("index"))
+    # the batch routes ONCE; both arms consume the same routed frame
+    # (the index arm is _join_reps over it — literally the body of
+    # semdedup_query_index, row-for-row parity pytest-pinned)
     qcells = _route_cells(queries, index, query_id)
+    idx_pairs = _join_reps(qcells, index, tau, query_id, reps).withColumn(
+        "source", F.lit("index")
+    )
     pcells = _route_cells(pool, index, "__pool_id__").select(
         F.col("__pool_id__"),
         F.col("__qv__").alias("__pv__"),
