@@ -15,6 +15,10 @@ affordable at the 2k probe scale ONLY, which is rather the point the
 blocking exists to make.
 
 Run: PYTHONPATH=/root/repo python tools/scale_probe_semdedup.py
+(the full pass: recall sweep, planted dups, planted skew, structured
+mega-cell, bin-once index, probe-recall, drift).  To run only the
+function-wrapped arms set SPARK_GRAFT_SEMDEDUP_ARMS to a comma list of
+probe_recall,drift,sdidx — the straight-line arms are skipped then.
 """
 import os
 import sys
