@@ -113,6 +113,7 @@ EXTENDED_QUERIES = [
     # r13: same END-append rule; no floor rows until the next re-seal
     "semdedup_probe_stratified",
     "semdedup_pool_probe",
+    "semdedup_pool_probe_capped",
 ]
 
 

@@ -549,6 +549,7 @@ def semdedup_query_with_pool(
     tau: float = 0.4,
     query_id: str | None = None,
     reps: str = "lowest",
+    pool_cap: int | None = None,
 ) -> DataFrame:
     """The EXECUTABLE between-rebuilds step of the semantic-index
     lifecycle: near-dup pairs of an arriving batch against BOTH the
@@ -567,15 +568,22 @@ def semdedup_query_with_pool(
     Scale shape: the pool rides the SAME frozen assignment chain as the
     batch (:func:`_route_cells` — identical routing is what makes the
     cell join sound), so the pool probe is a cell-keyed equi-join,
-    O(batch x pool_cell), never batch x pool brute force; no
-    representative cap on the pool side (it is small between rebuilds
-    BY CONSTRUCTION — its growth is itself the rebuild signal).
+    O(batch x pool_cell), never batch x pool brute force.  By default
+    the pool side has no representative cap (it is small between
+    rebuilds BY CONSTRUCTION — its growth is itself the rebuild
+    signal); ``pool_cap`` bounds the adversarial case where ONE
+    ingestion interval lands a boilerplate burst in a single cell
+    before the trigger can fire: pool cells over ``pool_cap`` keep only
+    every ``ceil(cnt/pool_cap)``-th id-rank (stratified ONLY — pool ids
+    are ingestion-ordered, so the id-run coverage guarantee is exactly
+    the burst case: any burst family of >= step members keeps a
+    witness), and their pairs are labeled ``truncated``.
 
     Output: ``(query_id, corpus_id, cos, truncated, source)`` with
     ``source`` in ('index', 'pool'); index pairs carry the ``reps``
-    policy's truncation label, pool pairs are never truncated.  Ids in
-    ``queries`` and ``pool`` must be disjoint from each other and from
-    the indexed ids."""
+    policy's truncation label, pool pairs are truncated only under
+    ``pool_cap``.  Ids in ``queries`` and ``pool`` must be disjoint
+    from each other and from the indexed ids."""
     id_col = index["id_col"]
     query_id = query_id or f"new_{id_col}"
     # the batch routes ONCE; both arms consume the same routed frame
@@ -590,6 +598,23 @@ def semdedup_query_with_pool(
         F.col("__qv__").alias("__pv__"),
         "__cell__",
     )
+    if pool_cap is not None:
+        wp = Window.partitionBy("__cell__").orderBy("__pool_id__")
+        pcells = pcells.select(
+            "__pool_id__", "__pv__", "__cell__",
+            F.row_number().over(wp).alias("__prn__"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("__cell__")
+            ).alias("__pcnt__"),
+        )
+        pstep = F.expr(f"(__pcnt__ + {pool_cap - 1}) div {pool_cap}")
+        pcells = pcells.filter(
+            (F.col("__pcnt__") <= pool_cap)
+            | (((F.col("__prn__") - 1) % pstep) == 0)
+        )
+        p_trunc = F.col("__pcnt__") > pool_cap
+    else:
+        p_trunc = F.lit(False)
     pool_pairs = (
         qcells.join(pcells, "__cell__")
         .withColumn("c6", F.round(cosine(F.col("__qv__"), F.col("__pv__")), 6))
@@ -598,7 +623,7 @@ def semdedup_query_with_pool(
             query_id,
             F.col("__pool_id__").alias("corpus_id"),
             F.round(F.col("c6"), 4).alias("cos"),
-            F.lit(False).alias("truncated"),
+            p_trunc.alias("truncated"),
             F.lit("pool").alias("source"),
         )
     )

@@ -5872,7 +5872,7 @@ ORACLE["semdedup_probe_stratified"] = _semdedup_index_oracle_sql(
 def _semdedup_pool_oracle_sql(
     nlist: int = 8, iters: int = 3, dim: int = 64, train_mod: int = 4,
     tau: float = 0.4, cap: int = 16, nsub: int = 2, sub_iters: int = 2,
-    max_depth: int = 1, reps: str = "lowest",
+    max_depth: int = 1, reps: str = "lowest", pool_cap: int | None = None,
 ) -> str:
     """DuckDB replay of the between-rebuilds lifecycle step
     (semdedup.semdedup_query_with_pool): the IVF chain + split body run
@@ -5896,6 +5896,28 @@ def _semdedup_pool_oracle_sql(
     proute = _semdedup_route_sql(
         "p", "vec_id % 5 = 1", iters, nsub, sub_iters, max_depth
     )
+    pool_arm = f"""
+    SELECT q.vec_id AS new_vec_id, p.vec_id AS corpus_id,
+           round(round(list_cosine_similarity(q.v, p.v), 6), 4) AS cos,
+           FALSE AS truncated, 'pool' AS source
+    FROM q{max_depth} q JOIN p{max_depth} p USING (cell)
+    WHERE round(list_cosine_similarity(q.v, p.v), 6) >= {tau}"""
+    if pool_cap is not None:
+        # pool cells over pool_cap keep every ceil(cnt/pool_cap)-th
+        # id-rank (stratified only — pool ids are ingestion-ordered);
+        # BIGINT // replays Spark's `div` exactly
+        pool_arm = f"""
+    SELECT q.vec_id AS new_vec_id, p.vec_id AS corpus_id,
+           round(round(list_cosine_similarity(q.v, p.v), 6), 4) AS cos,
+           p.cnt > {pool_cap} AS truncated, 'pool' AS source
+    FROM q{max_depth} q JOIN (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+             count(*) OVER (PARTITION BY cell) AS cnt
+      FROM p{max_depth}) p USING (cell)
+    WHERE (p.cnt <= {pool_cap}
+           OR ((p.rn - 1) % ((p.cnt + {pool_cap} - 1) // {pool_cap})) = 0)
+      AND round(list_cosine_similarity(q.v, p.v), 6) >= {tau}"""
     return chain + body + qroute + proute + f""",
     ranked AS (
       SELECT vec_id, v, cell,
@@ -5908,12 +5930,7 @@ def _semdedup_pool_oracle_sql(
     FROM q{max_depth} q JOIN ranked r USING (cell)
     WHERE (r.cnt <= {cap} OR {rep_pred})
       AND round(list_cosine_similarity(q.v, r.v), 6) >= {tau}
-    UNION ALL
-    SELECT q.vec_id AS new_vec_id, p.vec_id AS corpus_id,
-           round(round(list_cosine_similarity(q.v, p.v), 6), 4) AS cos,
-           FALSE AS truncated, 'pool' AS source
-    FROM q{max_depth} q JOIN p{max_depth} p USING (cell)
-    WHERE round(list_cosine_similarity(q.v, p.v), 6) >= {tau}
+    UNION ALL{pool_arm}
     """
 
 
@@ -5953,6 +5970,39 @@ def semdedup_pool_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["semdedup_pool_probe"] = _semdedup_pool_oracle_sql()
+
+
+@query("semdedup_pool_probe_capped", None)
+def semdedup_pool_probe_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pool probe with the ADVERSARIAL-BURST bound engaged
+    (semdedup_query_with_pool(pool_cap=)): a boilerplate burst can land
+    a mega-cell in the accumulation pool within ONE ingestion interval
+    — before the rebuild trigger can fire — and the uncapped pool arm
+    would pay batch_cell x burst there.  pool_cap keeps every
+    ceil(cnt/pool_cap)-th id-rank of an over-cap pool cell (stratified
+    ONLY, deliberately: pool ids are ingestion-ordered, so the id-run
+    coverage guarantee is exactly the burst case — any burst family of
+    >= step members keeps a witness), pairs labeled truncated.
+    pool_cap=4 here forces the bound live at gate scale.  The oracle
+    replays the pool-side ranking and the stratified rank predicate
+    (integer // = Spark's div) on top of the shared routing chain."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_with_pool,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 >= 2)
+    pool = emb.filter(F.col("vec_id") % 5 == 1)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = semdedup_build_index(
+        corpus, nlist=8, iters=3, train_mod=4, cap=16, nsub=2, sub_iters=2,
+        max_depth=1, persist=True,
+    )
+    return semdedup_query_with_pool(batch, index, pool, tau=0.4, pool_cap=4)
+
+
+ORACLE["semdedup_pool_probe_capped"] = _semdedup_pool_oracle_sql(pool_cap=4)
 
 
 def _stream_index_probe_oracle_sql(
@@ -8554,9 +8604,10 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
 # Round-13 rotation (ninth gate rotation).  Slots: 1 anchor (the
-# flagship), 2 debut rows (semdedup_probe_stratified and
-# semdedup_pool_probe — the only catalog entries with no driver
-# CORRECTNESS record), 1 changed-kernel re-gate
+# flagship), 3 debut rows (semdedup_probe_stratified,
+# semdedup_pool_probe, and semdedup_pool_probe_capped — the only
+# catalog entries with no driver CORRECTNESS record), 1 changed-kernel
+# re-gate
 # (semantic_dedup_capped: the over-cap pair join moved to a rank-block
 # key this round — output identical, plan different, so it faces the
 # driver again rather than riding its r12 record), then the ENTIRE
@@ -8567,7 +8618,7 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 # prioritized for having no same-kernel sibling coverage:
 # jaccard_near_dups, event_window_trading_days, tick_bins_5min,
 # tw_value_5min, fractile_deciles, group_ols, delist_adjusted_compound).
-# The 18 r10-cohort rows deferred to r14 each have a same-kernel
+# The 19 r10-cohort rows deferred to r14 each have a same-kernel
 # sibling IN this gate or fresher independent coverage:
 #   ann_ivfpq_refined     (same IVF+PQ train/bin/probe chain as
 #                          ann_ivfpq_residual in this gate;
@@ -8614,10 +8665,13 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #                          supply_personalized_pagerank, in this gate;
 #                          also a bench headline timed at sf0.1 every
 #                          round)
+#   winsorized_price_stats (same breakpoint/clamp kernel family as
+#                          fractile_deciles, in this gate;
+#                          outlier_fences_tukey twin r12-green)
 # Everything rotated out stays guarded by the full-catalog hash-strict
 # local replica (tools/check_correctness.py), and its r5-r12 driver
-# records stand.  r14 must take the 18 deferrals above plus the first
-# ~31 of the 49 r11-cohort rows (rest at r15) so nothing reaches
+# records stand.  r14 must take the 19 deferrals above plus the first
+# ~30 of the 49 r11-cohort rows (rest at r15) so nothing reaches
 # 4-stale.
 _GATE_ORDER = [
     # anchor
@@ -8625,6 +8679,7 @@ _GATE_ORDER = [
     # debut rows: built this round, no driver record yet
     "semdedup_probe_stratified",  # stratified-reps probe policy
     "semdedup_pool_probe",        # between-rebuilds pool probe + trigger
+    "semdedup_pool_probe_capped", # adversarial-burst pool bound
     # changed-kernel re-gate: rank-block pair join landed this round
     "semantic_dedup_capped",
     # oldest-checked cohort: r9 (all 15 — the r12 verdict item 1 list)
@@ -8643,7 +8698,7 @@ _GATE_ORDER = [
     "supply_hits",
     "supply_personalized_pagerank",
     "token_budget_packing",
-    # oldest-checked cohort: r10 (31 of 49; 18 deferrals documented above)
+    # oldest-checked cohort: r10 (30 of 49; 19 deferrals documented above)
     "binary_payload_metadata",
     "bpe_tokenize_and_pack",
     "bpe_train_batched",
@@ -8674,7 +8729,6 @@ _GATE_ORDER = [
     "tw_value_5min",
     "users_click_no_purchase",
     "window_group_share",
-    "winsorized_price_stats",
 ]
 
 

@@ -22,11 +22,11 @@ def test_gate_prefix_is_pinned():
     """The driver checks the first 50 queries() entries; the round-13
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    two r13 debut rows (the only catalog entries with no driver
+    three r13 debut rows (the only catalog entries with no driver
     CORRECTNESS record) + the changed-kernel re-gate, and must draw the
     rest from the oldest-driver-checked cohorts (refresh rotation: ALL
     15 r9-stale rows — the r12 verdict item 1 pinned them by name —
-    then 31 of the 49 r10-stale rows, 18 deferred with documented
+    then 30 of the 49 r10-stale rows, 19 deferred with documented
     justifications)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
@@ -38,6 +38,7 @@ def test_gate_prefix_is_pinned():
         # r13 debut rows: built this round, first-ever driver record
         "semdedup_probe_stratified",
         "semdedup_pool_probe",
+        "semdedup_pool_probe_capped",
         # changed-kernel re-gate (rank-block pair join landed in r13)
         "semantic_dedup_capped",
         # the full r9-stale cohort (would be 4 rounds stale if deferred;

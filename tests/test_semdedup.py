@@ -457,3 +457,42 @@ def test_query_with_pool_on_at_rest_index(spark, tmp_path):
     finally:
         for t in ("t_cells", "t_centroids", "t_levels", "t_meta"):
             spark.sql(f"DROP TABLE IF EXISTS sdpool.{t}")
+
+
+def test_pool_cap_bounds_burst_but_keeps_witness(spark):
+    """pool_cap engages the stratified id-run guarantee on the POOL
+    side: an ingestion burst (id-contiguous near-identical family) in
+    one pool cell is cut to <= pool_cap representatives, pairs labeled
+    truncated, yet every burst family of >= ceil(cnt/pool_cap) members
+    keeps a witness; pool_cap=None stays exact."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_with_pool,
+    )
+
+    rng = np.random.default_rng(67)
+    spread = _spread_blob(rng, np.ones(DIM), 30, 0.4)
+    emb = _emb_df(spark, [(i, v) for i, v in enumerate(spread)])
+    idx = semdedup_build_index(
+        emb, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=1,
+        persist=True,
+    )
+    # pool = one 24-member boilerplate burst landing in one cell
+    burst_center = np.ones(DIM) + rng.normal(0, 0.05, DIM)
+    burst = [(500 + j, burst_center + rng.normal(0, 1e-7, DIM))
+             for j in range(24)]
+    pool = _emb_df(spark, burst)
+    batch = _emb_df(spark, [(1000, burst_center)])
+    exact = semdedup_query_with_pool(batch, idx, pool, tau=0.999).toPandas()
+    capped = semdedup_query_with_pool(
+        batch, idx, pool, tau=0.999, pool_cap=4
+    ).toPandas()
+    exact_pool = exact[exact["source"] == "pool"]
+    capped_pool = capped[capped["source"] == "pool"]
+    assert len(exact_pool) == 24 and not exact_pool["truncated"].any()
+    # bounded: <= pool_cap reps of the 24-member cell, all truncated,
+    # and the burst keeps a witness (the dedup decision survives)
+    assert 0 < len(capped_pool) <= 4
+    assert capped_pool["truncated"].all()
+    # capped pairs are a subset of the exact pairs
+    assert set(capped_pool["corpus_id"]) <= set(exact_pool["corpus_id"])
