@@ -488,13 +488,13 @@ def semdedup_query_index(
       so every duplicate family of at least ``ceil(cnt/cap)`` members
       is witnessed — measured 1.000 decision recall on the same
       planted families (vs 0.14-0.20 for lowest), isotropic-blob
-      recall unchanged (0.88-0.96; any deterministic cap-subset has
+      recall unchanged (0.88-0.93; any deterministic cap-subset has
       the same expectation there).
 
     Both are probe-time filters over the persisted ``__rn__``/
     ``__cnt__`` ranks, so either policy can probe any at-rest index
     unchanged.  PAIR-list completeness inside truncated cells is
-    bounded by design under either policy (pair recall 0.17-0.37 at
+    bounded by design under either policy (pair recall 0.16-0.37 at
     cap 64-256 on the spread blob) — the dedup DECISION is the
     preserved object; the residual spread-cell trade is the
     rebuild-cadence trigger (MIGRATION.md), quantified per ``cap`` in
