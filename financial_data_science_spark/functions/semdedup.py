@@ -15,8 +15,9 @@ oracle re-derives every pair:
 1. **Recursive cell split** (:func:`kmeans_cell_split`): any cell with
    more than ``cap`` members is re-quantized IN PLACE by the same
    deterministic Lloyd recipe the IVF family trains — init = the
-   ``nsub`` lowest-id members of the cell, fixed sweeps, rounded-grid
-   scores/means, ties to the lowest sub-cell — run as ONE grouped plan
+   members at ``nsub`` evenly-spaced id-ranks of the cell, fixed
+   sweeps, rounded-grid scores/means, ties to the lowest sub-cell —
+   run as ONE grouped plan
    for all oversized cells at once (training joins on the cell key; no
    per-cell driver loop, no collect).  Spread-out mega-cells (distinct
    boilerplate families sharing a region) split cleanly; depth is a
