@@ -8613,7 +8613,7 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 # driver again rather than riding its r12 record), then the ENTIRE
 # r9-stale cohort — all 15 rows the r12 rotation deferred (the r12
 # verdict item 1 pinned them by name, correcting SCALE.md's 14-count
-# which omitted token_budget_packing) — and 32 of the 49 rows last
+# which omitted token_budget_packing) — and 30 of the 49 rows last
 # checked in r10 (including all seven the r12 verdict item 2
 # prioritized for having no same-kernel sibling coverage:
 # jaccard_near_dups, event_window_trading_days, tick_bins_5min,
