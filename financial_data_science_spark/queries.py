@@ -642,10 +642,48 @@ def running_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def users_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set difference as anti-join (real_time.py:118-120)."""
+    """§2.7 set difference as anti-join (real_time.py:118-120).
+
+    NOTE: vacuous on the synthetic events table (every clicker also
+    purchases over the full month, so the result is 0 rows at every SF
+    — a hash match here cannot falsify a broken anti-join).  The
+    date-windowed sibling `users_click_no_purchase_window` below is the
+    data-sensitive gate row for this kernel; this un-windowed form is
+    kept for the full-month set-difference semantics."""
     ev = load_table(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.join(buyers, "user_id", "left_anti")
+
+
+@query(
+    "users_click_no_purchase_window",
+    """
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08'
+    AND user_id NOT IN (SELECT user_id FROM events
+                        WHERE event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-08')
+    """,
+)
+def users_click_no_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set difference as anti-join, date-windowed so the result is
+    NON-EMPTY and hash-sensitive (7 rows at sf0.01, 60 at sf0.1): week-1
+    clickers with no week-1 purchase.  The reference's set difference is
+    likewise computed within an update window (real_time.py:118-120,
+    new-vs-old ticker sets for one refresh interval).  Replaces the
+    vacuous `users_click_no_purchase` as the J15/§2.7 gate row — a
+    left_anti that silently degraded to left_semi or dropped the
+    event_type filter now changes the hash.  Scale note: one shared ts
+    predicate feeds both sides, so it reaches the parquet scan
+    (partition/file pruning at 100 TB), and the anti-join's build side
+    is the filtered distinct-buyer set, not the full events table."""
+    ev = load_table(spark, sf_dir, "events")
+    week1 = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    clickers = (
+        week1.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    buyers = week1.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.join(buyers, "user_id", "left_anti")
 
 
@@ -8603,132 +8641,141 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-13 rotation (ninth gate rotation).  Slots: 1 anchor (the
-# flagship), 3 debut rows (semdedup_probe_stratified,
-# semdedup_pool_probe, and semdedup_pool_probe_capped — the only
-# catalog entries with no driver CORRECTNESS record), 1 changed-kernel
-# re-gate
-# (semantic_dedup_capped: the over-cap pair join moved to a rank-block
-# key this round — output identical, plan different, so it faces the
-# driver again rather than riding its r12 record), then the ENTIRE
-# r9-stale cohort — all 15 rows the r12 rotation deferred (the r12
-# verdict item 1 pinned them by name, correcting SCALE.md's 14-count
-# which omitted token_budget_packing) — and 30 of the 49 rows last
-# checked in r10 (including all seven the r12 verdict item 2
-# prioritized for having no same-kernel sibling coverage:
-# jaccard_near_dups, event_window_trading_days, tick_bins_5min,
-# tw_value_5min, fractile_deciles, group_ols, delist_adjusted_compound).
-# The 19 r10-cohort rows deferred to r14 each have a same-kernel
-# sibling IN this gate or fresher independent coverage:
-#   ann_ivfpq_refined     (same IVF+PQ train/bin/probe chain as
-#                          ann_ivfpq_residual in this gate;
-#                          ann_ivfpq_topk/query_only r12-green)
-#   ann_pq_topk           (PQ codebook kernel rides inside
-#                          ann_ivfpq_residual, in this gate)
-#   hard_negative_mining_ivf (same mining kernel as
-#                          hard_negative_mining, in this gate)
-#   hard_negative_mining_production (ditto — portable-hash twin)
-#   near_dup_clusters     (composition of minhash_lsh_candidates — in
-#                          this gate — with the iterative min-id CC
-#                          kernel, convergence pytest-pinned)
-#   bpe_train_merges      (single-pass trainer strictly contained in
-#                          bpe_train_batched, in this gate)
-#   bpe_segment_tokens    (segmenter rides inside bpe_token_counts
-#                          r12-green and bpe_tokenize_and_pack, in
+# Round-14 rotation (tenth gate rotation).  Slots: 1 anchor (the
+# flagship), 1 debut row (users_click_no_purchase_window — the
+# data-sensitive replacement for the vacuous J15 slot, r13 verdict
+# item 4; the only catalog entry with no driver CORRECTNESS record),
+# then ALL 19 rows last checked in r10 (the full deferral list the r13
+# rotation documented — they reach the 3-stale ceiling this round and
+# the r13 verdict item 1 pinned them by name), and 29 of the 49 rows
+# last checked in r11 (including q1_pricing_summary, which is under
+# the q5 watch protocol — two certified quiet windows at 1.25-1.26x
+# its floor at r13 — and quality_classifier_irls, a warn row in the
+# r13 4.85%-steal record: both get fresh driver timings alongside the
+# correctness hash).  The 20 r11-cohort rows deferred to r15 (19
+# planned by the r13 verdict + 1 displaced by the debut) each have a
+# same-kernel sibling IN this gate or fresher independent coverage:
+#   corpus_curation_pipeline_v3 (v1 strictly contained in it is in
+#                          this gate; v2 r13-green; the trained-gate
+#                          IRLS sibling quality_classifier_irls is in
 #                          this gate)
-#   supply_graph_degrees  (degree kernel inside cosupply_graph_info,
+#   cosine_ann_bucketed   (exact-cosine kernel via cosine_topk, in
+#                          this gate; hyperplane-bucket join family
+#                          r13-green via embedding_near_dups)
+#   semantic_dedup        (strictly contained in semantic_dedup_capped,
+#                          r13-green after the rank-block re-gate)
+#   dedup_keep_last       (same keep-policy window kernel as
+#                          dedup_canonical_keep r12-green; row_number
+#                          machinery shared with prevailing_latest_event
+#                          r13-green)
+#   minhash_lsh_stopshingle (same banded-LSH + stop-census chain as
+#                          near_dup_clusters, in this gate;
+#                          minhash_lsh_candidates r13-green)
+#   minhash_index_increment (same at-rest index write/probe chain as
+#                          minhash_index_frozen_census r12-green; the
+#                          append path is pinned by
+#                          test_append_after_compact_equals_rebuild)
+#   stream_minhash_index_probe (same persisted band-key probe chain as
+#                          minhash_index_frozen_census r12-green;
+#                          streaming minhash arm sibling
+#                          stream_minhash_novelty is in this gate)
+#   car_by_relative_day   (CAR kernel contained in
+#                          event_study_corrected r12-green)
+#   compound_by_year      (same operators/compounding kernel as
+#                          compound_returns_by_supplier and
+#                          delist_adjusted_compound, both r13-green)
+#   month_end_trading_days (same plans/calendar trading-day kernel as
+#                          next_trading_day, in this gate)
+#   smoothed_holdings     (same backtesting holdings-frame kernel as
+#                          holdings_turnover r13-green)
+#   portfolio_monthly_returns (holdings x returns join family:
+#                          holdings_turnover r13-green,
+#                          bivariate_spread_holdings r12-green; judge
+#                          strict re-ran it green in the r13 session)
+#   prevailing_click_at_purchase (align_trades composes asof_join
+#                          directly, alignment.py:35;
+#                          asof_join_backward r13-green and
+#                          canary-certified every quiet-bench record)
+#   ewma_riskmetrics_vol  (same EWMA recursion as stream_ewma_final
+#                          r12-green; batch/stream parity pytest-pinned)
+#   stream_curation_bounded (bounded-novelty arm contained in
+#                          stream_curation_tagged r13-green)
+#   supply_eigenvector    (same power-sweep kernel as
+#                          supply_graph_pagerank, in this gate;
+#                          supply_personalized_pagerank r13-green)
+#   supply_kcore          (same iterate-until-stable graph machinery
+#                          as supply_communities, in this gate; degree
+#                          recompute sibling supply_graph_degrees also
 #                          in this gate)
-#   supply_assortativity  (same degree-join kernel as
-#                          cosupply_graph_info, in this gate)
-#   supply_link_prediction (neighbor-intersection kernel shared with
-#                          cosupply_clustering, in this gate)
-#   supply_communities    (label-propagation + modularity family:
-#                          supply_community_quality r12-green)
-#   stream_minhash_novelty (novelty tagging contained in
-#                          stream_curation_tagged, in this gate;
-#                          stream_minhash_index_probe r11-green)
-#   corpus_curation_pipeline (v1 strictly contained in
-#                          corpus_curation_pipeline_v2 — in this gate —
-#                          and v3 r11-green)
-#   multimodal_frame_sample (same stdlib PNG codec + binary plumbing
-#                          as multimodal_resize and multimodal_features,
-#                          both in this gate)
-#   dedup_exact_docs      (exact-dedup kernel r12-green via
-#                          dedup_canonical_keep; doc_fingerprints in
-#                          this gate)
-#   cosine_topk           (exact-cosine kernel rides inside
-#                          ann_recall_at_k and label_cosine_stats,
-#                          both in this gate)
-#   kupiec_var_backtest   (VaR kernel family: risk_summary in this
-#                          gate, parametric_risk_summary r12-green)
-#   supply_graph_pagerank (same power-sweep kernel as
-#                          supply_personalized_pagerank, in this gate;
-#                          also a bench headline timed at sf0.1 every
-#                          round)
-#   winsorized_price_stats (same breakpoint/clamp kernel family as
-#                          fractile_deciles, in this gate;
-#                          outlier_fences_tukey twin r12-green)
+#   doc_chunking          (same pipeline.py token-chunk chain as
+#                          token_budget_packing r13-green, the
+#                          chunk->pack superset)
+#   repetition_quality    (same functions/text.py array-expression
+#                          quality family as text_quality r13-green)
+#   ffill_last_error      (the F.last(ignorenulls)-over-unbounded-window
+#                          kernel IS the as-of union-ffill core,
+#                          asof.py:159 — asof_join_backward r13-green
+#                          and a floor canary)
 # Everything rotated out stays guarded by the full-catalog hash-strict
-# local replica (tools/check_correctness.py), and its r5-r12 driver
-# records stand.  r14 must take the 19 deferrals above plus the first
-# ~30 of the 49 r11-cohort rows (rest at r15) so nothing reaches
-# 4-stale.
+# local replica (tools/check_correctness.py), and its r5-r13 driver
+# records stand.  r15 must take the 20 deferrals above plus ~29 of the
+# 48 rows last checked in r12 (the r12 cohort reaches 3-stale at r15;
+# the remaining ~19 r12 rows rotate at r16) so nothing reaches 4-stale.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # debut rows: built this round, no driver record yet
-    "semdedup_probe_stratified",  # stratified-reps probe policy
-    "semdedup_pool_probe",        # between-rebuilds pool probe + trigger
-    "semdedup_pool_probe_capped", # adversarial-burst pool bound
-    # changed-kernel re-gate: rank-block pair join landed this round
-    "semantic_dedup_capped",
-    # oldest-checked cohort: r9 (all 15 — the r12 verdict item 1 list)
-    "ann_ivf_topk",
-    "ann_ivfpq_residual",
-    "ann_recall_at_k",
-    "asof_join_backward",
-    "bond_portfolio_pricing",
-    "corpus_curation_pipeline_v2",
-    "cosupply_clustering",
-    "embedding_near_dups",
-    "hard_negative_mining",
-    "multimodal_resize",
-    "stream_ann_top1_production",
-    "supply_closeness",
-    "supply_hits",
-    "supply_personalized_pagerank",
-    "token_budget_packing",
-    # oldest-checked cohort: r10 (30 of 49; 19 deferrals documented above)
-    "binary_payload_metadata",
-    "bpe_tokenize_and_pack",
-    "bpe_train_batched",
-    "compound_returns_by_supplier",
-    "cosupply_graph_info",
-    "delist_adjusted_compound",
-    "doc_fingerprints",
-    "event_range_agg_1h",
-    "event_window_trading_days",
-    "fractile_deciles",
-    "group_ols",
-    "holdings_turnover",
-    "jaccard_near_dups",
-    "keydev_event_labels",
-    "label_cosine_stats",
-    "minhash_lsh_candidates",
-    "multimodal_features",
-    "prevailing_latest_event",
-    "purchase_day_click_value",
-    "risk_summary",
-    "running_peak_drawdown",
-    "sessionization",
-    "signals_sink_roundtrip",
-    "simhash_near_dups",
-    "stream_curation_tagged",
-    "text_quality",
-    "tick_bins_5min",
-    "tw_value_5min",
-    "users_click_no_purchase",
-    "window_group_share",
+    # debut row: built this round, no driver record yet
+    "users_click_no_purchase_window",  # non-vacuous J15/§2.7 anti-join
+    # oldest-checked cohort: r10 (all 19 — the r13 deferral list)
+    "ann_ivfpq_refined",
+    "ann_pq_topk",
+    "bpe_segment_tokens",
+    "bpe_train_merges",
+    "corpus_curation_pipeline",
+    "cosine_topk",
+    "dedup_exact_docs",
+    "hard_negative_mining_ivf",
+    "hard_negative_mining_production",
+    "kupiec_var_backtest",
+    "multimodal_frame_sample",
+    "near_dup_clusters",
+    "stream_minhash_novelty",
+    "supply_assortativity",
+    "supply_communities",
+    "supply_graph_degrees",
+    "supply_graph_pagerank",
+    "supply_link_prediction",
+    "winsorized_price_stats",
+    # oldest-checked cohort: r11 (29 of 49; 20 deferrals documented above)
+    "adf_by_user",
+    "backtest_attribution",
+    "clean_trades_stats",
+    "coercion_keep_drop_replace",
+    "dated_lookup_apply",
+    "document_filter_gate",
+    "ff_scale_sentinels",
+    "hac_mean_discount",
+    "io_regroup",
+    "lang_id",
+    "mixture_sample_sources",
+    "next_trading_day",
+    "ohlc_volatility",
+    "permno_links_asof",
+    "pii_pattern_census",
+    "pivot_event_type_totals",
+    "q1_pricing_summary",
+    "quality_classifier_irls",
+    "range_bucket_lookup",
+    "rolling_beta_12m",
+    "seq_in_group",
+    "split_back_adjust",
+    "structural_break_fstats",
+    "supply_betweenness_sampled",
+    "tcode_transforms",
+    "unpivot_flag_revenue",
+    "upsert_insert_ignore",
+    "vintage_latest_asof",
+    "weighted_avg_price",
 ]
 
 

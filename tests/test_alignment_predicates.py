@@ -165,3 +165,30 @@ def test_store_roundtrip(spark, tmp_path):
     assert "tbl" in st
     back = st.load(spark, "tbl").toPandas().sort_values("a")
     assert back["b"].tolist() == ["x", "y"]
+
+
+def test_users_click_no_purchase_window_is_data_sensitive(spark):
+    """r13 verdict item 4: the un-windowed anti-join is vacuous on the
+    synthetic events table (every clicker also purchases over the full
+    month), so its hash cannot falsify a broken left_anti.  The windowed
+    variant must return a NON-EMPTY set at sf0.01 that is (a) a subset of
+    week-1 clickers and (b) disjoint from week-1 buyers — the pandas
+    set-difference oracle checked exactly."""
+    from financial_data_science_spark.queries import Q
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = set(
+        Q["users_click_no_purchase_window"](spark, sf_dir)
+        .toPandas()["user_id"]
+        .tolist()
+    )
+    assert out, "windowed anti-join must be non-empty at sf0.01"
+
+    ev = pd.read_parquet(sf_dir + "/events.parquet")
+    week1 = ev[ev["ts"] < pd.Timestamp("2024-01-08")]
+    clickers = set(week1.loc[week1["event_type"] == "click", "user_id"])
+    buyers = set(week1.loc[week1["event_type"] == "purchase", "user_id"])
+    assert out == clickers - buyers
+
+    # the vacuity contrast: the full-month sibling stays empty here
+    assert Q["users_click_no_purchase"](spark, sf_dir).count() == 0

@@ -19,15 +19,14 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-13
+    """The driver checks the first 50 queries() entries; the round-14
     curation must stay stable (registration-order drift would silently
     swap which queries earn driver rows), must keep the flagship + the
-    three r13 debut rows (the only catalog entries with no driver
-    CORRECTNESS record) + the changed-kernel re-gate, and must draw the
-    rest from the oldest-driver-checked cohorts (refresh rotation: ALL
-    15 r9-stale rows — the r12 verdict item 1 pinned them by name —
-    then 30 of the 49 r10-stale rows, 19 deferred with documented
-    justifications)."""
+    r14 debut row (the only catalog entry with no driver CORRECTNESS
+    record), and must draw the rest from the oldest-driver-checked
+    cohorts (refresh rotation: ALL 19 r10-stale rows — the r13 verdict
+    item 1 pinned them by name — then 29 of the 49 r11-stale rows, 20
+    deferred with documented justifications above _GATE_ORDER)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -35,27 +34,23 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r13 debut rows: built this round, first-ever driver record
-        "semdedup_probe_stratified",
-        "semdedup_pool_probe",
-        "semdedup_pool_probe_capped",
-        # changed-kernel re-gate (rank-block pair join landed in r13)
-        "semantic_dedup_capped",
-        # the full r9-stale cohort (would be 4 rounds stale if deferred;
-        # r12 verdict item 1 names all 15, including the
-        # token_budget_packing row SCALE.md's r13 pointer miscounted)
-        "ann_ivf_topk", "ann_ivfpq_residual", "ann_recall_at_k",
-        "asof_join_backward", "bond_portfolio_pricing",
-        "corpus_curation_pipeline_v2", "cosupply_clustering",
-        "embedding_near_dups", "hard_negative_mining",
-        "multimodal_resize", "stream_ann_top1_production",
-        "supply_closeness", "supply_hits",
-        "supply_personalized_pagerank", "token_budget_packing",
-        # the r10 rows the r12 verdict item 2 prioritized (no
-        # same-kernel sibling coverage)
-        "jaccard_near_dups", "event_window_trading_days",
-        "tick_bins_5min", "tw_value_5min", "fractile_deciles",
-        "group_ols", "delist_adjusted_compound",
+        # r14 debut row: non-vacuous J15/§2.7 anti-join (r13 verdict
+        # item 4 — the un-windowed sibling hash-matches an empty frame)
+        "users_click_no_purchase_window",
+        # the full r10-stale cohort (would be 4 rounds stale if
+        # deferred; r13 verdict item 1 names all 19)
+        "ann_ivfpq_refined", "ann_pq_topk", "bpe_segment_tokens",
+        "bpe_train_merges", "corpus_curation_pipeline", "cosine_topk",
+        "dedup_exact_docs", "hard_negative_mining_ivf",
+        "hard_negative_mining_production", "kupiec_var_backtest",
+        "multimodal_frame_sample", "near_dup_clusters",
+        "stream_minhash_novelty", "supply_assortativity",
+        "supply_communities", "supply_graph_degrees",
+        "supply_graph_pagerank", "supply_link_prediction",
+        "winsorized_price_stats",
+        # the r11 rows under active watch protocols (r13 verdict items
+        # 3 and What's-wrong 4): both need fresh driver timings
+        "q1_pricing_summary", "quality_classifier_irls",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is
