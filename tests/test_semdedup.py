@@ -496,3 +496,81 @@ def test_pool_cap_bounds_burst_but_keeps_witness(spark):
     assert capped_pool["truncated"].all()
     # capped pairs are a subset of the exact pairs
     assert set(capped_pool["corpus_id"]) <= set(exact_pool["corpus_id"])
+
+
+def test_rebuild_cycle_restores_index_recall_and_drains_pool(spark):
+    """The CLOSED lifecycle loop (r13 verdict item 2), pytest twin of
+    the rebuild_cycle arm in tools/scale_probe_semdedup.py: run the
+    MIGRATION.md recipe end-to-end — probe with pool, trigger =
+    pool-hit share, rebuild past tolerance, re-probe — and pin each
+    phase: (1) between rebuilds the lifecycle frame still decides a
+    pool-targeted dup (loop recall holds while the frozen index is
+    blind to it), (2) the trigger statistic crosses tolerance exactly
+    when the batch's dup mass targets the pool, (3) the fired rebuild
+    restores INDEX-arm recall on the same targets and the drained pool
+    brings the trigger back to 0."""
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+        semdedup_query_with_pool,
+    )
+
+    TAU, TOL = 0.99, 0.3
+
+    def build(df):
+        return semdedup_build_index(
+            df, nlist=2, iters=2, cap=12, nsub=2, sub_iters=1, max_depth=1,
+            persist=True,
+        )
+
+    def trigger(lifecycle_pdf, nbatch):
+        pool_src = lifecycle_pdf[lifecycle_pdf["source"] == "pool"]
+        return pool_src["new_vec_id"].nunique() / nbatch
+
+    rng = np.random.default_rng(61)
+    corpus_rows = [(i, v) for i, v in
+                   enumerate(_spread_blob(rng, np.ones(DIM), 30, 0.4))]
+    corpus = _emb_df(spark, corpus_rows)
+    idx = build(corpus)
+
+    # batch 1: five fresh vectors — nothing indexed or pooled is a twin
+    b1_vecs = [np.ones(DIM) + rng.normal(0, 0.4, DIM) for _ in range(5)]
+    batch1 = _emb_df(spark, [(100 + j, v) for j, v in enumerate(b1_vecs)])
+    empty_pool = batch1.limit(0)
+    life1 = semdedup_query_with_pool(batch1, idx, empty_pool, tau=TAU).toPandas()
+    assert trigger(life1, 5) == 0.0          # nothing to trigger on
+    pool_frames = [batch1]                    # accepted, not yet indexed
+
+    # batch 2: three exact twins of batch-1 members + two fresh — the
+    # dup mass targets the POOL, which the frozen index cannot see
+    b2_rows = [(200, b1_vecs[0]), (201, b1_vecs[1]), (202, b1_vecs[2]),
+               (203, np.ones(DIM) + rng.normal(0, 0.4, DIM)),
+               (204, np.ones(DIM) + rng.normal(0, 0.4, DIM))]
+    batch2 = _emb_df(spark, b2_rows)
+    idx_only = semdedup_query_index(batch2, idx, tau=TAU).toPandas()
+    assert idx_only.empty                     # frozen index: blind
+    life2 = semdedup_query_with_pool(
+        batch2, idx, pool_frames[0], tau=TAU
+    ).toPandas()
+    got = {(int(q), int(c)) for q, c in
+           life2.loc[life2["source"] == "pool",
+                     ["new_vec_id", "corpus_id"]].to_numpy()}
+    assert {(200, 100), (201, 101), (202, 102)} <= got   # loop recall holds
+    t2 = trigger(life2, 5)
+    assert t2 == pytest.approx(0.6) and t2 > TOL         # trigger FIRES
+
+    # rebuild: fold standing + both batches into a fresh index; drain pool
+    standing = corpus.unionByName(batch1).unionByName(batch2)
+    fresh_idx = build(standing)
+    pool_frames = []
+
+    # batch 3: twins of the SAME batch-1 content the frozen index missed
+    batch3 = _emb_df(spark, [(300, b1_vecs[0]), (301, b1_vecs[1])])
+    restored = semdedup_query_index(batch3, fresh_idx, tau=TAU).toPandas()
+    rgot = {(int(q), int(c)) for q, c in
+            restored[["new_vec_id", "corpus_id"]].to_numpy()}
+    assert {(300, 100), (301, 101)} <= rgot   # INDEX recall restored
+    life3 = semdedup_query_with_pool(
+        batch3, fresh_idx, batch3.limit(0), tau=TAU
+    ).toPandas()
+    assert trigger(life3, 2) == 0.0           # drained pool: trigger reset

@@ -16,9 +16,10 @@ blocking exists to make.
 
 Run: PYTHONPATH=/root/repo python tools/scale_probe_semdedup.py
 (the full pass: recall sweep, planted dups, planted skew, structured
-mega-cell, bin-once index, probe-recall, drift).  To run only the
-function-wrapped arms set SPARK_GRAFT_SEMDEDUP_ARMS to a comma list of
-probe_recall,drift,sdidx — the straight-line arms are skipped then.
+mega-cell, bin-once index, probe-recall, drift, rebuild-cycle).  To run
+only the function-wrapped arms set SPARK_GRAFT_SEMDEDUP_ARMS to a comma
+list of probe_recall,drift,sdidx,rebuild_cycle — the straight-line arms
+are skipped then.
 """
 import os
 import sys
@@ -453,6 +454,163 @@ def sdidx_arm():
         )
 
 
+# ---- rebuild-cycle arm (r14): the CLOSED LOOP the r13 drift arm and
+# MIGRATION.md recipe describe but never executed end-to-end — drift
+# until the production-computable trigger (pool-hit share from
+# semdedup_query_with_pool) crosses tolerance, FIRE the rebuild, drain
+# the pool, and measure recall restored, over multiple full cycles in
+# one run.  Reference lifecycle analog: the reference's incremental
+# daily update (real_time.py:210-250) is exactly this
+# probe-accumulate-refresh shape.
+#
+# Generator difference vs drift_arm: each batch's recent-dup mass
+# targets a uniform pick over the LAST THREE batches (not just the
+# previous one), so after a rebuild the pool share RAMPS 0 -> ~0.10 ->
+# ~0.20 -> ~0.30 as the recent window leaves the index — the trigger
+# crossing is a measured point on a curve, not a step.  Per batch the
+# loop records:
+#   trigger      — share of batch vectors with a pool witness, computed
+#                  from the ONE semdedup_query_with_pool frame
+#                  (production-computable, no ground truth)
+#   idx_recall   — frozen-index-only decision recall vs exact truth
+#                  (decays while the pool grows)
+#   loop_recall  — decision recall of the FULL lifecycle frame
+#                  (index + pool arms together; the loop's promise is
+#                  that this stays ~1.000 BETWEEN rebuilds too)
+#   rebuild      — whether trigger > TOL fired this batch (rebuild
+#                  folds standing+batch into a fresh index, pool drains)
+def rebuild_cycle_arm():
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_science_spark.functions.semdedup import (
+        semdedup_build_index,
+        semdedup_query_index,
+        semdedup_query_with_pool,
+    )
+    from financial_data_science_spark.functions.similarity import cosine as _cos
+
+    base = emb.select("vec_id", "embedding").toPandas()
+    dim = len(base.iloc[0]["embedding"])
+    center = np.array(base.iloc[0]["embedding"], dtype=float)
+    scale = np.linalg.norm(center) / np.sqrt(dim)
+    rng = np.random.default_rng(53)
+    drift_dir = rng.normal(0, 1, dim)
+    drift_dir /= np.linalg.norm(drift_dir)
+
+    PTAU, TOL = 0.95, 0.15
+    NB, NFRESH, NDUP_RECENT, NDUP_BASE, WINDOW = 12, 60, 30, 10, 3
+    all_rows = []  # (vec_id, vec) across accepted batches, id order = arrival
+    batch_vecs = {}  # j -> list[(vec_id, vec)]
+    next_id = 3_000_000
+    for j in range(1, NB + 1):
+        rows = []
+        for _ in range(NFRESH):
+            v = (rng.normal(0, scale, dim)
+                 + center * 0.2
+                 + drift_dir * (0.15 * j) * scale * np.sqrt(dim))
+            rows.append((next_id, v)); next_id += 1
+        # dups of the last WINDOW batches (uniform over their members):
+        # right after a rebuild these targets are IN the index, so the
+        # pool share ramps as the window slides past the rebuild point
+        recent_pop = [r for jj in range(max(1, j - WINDOW), j)
+                      for r in batch_vecs[jj]]
+        if recent_pop:
+            for _ in range(NDUP_RECENT):
+                _, tv = recent_pop[int(rng.integers(len(recent_pop)))]
+                rows.append((next_id, tv + rng.normal(0, 1e-4 * scale, dim)))
+                next_id += 1
+        for _ in range(NDUP_BASE):
+            tv = np.array(
+                base.iloc[int(rng.integers(len(base)))]["embedding"],
+                dtype=float,
+            )
+            rows.append((next_id, tv + rng.normal(0, 1e-4 * scale, dim)))
+            next_id += 1
+        batch_vecs[j] = rows
+        all_rows.extend(rows)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, [float(x) for x in v]) for i, v in rows],
+                columns=["vec_id", "embedding"],
+            )
+        ).localCheckpoint(eager=True)
+
+    batch_frames = {j: frame(batch_vecs[j]) for j in batch_vecs}
+
+    def build(df):
+        return semdedup_build_index(
+            df, nlist=8, iters=3, train_mod=4, cap=256, nsub=8, sub_iters=2,
+            max_depth=2, persist=True,
+        )
+
+    c0 = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    standing = c0                 # everything accepted so far
+    index = build(c0)             # the frozen index (rebuilt on trigger)
+    pool_frames = []              # accepted batches since the last rebuild
+    n_rebuilds = 0
+    t_loop = time.time()
+    for k in range(1, NB + 1):
+        probe = batch_frames[k]
+        nprobe = probe.count()
+        pool = pool_frames[0] if pool_frames else probe.limit(0)
+        for pf in pool_frames[1:]:
+            pool = pool.unionByName(pf)
+        lifecycle = semdedup_query_with_pool(
+            probe, index, pool, tau=PTAU
+        ).localCheckpoint(eager=True)
+        # the production trigger: batch vectors with a pool witness
+        trigger = (
+            lifecycle.filter(F.col("source") == "pool")
+            .select("new_vec_id").distinct().count() / nprobe
+        )
+        # measurement only (ground truth): decisions vs the standing corpus
+        truth_d = (
+            probe.select(F.col("vec_id").alias("qid"),
+                         F.col("embedding").alias("qv"))
+            .crossJoin(standing.select(F.col("embedding").alias("cv")))
+            .withColumn("c6", F.round(_cos(F.col("qv"), F.col("cv")), 6))
+            .filter(F.col("c6") >= PTAU).select("qid").distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_td = truth_d.count()
+        idx_hits = (
+            semdedup_query_index(probe, index, tau=PTAU)
+            .select(F.col("new_vec_id").alias("qid")).distinct()
+            .join(truth_d, "qid", "left_semi").count()
+        )
+        loop_hits = (
+            lifecycle.select(F.col("new_vec_id").alias("qid")).distinct()
+            .join(truth_d, "qid", "left_semi").count()
+        )
+        fired = trigger > TOL
+        # accept the batch, then rebuild if the trigger crossed: the
+        # fresh index folds standing + this batch; the pool drains
+        standing = standing.unionByName(probe).localCheckpoint(eager=True)
+        if fired:
+            index = build(standing)
+            pool_frames = []
+            n_rebuilds += 1
+        else:
+            pool_frames.append(probe)
+        pool_n = sum(pf.count() for pf in pool_frames)
+        print(
+            f"REBUILD-CYCLE k={k:2d} trigger={trigger:.3f} "
+            f"idx_recall={idx_hits}/{n_td}={idx_hits/max(n_td,1):.3f} "
+            f"loop_recall={loop_hits}/{n_td}={loop_hits/max(n_td,1):.3f} "
+            f"{'REBUILD' if fired else 'accept '} pool={pool_n:4d} "
+            f"standing={standing.count()}",
+            flush=True,
+        )
+    print(
+        f"REBUILD-CYCLE done: {NB} batches, {n_rebuilds} rebuilds, "
+        f"tol={TOL}, wall={time.time()-t_loop:.1f}s",
+        flush=True,
+    )
+
+
 _ARMS = set(filter(None, os.environ.get(
     "SPARK_GRAFT_SEMDEDUP_ARMS", "").split(",")))
 if _ARMS:
@@ -462,6 +620,8 @@ if _ARMS:
         drift_arm()
     if "sdidx" in _ARMS:
         sdidx_arm()
+    if "rebuild_cycle" in _ARMS:
+        rebuild_cycle_arm()
     sys.exit(0)
 
 # exact ground truth: all >= tau pairs (n^2/2 — probe scale only)
@@ -657,7 +817,9 @@ print(
 )
 
 
-# r13 arms (each runnable alone via SPARK_GRAFT_SEMDEDUP_ARMS=probe_recall,drift,sdidx)
+# r13/r14 arms (each runnable alone via
+# SPARK_GRAFT_SEMDEDUP_ARMS=probe_recall,drift,sdidx,rebuild_cycle)
 sdidx_arm()
 probe_recall_arm()
 drift_arm()
+rebuild_cycle_arm()
