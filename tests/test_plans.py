@@ -416,3 +416,21 @@ def test_ann_family_plan_fingerprints(spark):
             diffs[name] = {"want": want, "got": got}
     clear_ivfpq_index_cache()
     assert not diffs, diffs
+
+
+def test_windowed_anti_join_pushes_both_predicates(spark):
+    """users_click_no_purchase_window (the non-vacuous J15 gate row): the
+    shared ts window AND the event_type equality must reach BOTH parquet
+    scans as PushedFilters (partition/file pruning at 100 TB), and the
+    anti join must be a hash join, not a cartesian product."""
+    from financial_data_science_spark.queries import Q
+
+    q = Q["users_click_no_purchase_window"](spark, SF)
+    plan = _formatted(q)
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    ts_pushed = [l for l in scans if "LessThan(ts," in l]
+    assert len(ts_pushed) == 2, plan  # both sides prune on the window
+    assert any("EqualTo(event_type,click)" in l for l in scans)
+    assert any("EqualTo(event_type,purchase)" in l for l in scans)
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
