@@ -490,6 +490,21 @@ def rebuild_cycle_arm():
     )
     from financial_data_science_spark.functions.similarity import cosine as _cos
 
+    # probe policy (SPARK_GRAFT_REBUILD_REPS): 'lowest' | 'stratified'.
+    # At the 10x corpus the accumulated ingestion mass outgrows the cell
+    # cap and 'lowest' goes structurally blind to the NEWEST indexed
+    # batches right after a rebuild (ids are ingestion-ordered, so
+    # recent batches sit past rank cap) — the loop-scale form of the
+    # r13 probe-recall FAMILY failure; 'stratified' is the fix.
+    reps = os.environ.get("SPARK_GRAFT_REBUILD_REPS", "lowest")
+    # cell cap (SPARK_GRAFT_REBUILD_CAP): the capped-probe recall bound
+    # binds when the ingestion region outgrows cap in cells the splitter
+    # cannot separate (isotropic drift mass) — single-witness dups are
+    # then caught at ~kept-reps/cell-size under either policy.  The cap
+    # is the dial: size it to the expected between-rebuild ingestion
+    # mass per cell region.
+    cap = int(os.environ.get("SPARK_GRAFT_REBUILD_CAP", "256"))
+
     base = emb.select("vec_id", "embedding").toPandas()
     dim = len(base.iloc[0]["embedding"])
     center = np.array(base.iloc[0]["embedding"], dtype=float)
@@ -542,7 +557,7 @@ def rebuild_cycle_arm():
 
     def build(df):
         return semdedup_build_index(
-            df, nlist=8, iters=3, train_mod=4, cap=256, nsub=8, sub_iters=2,
+            df, nlist=8, iters=3, train_mod=4, cap=cap, nsub=8, sub_iters=2,
             max_depth=2, persist=True,
         )
 
@@ -559,7 +574,7 @@ def rebuild_cycle_arm():
         for pf in pool_frames[1:]:
             pool = pool.unionByName(pf)
         lifecycle = semdedup_query_with_pool(
-            probe, index, pool, tau=PTAU
+            probe, index, pool, tau=PTAU, reps=reps
         ).localCheckpoint(eager=True)
         # the production trigger: batch vectors with a pool witness
         trigger = (
@@ -577,7 +592,7 @@ def rebuild_cycle_arm():
         )
         n_td = truth_d.count()
         idx_hits = (
-            semdedup_query_index(probe, index, tau=PTAU)
+            semdedup_query_index(probe, index, tau=PTAU, reps=reps)
             .select(F.col("new_vec_id").alias("qid")).distinct()
             .join(truth_d, "qid", "left_semi").count()
         )
@@ -606,7 +621,7 @@ def rebuild_cycle_arm():
         )
     print(
         f"REBUILD-CYCLE done: {NB} batches, {n_rebuilds} rebuilds, "
-        f"tol={TOL}, wall={time.time()-t_loop:.1f}s",
+        f"tol={TOL}, reps={reps}, cap={cap}, wall={time.time()-t_loop:.1f}s",
         flush=True,
     )
 
