@@ -175,6 +175,180 @@ def test_long_only_gmv_is_feasible_and_no_worse_than_equal_weight(n, seed):
     assert w @ cov @ w <= ew @ cov @ ew + 1e-12
 
 
+@given(ts=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+       gap=st.integers(1, 50))
+@SLOW
+def test_sessionize_gap_law(spark, ts, gap):
+    """Gaps-and-islands contract on arbitrary event times: a new session
+    starts exactly when the gap to the previous event exceeds ``gap``;
+    tied timestamps (delta 0) always share a session, so the python
+    oracle over the sorted list is well-defined even with duplicates."""
+    from financial_data_science_spark.operators.windows import sessionize
+
+    s = sorted(ts)
+    oracle, sid, prev = [], 0, None
+    for t in s:
+        if prev is None or t - prev > gap:
+            sid += 1
+        oracle.append(sid)
+        prev = t
+    pdf = pd.DataFrame({"t": ts})
+    out = (
+        sessionize(spark.createDataFrame(pdf, "t long"), "t", gap)
+        .toPandas().sort_values("t")
+    )
+    assert out["session_id"].tolist() == oracle
+
+
+@given(flags=st.lists(st.booleans(), min_size=1, max_size=40))
+@SLOW
+def test_islands_run_length_law(spark, flags):
+    """islands() over an arbitrary boolean sequence assigns one id per
+    maximal constant run, ids increment by exactly 1 at each change."""
+    from financial_data_science_spark.operators.windows import islands
+
+    oracle, cur = [], 0
+    for i, f in enumerate(flags):
+        if i == 0 or flags[i - 1] != f:
+            cur += 1
+        oracle.append(cur)
+    pdf = pd.DataFrame({"t": range(len(flags)), "f": flags})
+    out = (
+        islands(spark.createDataFrame(pdf, "t long, f boolean"), "f", "t")
+        .toPandas().sort_values("t")
+    )
+    assert out["island"].tolist() == oracle
+
+
+@given(f=st.lists(st.floats(min_value=0.25, max_value=4.0, width=32),
+                  min_size=1, max_size=30))
+@SLOW
+def test_reverse_cumprod_is_product_of_later_rows(spark, f):
+    """reverse_cumprod(x)[i] == product of x over rows strictly after i
+    (1.0 at the last row) — the split back-adjustment law, vs numpy."""
+    from financial_data_science_spark.operators.windows import reverse_cumprod
+
+    arr = np.asarray(f, dtype="float64")
+    pdf = pd.DataFrame({"i": range(len(arr)), "x": arr})
+    out = (
+        reverse_cumprod(spark.createDataFrame(pdf, "i long, x double"), "x", "i")
+        .toPandas().sort_values("i")["cumfactor"].to_numpy()
+    )
+    suffix = np.cumprod(arr[::-1])[::-1]  # prod(arr[i:])
+    want = np.append(suffix[1:], 1.0)     # prod(arr[i+1:])
+    assert np.allclose(out, want, rtol=1e-9, atol=0)
+
+
+@given(d=st.dictionaries(st.integers(0, 9999), st.integers(-1000, 1000),
+                         min_size=1, max_size=50),
+       nb=st.integers(1, 8))
+@SLOW
+def test_global_cumsum_matches_pandas_any_blocking(spark, nb, d):
+    """The two-phase distributed prefix sum is block-boundary-independent:
+    exact integer equality with pandas cumsum for ANY num_blocks, on both
+    the approxQuantile path (numeric key) and the repartitionByRange
+    fallback (string key, zero-padded so lexicographic == numeric)."""
+    from financial_data_science_spark.operators.windows import global_cumsum
+
+    pdf = pd.DataFrame({"k": list(d.keys()), "x": list(d.values())}).sort_values("k")
+    want = pdf["x"].cumsum().to_numpy()
+    df = spark.createDataFrame(pdf, "k long, x long")
+    got = (
+        global_cumsum(df, "k", "x", num_blocks=nb)
+        .toPandas().sort_values("k")["cumsum"].to_numpy()
+    )
+    assert (got == want).all()
+    sdf = df.withColumn("ks", F.lpad(F.col("k").cast("string"), 4, "0"))
+    got2 = (
+        global_cumsum(sdf, "ks", "x", num_blocks=nb)
+        .toPandas().sort_values("ks")["cumsum"].to_numpy()
+    )
+    assert (got2 == want).all()
+
+
+@given(w=st.lists(st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=4),
+       f1=st.floats(min_value=0.0, max_value=1.0),
+       f2=st.floats(min_value=0.0, max_value=1.0))
+@SLOW
+def test_hash_split_partition_and_sample_monotone(spark, w, f1, f2):
+    """hash_split assigns every key exactly one label from the weight set,
+    independent of physical layout, for ARBITRARY weight vectors; and
+    hash_sample is threshold-monotone: the kept-key set at a smaller
+    fraction is a subset of the kept-key set at a larger one (same salt),
+    so growing a sample never churns membership."""
+    from financial_data_science_spark.functions.pipeline import (
+        hash_sample,
+        hash_split,
+    )
+
+    tot = sum(w)
+    weights = {f"s{i}": x / tot for i, x in enumerate(w)}
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", weights).toPandas()
+    assert len(out) == 200 and out["doc_id"].nunique() == 200
+    assert set(out["split"]) <= set(weights)
+    out2 = hash_split(df.repartition(5), "doc_id", weights).toPandas()
+    assert (
+        out.sort_values("doc_id")["split"].tolist()
+        == out2.sort_values("doc_id")["split"].tolist()
+    )
+    lo, hi = sorted([f1, f2])
+    a = set(hash_sample(df, "doc_id", lo).toPandas()["doc_id"])
+    b = set(hash_sample(df, "doc_id", hi).toPandas()["doc_id"])
+    assert a <= b
+
+
+@given(v=st.lists(st.one_of(st.none(),
+                            st.floats(min_value=-50, max_value=50, width=32)),
+                  min_size=2, max_size=60),
+       alpha=st.floats(min_value=0.02, max_value=0.95),
+       adjust=st.booleans())
+@SLOW
+def test_ewma_chunked_equals_plain_and_pandas(spark, v, alpha, adjust):
+    """ewma_chunked is an EXACT reformulation of ewma (docstring claims
+    1-ulp) on arbitrary series, alphas and null patterns; and for
+    adjust=True both match pandas ewm exactly (the documented any-null
+    exactness; adjust=False internal-gap deviation is documented, so the
+    pandas oracle applies to adjust=True only)."""
+    from financial_data_science_spark.operators.windows import ewma, ewma_chunked
+
+    pdf = pd.DataFrame({"t": range(len(v)),
+                        "x": np.array([np.nan if x is None else x for x in v],
+                                      dtype="float64")})
+    df = spark.createDataFrame(pdf, "t long, x double")
+    a = (
+        ewma(df, None, "t", "x", alpha=alpha, adjust=adjust)
+        .toPandas().sort_values("t")["ewma"].to_numpy()
+    )
+    b = (
+        ewma_chunked(df, None, "t", "x", alpha=alpha, adjust=adjust)
+        .toPandas().sort_values("t")["ewma"].to_numpy()
+    )
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
+    if adjust:
+        want = pdf["x"].ewm(alpha=alpha, adjust=True, ignore_na=False).mean().to_numpy()
+        assert np.allclose(a, want, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(ws=st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+                   min_size=1, max_size=8),
+       k=st.integers(0, 4))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_roundtrip_reconstruction(spark, ws, k):
+    """Lossless-segmentation law: for ANY corpus and merge count, joining
+    a word's BPE tokens and stripping the end-of-word marker reconstructs
+    the original (lowercased) text — merges only ever concatenate
+    adjacent symbols, never drop or reorder them."""
+    from financial_data_science_spark.functions.bpe import EOW, bpe_apply, bpe_train
+
+    text = " ".join(ws)
+    docs = spark.createDataFrame(pd.DataFrame({"text": [text]}))
+    merges, _ = bpe_train(docs, "text", num_merges=k)
+    toks = docs.select(bpe_apply(F.col("text"), merges).alias("t")).collect()[0]["t"]
+    assert "".join(toks).replace(EOW, "") == "".join(ws)
+
+
 @given(
     n=st.integers(min_value=1, max_value=8),
     seed=st.integers(min_value=0, max_value=10_000),
