@@ -7,8 +7,16 @@ AQE's skew-join splitting handles moderate skew automatically
   - ``salted_aggregate``: a groupBy whose hottest key holds a large
     fraction of all rows (e.g. one permno with billions of ticks).  A
     random salt splits each key across ``n_salts`` reducers for a partial
-    aggregate; the tiny second pass merges the partials.  Works for any
-    algebraic aggregate (give the merge expression).
+    aggregate; the tiny second pass merges the partials.  NOTE the
+    measured scope (tools/scale_probe_skew.py): for plain ALGEBRAIC
+    aggregates (sum/count/min/max/avg) Spark's map-side partial
+    aggregation already compresses the hot key to one partial row per
+    map task — salting those is an anti-optimization (extra shuffle,
+    measured slower).  Salt the aggregates whose partial state Spark
+    ships uncompressed: holistic-but-mergeable shapes like per-key
+    top-k (``slice(sort_array(collect_list(..)))`` partials merge by
+    flatten+re-slice, bounding the hot reducer to n_salts x k elements
+    instead of the hot key's full row set).
   - ``salted_broadcast_join``: fact ⋈ skewed small-dim where AQE chose a
     sort-merge join: explode the dim side over the salt space instead of
     shuffling the fact.
@@ -38,7 +46,15 @@ def salted_aggregate(
     ``partial_aggs``: name -> aggregate over the raw rows.
     ``merge_aggs``: name -> aggregate over the partial columns (same
     names), e.g. partial ``F.sum('x')`` merges with ``F.sum('x')``;
-    partial count merges with sum.
+    partial count merges with sum; partial top-k list merges with
+    ``slice(sort_array(flatten(collect_list(..))))``.
+
+    Use for aggregates WITHOUT effective map-side combine (collect_list
+    derived top-k, large mergeable sketches).  For sum/count/min/max
+    prefer the plain groupBy — hash aggregation's partial pass already
+    bounds the hot reducer's input to one row per map task, and the
+    salted form's extra (key, salt) shuffle only adds cost (measured:
+    tools/scale_probe_skew.py / SCALE.md).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     salted = df.withColumn("__salt__", (F.rand(seed=7) * n_salts).cast("int"))
