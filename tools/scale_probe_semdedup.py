@@ -514,7 +514,11 @@ def rebuild_cycle_arm():
     drift_dir /= np.linalg.norm(drift_dir)
 
     PTAU, TOL = 0.95, 0.15
-    NB, NFRESH, NDUP_RECENT, NDUP_BASE, WINDOW = 12, 60, 30, 10, 3
+    # horizon (SPARK_GRAFT_REBUILD_NB): 12 = the certified r14 run; longer
+    # horizons measure steady-STATE cadence (is the rebuild interval
+    # stationary across many cycles, does loop recall hold at every k)
+    NB = int(os.environ.get("SPARK_GRAFT_REBUILD_NB", "12"))
+    NFRESH, NDUP_RECENT, NDUP_BASE, WINDOW = 60, 30, 10, 3
     all_rows = []  # (vec_id, vec) across accepted batches, id order = arrival
     batch_vecs = {}  # j -> list[(vec_id, vec)]
     next_id = 3_000_000
