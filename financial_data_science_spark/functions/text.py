@@ -49,22 +49,34 @@ def n_bpe_tokens(text: str | Column) -> Column:
 def word_shingles(text: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles (n-grams) of the lowercased text.
 
-    Built from sequence+transform+slice — stays in codegen; the shingle
-    array feeds MinHash / Jaccard dedup.
+    Built from slice+zip_with over a LET-BOUND token array.  The whole
+    expression contains higher-order functions, so it is CodegenFallback
+    (interpreted) — and interpreted evaluation has no common-subexpression
+    elimination: a bare ``toks`` referenced by the k slices plus the size
+    re-runs ``filter(split(trim(lower(text))))`` at every reference
+    (k+2 string splits of the full text per row; measured 0.88s -> 0.43s
+    on the sf0.1 shingle+hash explode when bound once, r14).  The
+    let-binding (porthash.let_: single-element transform) evaluates the
+    tokenizer ONCE per row; values are bit-identical.
+
+    (A sequence+transform+slice formulation is worse still — it
+    re-evaluates the tokenizer per gram position: O(n^2) splits per row,
+    measured 100x slower.)
     """
+    from financial_data_science_spark.functions.porthash import let_
+
     toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
-    n = F.size(toks)
-    m = F.greatest(n - F.lit(k - 1), F.lit(0))
-    # Build k-grams by zipping k shifted slices — the token expression is
-    # referenced k times total, NOT once per index (a sequence+transform+
-    # slice formulation re-evaluates the tokenizer per position: O(n^2)
-    # string splits per row, measured 100x slower).
-    grams = F.slice(toks, 1, m)
-    for j in range(1, k):
-        grams = F.zip_with(
-            grams, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.array_distinct(grams)
+
+    def _grams(ts: Column) -> Column:
+        m = F.greatest(F.size(ts) - F.lit(k - 1), F.lit(0))
+        grams = F.slice(ts, 1, m)
+        for j in range(1, k):
+            grams = F.zip_with(
+                grams, F.slice(ts, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.array_distinct(grams)
+
+    return let_(toks, _grams)
 
 
 def quality_features(text: str | Column) -> dict[str, Column]:
