@@ -631,9 +631,21 @@ def minhash_candidates(
         docs, id_col, text_col, shingle_k, num_hashes, seed, portable=portable,
         max_df=max_df, stop_frame=stop_frame,
     )
+    # Bucket join on BARE (id, band, bhash) rows, THEN attach signatures
+    # by id to the deduped pairs (r14).  The previous shape hauled the
+    # k-long __sig__ array through BOTH sides of the band join — at
+    # k=64/bands=32 that is a 520-byte array on every one of the
+    # bands x docs rows (an ~88 MB broadcast build at sf0.1) and a
+    # per-COLLISION zip_with, where one per distinct pair suffices
+    # (est_jaccard is a function of the two signatures only, so every
+    # collision row of a pair carries the same value — dedup-then-score
+    # is value-identical).  The signature aggregate is referenced three
+    # times (banded + both attach sides) but its doc_id exchange is
+    # computed ONCE at runtime (AQE stage reuse; ReusedExchange
+    # verified in the executed plan).  Measured 1.59s -> 1.40s warm on
+    # the sf0.1 production entry, output frame equal row-for-row.
     banded = sig.select(
-        id_col,
-        "__sig__",
+        F.col(id_col).alias("__id__"),
         F.explode(
             F.array(
                 *[
@@ -642,29 +654,34 @@ def minhash_candidates(
                 ]
             )
         ).alias("__band__"),
-    ).select(id_col, "__sig__", "__band__.band", "__band__.bhash")
-    l = banded.select(
-        F.col(id_col).alias("left_id"), F.col("__sig__").alias("__lsig__"), "band", "bhash"
+    ).select("__id__", "__band__.band", "__band__.bhash")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bhash"])
+        .filter(F.col("l.__id__") < F.col("r.__id__"))
+        .select(
+            F.col("l.__id__").alias("left_id"),
+            F.col("r.__id__").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
     )
-    r = banded.select(
-        F.col(id_col).alias("right_id"), F.col("__sig__").alias("__rsig__"), "band", "bhash"
-    )
+    ls = sig.select(F.col(id_col).alias("left_id"), F.col("__sig__").alias("__lsig__"))
+    rs = sig.select(F.col(id_col).alias("right_id"), F.col("__sig__").alias("__rsig__"))
     matched = F.size(
         F.filter(
             F.zip_with(F.col("__lsig__"), F.col("__rsig__"), lambda a, b: a == b),
             lambda x: x,
         )
     )
-    pairs = (
-        l.join(r, ["band", "bhash"])
-        .filter(F.col("left_id") < F.col("right_id"))
+    return (
+        pairs.join(ls, "left_id")
+        .join(rs, "right_id")
         .select(
             "left_id",
             "right_id",
             (matched / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
-    return pairs.dropDuplicates(["left_id", "right_id"])
 
 
 def band_candidates(
