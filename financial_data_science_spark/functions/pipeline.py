@@ -148,12 +148,18 @@ def contamination(
     training corpus); the train side explodes once and aggregates back on
     the id — one shuffle on the id key.
     """
-    t = train.select(
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    # parallelize the gram explodes off under-split scans: the train
+    # side's per-id counts and the bench side's distinct are both
+    # partitioning-order-independent.  No-op at scale.
+    t = fan_out_scan(train, id_col).select(
         F.col(id_col),
         F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("__h__"),
     )
     b = F.broadcast(
-        bench.select(
+        fan_out_scan(bench, id_col)
+        .select(
             F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("__h__")
         )
         .distinct()

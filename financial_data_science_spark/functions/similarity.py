@@ -103,6 +103,8 @@ def cosine_topk(
     grid BEFORE the ranking — pass 6 when the ranking is compared across
     engines (the repo-wide round-before-argmax discipline) so a
     cross-engine ulp at a near-tie cannot flip top-k membership."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
     # norms hoisted per SIDE (bit-identical to per-pair cosine(): the
     # self-dot fold yields the same double wherever it runs, and
     # sqrt / * / / are correctly rounded — see embedding_near_dups):
@@ -110,6 +112,9 @@ def cosine_topk(
     # the O(|Q|·|C|) score frame.  Scoring itself runs on FLAT-UNPACKED
     # columns (codegen multiply-add chain, bit-identical to the fold —
     # see _flat_dot); the fold path remains as the dim-unknown fallback.
+    # The corpus side fans out off an under-split scan so the |Q|x|C|
+    # score projection parallelizes (row-local doubles; no-op at scale).
+    corpus = fan_out_scan(corpus, id_col)
     dim = _vec_dim(corpus, vec_col)
     if dim > 0:
         q = F.broadcast(
@@ -255,6 +260,12 @@ def embedding_near_dups(
     storage only for results the caller is still holding.  Pass
     ``materialize=False`` on storage-tight clusters or when composing
     into a plan the caller will persist wholesale."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    # fan the vector scan off a single-row-group file so the hyperplane
+    # folds (bucket compute) and the per-vector norm/unpack projections
+    # parallelize — all row-local, no-op at scale / on streams
+    emb = fan_out_scan(emb, id_col)
     ids = F.col(id_col)
     # Compute every table's bucket ONCE and materialize the tiny
     # (id, b0..b{t-1}) frame — 3 ints per row — so the per-table
@@ -484,6 +495,14 @@ def minhash_signatures(
             "stop_frame (apply a frozen census), not both — a per-batch "
             "re-census is exactly the drift the frozen set exists to stop"
         )
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    # under-split scans serialize the shingle explode + hash + partial
+    # aggregation on one core (single-row-group parquet); fan out BY ID
+    # so the repartition exchange replaces the signature aggregate's
+    # exchange (min() per id is partitioning-order-independent, so the
+    # signature values are unchanged).  No-op at scale / on streams.
+    docs = fan_out_scan(docs, id_col)
     rng = random.Random(seed)
     p = (1 << 31) - 1
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
@@ -658,7 +677,11 @@ def stop_shingle_census(
     the result is tiny (only the >max_df tail) and broadcastable."""
     from financial_data_science_spark.functions.porthash import gram_structs31
     from financial_data_science_spark.functions.text import tokens
+    from financial_data_science_spark.operators.layout import fan_out_scan
 
+    # parallelize the gram explode off an under-split scan (count() per
+    # shingle is partitioning-order-independent) — no-op at scale
+    docs = fan_out_scan(docs, id_col)
     tcol = F.col(text_col) if isinstance(text_col, str) else text_col
     if portable:
         exploded = docs.select(
@@ -859,7 +882,12 @@ def simhash_signatures(
     """
     from financial_data_science_spark.functions.porthash import tokhash62
     from financial_data_science_spark.functions.text import tokens
+    from financial_data_science_spark.operators.layout import fan_out_scan
 
+    # parallelize the token explode + vote partial-aggregation off an
+    # under-split scan (integer vote sums are partitioning-order-
+    # independent; fingerprints unchanged) — no-op at scale / on streams
+    docs = fan_out_scan(docs, id_col)
     toks = tokens(F.lower(F.col(text_col)))
     tok_hash = (
         tokhash62(F.col("__tok__")) if portable else F.xxhash64("__tok__")
@@ -925,12 +953,17 @@ def jaccard_pairs(
         # the shingle arrays once via localCheckpoint and sharing them was
         # ~10% slower warm (eager barrier + 30MB write/read beats three
         # codegen-fused recomputes).  Don't "deduplicate" this work.
+        from financial_data_science_spark.operators.layout import fan_out_scan
+
         cand = band_candidates(
             docs, id_col, text_col, shingle_k=k, num_hashes=64, bands=32,
             max_df=max_df,
         )
+        # fan the verify-side shingle build off an under-split scan
+        # (shingle arrays are row-local; no-op at scale)
         sh = (
-            docs.select(F.col(id_col), word_shingles(text_col, k).alias("__sh__"))
+            fan_out_scan(docs, id_col)
+            .select(F.col(id_col), word_shingles(text_col, k).alias("__sh__"))
             .withColumn("__n__", F.size("__sh__"))
             .filter(F.col("__n__") > 0)
         )

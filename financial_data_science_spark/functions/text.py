@@ -184,6 +184,14 @@ def tf_idf_terms(
     """
     from pyspark.sql import Window
 
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    # parallelize the token explode + (doc, term) partial-aggregation
+    # off an under-split scan; partitioning by id also pre-satisfies the
+    # tf aggregate's clustering, so the repartition exchange replaces
+    # the aggregate's (integer counts — order-independent).  No-op at
+    # scale.
+    docs = fan_out_scan(docs, id_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
