@@ -1360,11 +1360,17 @@ def ivf_build_index(
     twin for boundary-sensitive retrieval (e.g. hard-negative mining,
     where PQ's quantization error drowns the fine different-label
     ranking — measured in SCALE.md)."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
     cent_rows = _ivf_train_rows(
         corpus, id_col, vec_col, nlist, iters, train_mod=train_mod
     )
+    # fan ONLY the assignment input (row-local argmax — partitioning-
+    # independent); the training lineage above keeps its partitioning
+    # (its float avg aggregates are accumulation-order-sensitive)
     binned = _assign_clusters(
-        corpus.select(id_col, vec_col, *payload), vec_col, cent_rows, 6
+        fan_out_scan(corpus.select(id_col, vec_col, *payload), id_col),
+        vec_col, cent_rows, 6
     )
     if persist:
         binned = binned.localCheckpoint(eager=True)
@@ -1576,6 +1582,14 @@ def pq_encode(
     ids — ``m`` map-side L2 argmaxes in ONE projection, zero Exchange
     (the plan shape test_plans asserts for IVF assignment).  The codes
     column is the compressed corpus representation ADC scoring reads."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    # parallelize the per-row argmax encode off an under-split scan —
+    # row-local (round-before-argmax, deterministic ties), so codes are
+    # partitioning-independent.  Never reached from the Lloyd training
+    # loop (whose float avg aggregates must keep their partitioning).
+    # No-op at scale / when the caller already fanned the frame.
+    corpus = fan_out_scan(corpus, id_col)
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
     cols = []
@@ -1715,13 +1729,18 @@ def ivfpq_build_index(
     predicate is selective against the nearest vectors, e.g. the
     label-inequality of hard-negative mining where every nearest
     neighbor is same-label by construction."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
     coarse = _ivf_train_rows(
         corpus, id_col, vec_col, nlist=nlist, iters=iters,
         train_mod=train_mod, metric="cosine",
     )
     books = pq_train(corpus, id_col, vec_col, dim, m, k, iters, train_mod)
+    # fan ONLY the bin+encode input (row-local argmaxes); both Lloyd
+    # trainings above keep their partitioning (order-sensitive avgs)
     binned = _assign_clusters(
-        corpus.select(id_col, vec_col, *payload), vec_col, coarse, 6, "cosine"
+        fan_out_scan(corpus.select(id_col, vec_col, *payload), id_col),
+        vec_col, coarse, 6, "cosine"
     )
     coded = pq_encode(binned, books, id_col, vec_col).join(
         binned.select(id_col, "cluster", *payload), id_col
@@ -2067,6 +2086,11 @@ def sq8_encode(
     so SQ8 is the first rung of the compression ladder (SQ8 -> PQ ->
     IVFPQ) with the gentlest recall loss.  Constant dimensions (max ==
     min) encode to 0 and decode to their min — exact."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    # row-local affine quantization — parallelize off an under-split
+    # scan (codes are partitioning-independent; no-op at scale)
+    corpus = fan_out_scan(corpus, id_col)
     lo, hi = _dlist_literal(mins), _dlist_literal(maxs)
     v = F.col(vec_col)
     idx = F.sequence(F.lit(0), F.size(v) - 1)

@@ -391,12 +391,18 @@ _ANN_PLAN_FINGERPRINTS = {
     # parallelizes the |Q|x|C| score projection off the single-row-group
     # corpus file — a deliberate repartition-after-read, not a regression.
     "cosine_topk":         {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
-    "ann_sq8_topk":        {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
-    "ann_pq_topk":         {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
-    "ann_ivf_topk":        {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
-    "ann_ivfpq_topk":      {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
-    "ann_ivfpq_residual":  {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
-    "ann_ivfpq_refined":   {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 4, "BroadcastNestedLoopJoin": 0, "Window": 6},
+    # r14: the ANN corpus-side encode/assign projections fan out off the
+    # single-row-group scan (operators/layout.fan_out_scan) — each fused
+    # entry gains one deliberate hash exchange per distinct encode input
+    # (ivfpq counts the binned subtree's fan exchange once per textual
+    # reference; AQE reuses the stage at runtime).  Training lineages
+    # keep their partitioning, so no other operator counts move.
+    "ann_sq8_topk":        {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    "ann_pq_topk":         {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    "ann_ivf_topk":        {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "ann_ivfpq_topk":      {"Exchange hashpartitioning": 3, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "ann_ivfpq_residual":  {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    "ann_ivfpq_refined":   {"Exchange hashpartitioning": 4, "BroadcastHashJoin": 4, "BroadcastNestedLoopJoin": 0, "Window": 6},
     "ann_ivfpq_query_only": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
     "hard_negative_mining": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
     "hard_negative_mining_production": {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 5, "BroadcastNestedLoopJoin": 0, "Window": 6},
