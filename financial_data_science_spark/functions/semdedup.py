@@ -260,9 +260,12 @@ def semantic_dedup_pairs(
     fan-out the executor iterates is itself O(cell_size * budget_w)."""
     from financial_data_science_spark.functions.similarity import ivf_build_index
 
+    # fan_out=False: the binned frame feeds the cell-split sub-kmeans,
+    # whose 6dp-rounded float avg sweeps must keep a deterministic
+    # partial-merge order (fanning would make it fetch-order-dependent)
     index = ivf_build_index(
         emb, id_col=id_col, vec_col=vec_col, nlist=nlist, iters=iters,
-        train_mod=train_mod,
+        train_mod=train_mod, fan_out=False,
     )
     cells = kmeans_cell_split(
         index["binned"], id_col, vec_col, "cluster", cap, nsub, sub_iters,
@@ -367,9 +370,12 @@ def semdedup_build_index(
     the probe join key — via operators.skew.write_bucketed)."""
     from financial_data_science_spark.functions.similarity import ivf_build_index
 
+    # fan_out=False: the binned frame feeds the cell-split sub-kmeans,
+    # whose 6dp-rounded float avg sweeps must keep a deterministic
+    # partial-merge order (fanning would make it fetch-order-dependent)
     index = ivf_build_index(
         emb, id_col=id_col, vec_col=vec_col, nlist=nlist, iters=iters,
-        train_mod=train_mod,
+        train_mod=train_mod, fan_out=False,
     )
     binned, levels = _cell_split_levels(
         index["binned"], id_col, vec_col, "cluster", cap, nsub, sub_iters,

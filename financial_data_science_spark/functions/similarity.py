@@ -1342,6 +1342,7 @@ def ivf_build_index(
     train_mod: int = 1,
     persist: bool = False,
     payload: tuple = (),
+    fan_out: bool = True,
 ) -> dict:
     """TRAIN-ONCE half of IVF (the faiss ``index.train()`` +
     ``index.add()`` split): Lloyd the coarse quantizer, bin the corpus,
@@ -1367,11 +1368,15 @@ def ivf_build_index(
     )
     # fan ONLY the assignment input (row-local argmax — partitioning-
     # independent); the training lineage above keeps its partitioning
-    # (its float avg aggregates are accumulation-order-sensitive)
-    binned = _assign_clusters(
-        fan_out_scan(corpus.select(id_col, vec_col, *payload), id_col),
-        vec_col, cent_rows, 6
-    )
+    # (its float avg aggregates are accumulation-order-sensitive).
+    # ``fan_out=False`` (semdedup's cell-split path) keeps the binned
+    # frame's original partitioning too: downstream sub-kmeans sweeps
+    # aggregate float avgs over it, and fanning would make their
+    # partial-merge order fetch-nondeterministic.
+    assign_in = corpus.select(id_col, vec_col, *payload)
+    if fan_out:
+        assign_in = fan_out_scan(assign_in, id_col)
+    binned = _assign_clusters(assign_in, vec_col, cent_rows, 6)
     if persist:
         binned = binned.localCheckpoint(eager=True)
     return {"centroids": cent_rows, "binned": binned,
