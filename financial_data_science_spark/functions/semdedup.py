@@ -280,19 +280,46 @@ def semantic_dedup_pairs(
         ).alias("__rn__"),
         F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("__cnt__"),
     )
+    # exact pair scoring on FLAT-UNPACKED columns with per-ROW norms
+    # (similarity._flat_dot): the per-pair cosine() fold is interpreted
+    # (CodegenFallback) and re-derives both norms per candidate; the
+    # flat multiply-add chain compiles under codegen and is the same
+    # IEEE addition sequence, so every c6 double is bit-identical
+    from financial_data_science_spark.functions.similarity import (
+        _flat_cols,
+        _flat_dot,
+        _vec_dim,
+        norm as _norm,
+    )
+
+    dim = _vec_dim(emb, vec_col)
     l = ranked.select(
         "cell",
         F.col(id_col).alias("left_id"),
-        F.col(vec_col).alias("__lv__"),
+        *(_flat_cols(F.col(vec_col), "l", dim) if dim > 0
+          else [F.col(vec_col).alias("__lv__")]),
+        _norm(F.col(vec_col)).alias("__lnorm__"),
         F.col("__rn__").alias("__lrn__"),
         F.col("__cnt__"),
     )
     r = ranked.select(
         "cell",
         F.col(id_col).alias("right_id"),
-        F.col(vec_col).alias("__rv__"),
+        *(_flat_cols(F.col(vec_col), "r", dim) if dim > 0
+          else [F.col(vec_col).alias("__rv__")]),
+        _norm(F.col(vec_col)).alias("__rnorm__"),
         F.col("__rn__").alias("__rrn__"),
     )
+    if dim > 0:
+        raw_cos = _flat_dot("l", "r", dim) / (
+            F.col("__lnorm__") * F.col("__rnorm__")
+        )
+    else:
+        from financial_data_science_spark.functions.similarity import dot as _dot
+
+        raw_cos = _dot(F.col("__lv__"), F.col("__rv__")) / (
+            F.col("__lnorm__") * F.col("__rnorm__")
+        )
     # Two join arms so the JOIN FAN-OUT itself is bounded, not just the
     # emitted pairs: cells within cap join on the cell key (per-key
     # product <= cap^2); cells STILL over cap join on a rank-block key
@@ -325,7 +352,7 @@ def semantic_dedup_pairs(
     )
     return (
         small.unionByName(big)
-        .withColumn("c6", F.round(cosine(F.col("__lv__"), F.col("__rv__")), 6))
+        .withColumn("c6", F.round(raw_cos, 6))
         .filter(F.col("c6") >= tau)
         .select(
             "cell",
