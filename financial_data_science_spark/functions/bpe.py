@@ -50,8 +50,14 @@ def word_frequencies(
     if lowercase:
         c = F.lower(c)
     toks = F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+    # fan the corpus scan (r15): tokenize-explode + the map-side partial
+    # count otherwise serialize on a single-row-group scan task; integer
+    # counts are order-independent, so the word histogram is identical.
+    # No-op at scale (operators/layout.py).
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
     return (
-        docs.select(F.explode(toks).alias("word"))
+        fan_out_scan(docs).select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

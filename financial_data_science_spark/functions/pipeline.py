@@ -295,13 +295,21 @@ def contaminated_ids(
     semi-join short-circuits a doc's remaining grams on first hit
     map-side.  The output may carry a doc id once per probed partition
     slice; consumers anti-join against it (duplicate right rows are
-    free under anti/semi semantics), so no distinct() is spent here."""
-    t = train.select(
+    free under anti/semi semantics), so no distinct() is spent here.
+
+    Both gram explodes fan off under-split scans (r15, the same move
+    :func:`contamination` made in r14): semi-join membership and the
+    bench distinct are partitioning-order-independent, and the
+    train-side per-char gram fold was the curation DAG's single-task
+    hotspot.  No-op at scale."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    t = fan_out_scan(train, id_col).select(
         F.col(id_col),
         F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("__h__"),
     )
     b = F.broadcast(
-        bench.select(
+        fan_out_scan(bench, id_col).select(
             F.explode(ngram_hashes(F.col(text_col), n, portable)).alias("__h__")
         ).distinct()
     )

@@ -288,11 +288,15 @@ def semantic_dedup_pairs(
     from financial_data_science_spark.functions.similarity import (
         _flat_cols,
         _flat_dot,
-        _vec_dim,
         norm as _norm,
     )
 
-    dim = _vec_dim(emb, vec_col)
+    # dim from the index's trained centroid rows (coordinate means over
+    # the corpus, so len == corpus dim) — replaces the r14 _vec_dim
+    # one-row driver peek with ZERO jobs (r15, build-time shave); empty
+    # centroids fall back to the fold path exactly as a 0 peek did
+    cents = index.get("centroids") or []
+    dim = len(cents[0][1]) if cents else 0
     l = ranked.select(
         "cell",
         F.col(id_col).alias("left_id"),

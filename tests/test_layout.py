@@ -17,13 +17,33 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_fan_out_widens_underspit_scan(spark):
+    from financial_data_science_spark.operators.layout import (
+        _FAN_BYTES_PER_TASK,
+        _plan_size_bytes,
+    )
     from financial_data_science_spark.sources.testdata import load_table
 
     docs = load_table(spark, SF, "documents")
     target = spark.sparkContext.defaultParallelism
     assert docs.rdd.getNumPartitions() < target  # single-row-group input
     fanned = fan_out_scan(docs, "doc_id")
-    assert fanned.rdd.getNumPartitions() == target
+    # width is size-capped (r15): bytes/task sizing, never wider than
+    # the session
+    size = _plan_size_bytes(docs)
+    assert size > 0
+    want = min(target, max(1, -(-size // _FAN_BYTES_PER_TASK)))
+    assert fanned.rdd.getNumPartitions() == want
+    assert fanned.rdd.getNumPartitions() > docs.rdd.getNumPartitions()
+
+
+def test_fan_out_skips_trivially_small_frame(spark):
+    """The r15 size floor: a frame whose optimizer estimate is below
+    SPARK_GRAFT_FAN_MIN_BYTES comes back IDENTITY — no exchange, no
+    tasks spent parallelizing work smaller than the exchange itself."""
+    from financial_data_science_spark.sources.testdata import load_table
+
+    region = load_table(spark, SF, "region")  # ~2 KB on disk
+    assert fan_out_scan(region, "r_regionkey") is region
 
 
 def test_fan_out_noop_on_wellsplit_frame(spark):

@@ -401,7 +401,13 @@ _ANN_PLAN_FINGERPRINTS = {
     "ann_pq_topk":         {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
     "ann_ivf_topk":        {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
     "ann_ivfpq_topk":      {"Exchange hashpartitioning": 3, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
-    "ann_ivfpq_residual":  {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
+    # r15: +2 exchanges — the ENCODE lineage (assign + residual +
+    # pq_encode) now fans the raw (id, vec) input BEFORE the assignment
+    # so those row-local stages parallelize too (the TRAINING lineage
+    # keeps its partitioning), and the size-derived fan widths
+    # (layout.fan_out_scan) make the two fan exchanges non-identical so
+    # they no longer collapse into one textual node.
+    "ann_ivfpq_residual":  {"Exchange hashpartitioning": 4, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
     "ann_ivfpq_refined":   {"Exchange hashpartitioning": 4, "BroadcastHashJoin": 4, "BroadcastNestedLoopJoin": 0, "Window": 6},
     "ann_ivfpq_query_only": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
     "hard_negative_mining": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
