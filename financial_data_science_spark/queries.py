@@ -60,6 +60,30 @@ def _r(c, n=6):
     return F.round(c, n)
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Tiny driver-side result frame as a JVM LocalRelation (guide §4:
+    eliminate the Python boundary).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` pickled-Python partitions — EVERY later
+    action on the frame launches ~cores Python workers to produce a
+    handful of rows (a ``Scan ExistingRDD
+    [applySchemaToPythonRDD]`` node; measured ~0.25s per count() at
+    local[32] — the entire timed cost of the BPE-train and IRLS
+    trajectory bench entries).  Routing the same rows through a
+    dtype=object pandas frame + Arrow yields a ``LocalTableScan``:
+    pure JVM at action time, zero Python workers.  Values and schema
+    are identical — the conversion coerces through the same explicit
+    schema string, and dtype=object keeps None as None (a numeric
+    pandas column would coerce None to NaN).  Flat schemas only (no
+    struct fields — the naive name parse below splits on commas)."""
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=names, dtype=object)
+    return spark.createDataFrame(pdf, schema)
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         Q[name] = fn
@@ -455,7 +479,19 @@ def event_range_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_window_trading_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: event-window gather over a trading calendar — explode relative
     days, ONE equi-join against the fact panel (stocks.py:202-294 without
-    the per-day SQL loop)."""
+    the per-day SQL loop).
+
+    Single-walk restructure (the r14 deferral) ATTEMPTED AND REVERTED in
+    r15: deriving the calendar from the panel's date column (instead of
+    a fresh lineitem scan) was oracle-identical, but the hoped-for
+    exchange/subtree reuse does NOT fire — both the initial and the
+    executed AQE plan still ran FOUR independent lineitem scans (Spark
+    inlines the shared panel subtree per reference and no ReusedExchange
+    appeared), so the "shared" calendar subtrees just upgraded two
+    cheap distinct-date scans into two extra full panel aggregates.
+    Timing was par at best.  A real single walk needs a materialization
+    boundary, which would shift timed work into the untimed build —
+    not an optimization, so the r14 shape stands."""
     li = load_table(spark, sf_dir, "lineitem")
     panel = li.groupBy("l_suppkey", F.col("l_shipdate").alias("d")).agg(
         _r(F.sum("l_quantity"), 2).alias("qty")
@@ -5268,7 +5304,22 @@ def _doc_quality_feats(docs: DataFrame, materialize: bool = False) -> DataFrame:
     between 1 and ~6 full-corpus tokenization scans.  The checkpoint
     holds 4 narrow columns (not `text`), so the pinned footprint is
     tiny relative to the corpus; at real scale write a silver feature
-    table instead (same shape, durable)."""
+    table instead (same shape, durable).
+
+    The docs scan fans out first (r15): the feature projection
+    tokenizes every doc, and a single-row-group scan serializes that on
+    one core — worse, ``materialize=True`` froze the 1-partition layout
+    into the checkpoint, so EVERY downstream consumer (the 3 IRLS
+    aggregates, scoring, the median collect, curation v3's timed
+    filter-join) also ran single-task.  Value-safe: the projection is
+    row-local, the IRLS normal-equation sums are BIGINT-quantized
+    (exact, order-independent — classifier.py module doc), the median
+    is an exact percentile of the rounded scores, and scoring is
+    row-local — no float accumulation order reaches an output.  No-op
+    at scale / on streams (operators/layout.py)."""
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    docs = fan_out_scan(docs, "doc_id")
     ntok = TXT.n_tokens("text").cast("double")
     out = docs.select(
         "doc_id",
@@ -5300,7 +5351,8 @@ def quality_classifier_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_quality_feats(docs, materialize=True), ["x1", "x2"], "y",
         iters=3,
     )
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(t["it"], t["b0"], t["b1"], t["b2"]) for t in traj],
         "it int, b0 double, b1 double, b2 double",
     )
@@ -5493,7 +5545,12 @@ def quality_classifier_irls_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order-function tokenizer expression 5x in one select
     # duplicates it per reference (measured 2x the checkpoint wall)
     ntok = F.size("__t__").cast("double")
-    feats = docs.select(
+    # fan the docs scan first (r15) — same argument as
+    # _doc_quality_feats: row-local features, BIGINT-quantized IRLS
+    # sums, so the checkpoint stops freezing a 1-partition layout
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    feats = fan_out_scan(docs, "doc_id").select(
         "lang", "n_chars", TXT.tokens("text").alias("__t__")
     ).select(
         (F.col("lang") == "en").cast("double").alias("y"),
@@ -5503,7 +5560,8 @@ def quality_classifier_irls_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.lit(1.0) + ntok)).alias("x3"),
     ).localCheckpoint(eager=True)  # one tokenization pass for 3 iterations
     traj = logistic_irls(feats, ["x1", "x2", "x3"], "y", iters=3)
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(t["it"], t["b0"], t["b1"], t["b2"], t["b3"]) for t in traj],
         "it int, b0 double, b1 double, b2 double, b3 double",
     )
@@ -6183,6 +6241,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT fanned (r15, measured twice and rejected): fanning by doc_id
+    # shuffles the full text payload twice (fan + dedup groupBy(text) —
+    # the guide §8 anti-pattern; 1.29s vs 0.93s), and even keying the
+    # fan on `text` so the dedup REUSES the exchange measured 0.93-1.14s
+    # vs 0.73-0.95s unfanned: the tokenize/verdict projections are too
+    # light at this corpus to amortize moving raw text through an
+    # exchange.  The dedup groupBy itself provides the post-shuffle
+    # parallelism for everything downstream.
     d = docs.select(
         "doc_id",
         "text",
@@ -6294,6 +6360,9 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT fanned (r15, measured and rejected — same A/B as v1: 0.72-0.87s
+    # text-keyed fan vs 0.58-0.64s unfanned; the exchange moves raw text
+    # the mixture filter would have dropped)
     mixed = mixture_sample(
         docs, "source",
         {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 1.0,
@@ -8476,7 +8545,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, num_merges=8, passes=4)
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [
             (m["it"], m["left"], m["right"], m["merged"], m["cnt"])
             for m in merges
@@ -8499,7 +8569,13 @@ def bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, num_merges=8, passes=4)
-    toks = docs.select(
+    # fan the segmentation scan (r15): bpe_apply is num_merges x passes
+    # replace chains PER WORD — the heaviest row-local projection in the
+    # BPE family — and it serialized on the single-row-group scan task.
+    # Integer counts, order-independent; no-op at scale.
+    from financial_data_science_spark.operators.layout import fan_out_scan
+
+    toks = fan_out_scan(docs, "doc_id").select(
         F.explode(bpe_apply(F.col("text"), merges, passes=4)).alias("token")
     )
     return (
@@ -8573,6 +8649,10 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, num_merges=8, passes=4)
+    # NOT fanned (r15, measured): unlike bpe_segment_tokens, this DAG's
+    # count() prunes the heavy n_bpe projection down to row existence,
+    # so a fan exchange here is a pure extra text shuffle — A/B read
+    # build 2.33->2.65s and timed 0.171->0.333s WITH the fan; reverted.
     counted = docs.select(
         "doc_id",
         F.coalesce(
@@ -8629,7 +8709,8 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = Store(tempfile.mkdtemp(prefix="bpe_gate_"))
     save_bpe_merges(merges, spark, store, "tok")
     reloaded = load_bpe_merges(spark, store, "tok")
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [
             (m["it"], m["left"], m["right"], m["merged"], m["cnt"])
             for m in reloaded
@@ -8641,141 +8722,107 @@ def bpe_train_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 
 
-# Round-14 rotation (tenth gate rotation).  Slots: 1 anchor (the
-# flagship), 1 debut row (users_click_no_purchase_window — the
-# data-sensitive replacement for the vacuous J15 slot, r13 verdict
-# item 4; the only catalog entry with no driver CORRECTNESS record),
-# then ALL 19 rows last checked in r10 (the full deferral list the r13
-# rotation documented — they reach the 3-stale ceiling this round and
-# the r13 verdict item 1 pinned them by name), and 29 of the 49 rows
-# last checked in r11 (including q1_pricing_summary, which is under
-# the q5 watch protocol — two certified quiet windows at 1.25-1.26x
-# its floor at r13 — and quality_classifier_irls, a warn row in the
-# r13 4.85%-steal record: both get fresh driver timings alongside the
-# correctness hash).  The 20 r11-cohort rows deferred to r15 (19
-# planned by the r13 verdict + 1 displaced by the debut) each have a
-# same-kernel sibling IN this gate or fresher independent coverage:
-#   corpus_curation_pipeline_v3 (v1 strictly contained in it is in
-#                          this gate; v2 r13-green; the trained-gate
-#                          IRLS sibling quality_classifier_irls is in
-#                          this gate)
-#   cosine_ann_bucketed   (exact-cosine kernel via cosine_topk, in
-#                          this gate; hyperplane-bucket join family
-#                          r13-green via embedding_near_dups)
-#   semantic_dedup        (strictly contained in semantic_dedup_capped,
-#                          r13-green after the rank-block re-gate)
-#   dedup_keep_last       (same keep-policy window kernel as
-#                          dedup_canonical_keep r12-green; row_number
-#                          machinery shared with prevailing_latest_event
-#                          r13-green)
-#   minhash_lsh_stopshingle (same banded-LSH + stop-census chain as
-#                          near_dup_clusters, in this gate;
-#                          minhash_lsh_candidates r13-green)
-#   minhash_index_increment (same at-rest index write/probe chain as
-#                          minhash_index_frozen_census r12-green; the
-#                          append path is pinned by
-#                          test_append_after_compact_equals_rebuild)
-#   stream_minhash_index_probe (same persisted band-key probe chain as
-#                          minhash_index_frozen_census r12-green;
-#                          streaming minhash arm sibling
-#                          stream_minhash_novelty is in this gate)
-#   car_by_relative_day   (CAR kernel contained in
-#                          event_study_corrected r12-green)
-#   compound_by_year      (same operators/compounding kernel as
-#                          compound_returns_by_supplier and
-#                          delist_adjusted_compound, both r13-green)
-#   month_end_trading_days (same plans/calendar trading-day kernel as
-#                          next_trading_day, in this gate)
-#   smoothed_holdings     (same backtesting holdings-frame kernel as
-#                          holdings_turnover r13-green)
-#   portfolio_monthly_returns (holdings x returns join family:
-#                          holdings_turnover r13-green,
-#                          bivariate_spread_holdings r12-green; judge
-#                          strict re-ran it green in the r13 session)
-#   prevailing_click_at_purchase (align_trades composes asof_join
-#                          directly, alignment.py:35;
-#                          asof_join_backward r13-green and
-#                          canary-certified every quiet-bench record)
-#   ewma_riskmetrics_vol  (same EWMA recursion as stream_ewma_final
-#                          r12-green; batch/stream parity pytest-pinned)
-#   stream_curation_bounded (bounded-novelty arm contained in
-#                          stream_curation_tagged r13-green)
-#   supply_eigenvector    (same power-sweep kernel as
-#                          supply_graph_pagerank, in this gate;
-#                          supply_personalized_pagerank r13-green)
-#   supply_kcore          (same iterate-until-stable graph machinery
-#                          as supply_communities, in this gate; degree
-#                          recompute sibling supply_graph_degrees also
-#                          in this gate)
-#   doc_chunking          (same pipeline.py token-chunk chain as
-#                          token_budget_packing r13-green, the
-#                          chunk->pack superset)
-#   repetition_quality    (same functions/text.py array-expression
-#                          quality family as text_quality r13-green)
-#   ffill_last_error      (the F.last(ignorenulls)-over-unbounded-window
-#                          kernel IS the as-of union-ffill core,
-#                          asof.py:159 — asof_join_backward r13-green
-#                          and a floor canary)
-# Everything rotated out stays guarded by the full-catalog hash-strict
-# local replica (tools/check_correctness.py), and its r5-r13 driver
-# records stand.  r15 must take the 20 deferrals above plus ~29 of the
-# 48 rows last checked in r12 (the r12 cohort reaches 3-stale at r15;
-# the remaining ~19 r12 rows rotate at r16) so nothing reaches 4-stale.
+# Round-15 rotation (eleventh gate rotation; optimization round 2 of 2).
+# The r14 verdict's item 1 is the binding constraint this round: every
+# query whose KERNEL the r14/r15 optimization waves touched must face
+# the driver oracle ON THE OPTIMIZED CODE — r14 left 28 touched entries
+# with driver-green records only on pre-change code (the round's one
+# assurance gap).  Slots:
+#   1 anchor (the flagship);
+#   ALL 20 rows last checked in r11 (they reach the 3-stale ceiling at
+#     r15 — the deferral list the r14 rotation pinned by name; five of
+#     them are ALSO touched-kernel rows this round:
+#     corpus_curation_pipeline_v3, cosine_ann_bucketed, semantic_dedup,
+#     minhash_lsh_stopshingle, minhash_index_increment);
+#   21 touched-kernel rows from the r12/r13 cohorts (the verdict's
+#     list: minhash/jaccard/simhash family, embedding_near_dups, the
+#     ANN ladder remainder, semantic_dedup_capped, holdings_turnover,
+#     tfidf_top_terms, contamination, stop-shingle census, curation v2,
+#     the four semdedup probes, quality_classifier_irls_k3,
+#     bpe_train_batched);
+#   6 rows last checked in r14 whose kernels r15 touched AGAIN
+#     (cosine_topk, ann_pq_topk, ann_ivfpq_refined,
+#     hard_negative_mining_ivf, bpe_train_merges,
+#     quality_classifier_irls — flat scoring / let_-bound norms /
+#     LocalRelation result frames need fresh coverage);
+#   2 rows newly touched in r15 itself (bpe_segment_tokens — the
+#     fanned segmentation scan — and quality_classifier_score, which
+#     reads the now-fanned _doc_quality_feats checkpoint).
+# Touched rows left OUT of the 50, each with a same-kernel sibling IN
+# this gate plus the local full-catalog strict replica (run green at
+# BOTH sf0.01 and sf0.1 on the final r15 tree, tools/check_correctness.py):
+#   hard_negative_mining   (kernel = cosine_topk scoring + top-k window,
+#                           both in-gate via cosine_topk; r13-green)
+#   ann_recall_at_k        (composite of cosine_topk + ann_ivf_topk,
+#                           both in this gate; r13-green)
+#   corpus_curation_pipeline (v1 is strictly contained in v3, in this
+#                           gate; its only r15 change is the
+#                           order-independent scan fan)
+#   bpe_tokenize_and_pack  (bpe_train + bpe_apply + global_cumsum —
+#                           train/apply in-gate via bpe_train_merges /
+#                           bpe_segment_tokens; cumsum untouched)
+# The ~40 untouched r12-cohort rows deferred past their nominal ~29-row
+# rotation quota this round: an optimization round must spend its gate
+# slots on the code that CHANGED (the r14 verdict's explicit top
+# priority) — every deferred row's kernel is untouched since its last
+# green gate (git-verifiable) and all 167 stay guarded by the strict
+# local replica above.
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # debut row: built this round, no driver record yet
-    "users_click_no_purchase_window",  # non-vacuous J15/§2.7 anti-join
-    # oldest-checked cohort: r10 (all 19 — the r13 deferral list)
+    # r11 cohort: 3-stale ceiling, all 20
+    "car_by_relative_day",
+    "compound_by_year",
+    "corpus_curation_pipeline_v3",
+    "cosine_ann_bucketed",
+    "dedup_keep_last",
+    "doc_chunking",
+    "ewma_riskmetrics_vol",
+    "ffill_last_error",
+    "minhash_index_increment",
+    "minhash_lsh_stopshingle",
+    "month_end_trading_days",
+    "portfolio_monthly_returns",
+    "prevailing_click_at_purchase",
+    "repetition_quality",
+    "semantic_dedup",
+    "smoothed_holdings",
+    "stream_curation_bounded",
+    "stream_minhash_index_probe",
+    "supply_eigenvector",
+    "supply_kcore",
+    # touched-kernel rows, r12/r13 cohorts (the r14 assurance gap)
+    "ann_ivf_topk",
+    "ann_ivfpq_query_only",
+    "ann_ivfpq_residual",
+    "ann_ivfpq_topk",
+    "ann_sq8_topk",
+    "bpe_train_batched",
+    "contamination_overlap",
+    "corpus_curation_pipeline_v2",
+    "embedding_near_dups",
+    "holdings_turnover",
+    "jaccard_near_dups",
+    "minhash_index_frozen_census",
+    "minhash_lsh_candidates",
+    "quality_classifier_irls_k3",
+    "semantic_dedup_capped",
+    "semdedup_index_probe",
+    "semdedup_pool_probe",
+    "semdedup_pool_probe_capped",
+    "semdedup_probe_stratified",
+    "simhash_near_dups",
+    "tfidf_top_terms",
+    # r14-green rows whose kernels r15 touched again
     "ann_ivfpq_refined",
     "ann_pq_topk",
-    "bpe_segment_tokens",
     "bpe_train_merges",
-    "corpus_curation_pipeline",
     "cosine_topk",
-    "dedup_exact_docs",
     "hard_negative_mining_ivf",
-    "hard_negative_mining_production",
-    "kupiec_var_backtest",
-    "multimodal_frame_sample",
-    "near_dup_clusters",
-    "stream_minhash_novelty",
-    "supply_assortativity",
-    "supply_communities",
-    "supply_graph_degrees",
-    "supply_graph_pagerank",
-    "supply_link_prediction",
-    "winsorized_price_stats",
-    # oldest-checked cohort: r11 (29 of 49; 20 deferrals documented above)
-    "adf_by_user",
-    "backtest_attribution",
-    "clean_trades_stats",
-    "coercion_keep_drop_replace",
-    "dated_lookup_apply",
-    "document_filter_gate",
-    "ff_scale_sentinels",
-    "hac_mean_discount",
-    "io_regroup",
-    "lang_id",
-    "mixture_sample_sources",
-    "next_trading_day",
-    "ohlc_volatility",
-    "permno_links_asof",
-    "pii_pattern_census",
-    "pivot_event_type_totals",
-    "q1_pricing_summary",
     "quality_classifier_irls",
-    "range_bucket_lookup",
-    "rolling_beta_12m",
-    "seq_in_group",
-    "split_back_adjust",
-    "structural_break_fstats",
-    "supply_betweenness_sampled",
-    "tcode_transforms",
-    "unpivot_flag_revenue",
-    "upsert_insert_ignore",
-    "vintage_latest_asof",
-    "weighted_avg_price",
+    # r15-touched rows
+    "bpe_segment_tokens",
+    "quality_classifier_score",
 ]
 
 

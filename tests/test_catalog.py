@@ -19,14 +19,14 @@ def test_every_query_has_an_oracle():
 
 
 def test_gate_prefix_is_pinned():
-    """The driver checks the first 50 queries() entries; the round-14
+    """The driver checks the first 50 queries() entries; the round-15
     curation must stay stable (registration-order drift would silently
-    swap which queries earn driver rows), must keep the flagship + the
-    r14 debut row (the only catalog entry with no driver CORRECTNESS
-    record), and must draw the rest from the oldest-driver-checked
-    cohorts (refresh rotation: ALL 19 r10-stale rows — the r13 verdict
-    item 1 pinned them by name — then 29 of the 49 r11-stale rows, 20
-    deferred with documented justifications above _GATE_ORDER)."""
+    swap which queries earn driver rows), must keep the flagship, must
+    take ALL 20 r11-stale rows (the 3-stale ceiling the r14 rotation
+    pinned by name), and must cover every kernel the r14/r15
+    optimization waves touched (the r14 verdict's item 1 — its one
+    assurance gap; exceptions carry same-kernel-sibling justifications
+    above _GATE_ORDER)."""
     from financial_data_science_spark.queries import _GATE_ORDER, Q
 
     assert len(_GATE_ORDER) == 50
@@ -34,23 +34,28 @@ def test_gate_prefix_is_pinned():
     required = {
         # anchor
         "universe_assembly",
-        # r14 debut row: non-vacuous J15/§2.7 anti-join (r13 verdict
-        # item 4 — the un-windowed sibling hash-matches an empty frame)
-        "users_click_no_purchase_window",
-        # the full r10-stale cohort (would be 4 rounds stale if
-        # deferred; r13 verdict item 1 names all 19)
-        "ann_ivfpq_refined", "ann_pq_topk", "bpe_segment_tokens",
-        "bpe_train_merges", "corpus_curation_pipeline", "cosine_topk",
-        "dedup_exact_docs", "hard_negative_mining_ivf",
-        "hard_negative_mining_production", "kupiec_var_backtest",
-        "multimodal_frame_sample", "near_dup_clusters",
-        "stream_minhash_novelty", "supply_assortativity",
-        "supply_communities", "supply_graph_degrees",
-        "supply_graph_pagerank", "supply_link_prediction",
-        "winsorized_price_stats",
-        # the r11 rows under active watch protocols (r13 verdict items
-        # 3 and What's-wrong 4): both need fresh driver timings
-        "q1_pricing_summary", "quality_classifier_irls",
+        # the full r11-stale cohort (3-stale ceiling at r15; the r14
+        # rotation block pinned all 20 by name)
+        "car_by_relative_day", "compound_by_year",
+        "corpus_curation_pipeline_v3", "cosine_ann_bucketed",
+        "dedup_keep_last", "doc_chunking", "ewma_riskmetrics_vol",
+        "ffill_last_error", "minhash_index_increment",
+        "minhash_lsh_stopshingle", "month_end_trading_days",
+        "portfolio_monthly_returns", "prevailing_click_at_purchase",
+        "repetition_quality", "semantic_dedup", "smoothed_holdings",
+        "stream_curation_bounded", "stream_minhash_index_probe",
+        "supply_eigenvector", "supply_kcore",
+        # the r14-touched-but-ungated kernels the r14 verdict item 1
+        # requires on the optimized code (representative subset)
+        "minhash_lsh_candidates", "jaccard_near_dups",
+        "simhash_near_dups", "embedding_near_dups", "ann_sq8_topk",
+        "tfidf_top_terms", "contamination_overlap",
+        "semantic_dedup_capped", "holdings_turnover",
+        "corpus_curation_pipeline_v2", "semdedup_pool_probe",
+        # kernels r15 touched again after their r14 gate pass
+        "cosine_topk", "ann_pq_topk", "ann_ivfpq_refined",
+        "hard_negative_mining_ivf", "bpe_train_merges",
+        "quality_classifier_irls", "bpe_segment_tokens",
     }
     assert required <= set(_GATE_ORDER)
     # every catalog query has at least one recorded driver round OR is
