@@ -434,22 +434,77 @@ def semdedup_build_index(
     }
 
 
+def _level_literal(level_rows, similarity) -> "F.Column":
+    """``map<bigint, array<struct<sub,cv,cnorm>>>`` literal from one
+    refinement level's collected sub-centroid rows — the per-CELL analog
+    of ``similarity._centroid_literal`` (same one-``F.expr``-string
+    build, same shortest-roundtrip double spelling, same inlined fold
+    norm, all argued there).  Level frames are bounded by STRUCTURE, not
+    corpus size (level d has <= nlist * nsub^d rows), so inlining stays
+    a few KB at any corpus scale."""
+
+    def d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    by_cell: dict[int, list] = {}
+    for r in level_rows:
+        by_cell.setdefault(int(r["__cell__"]), []).append(
+            (int(r["__sub__"]), list(r["__cv__"]))
+        )
+    parts = []
+    for cell in sorted(by_cell):
+        subs = ",".join(
+            f"named_struct('sub',{s},'cv',array({','.join(d(x) for x in cv)}),"
+            f"'cnorm',{d(similarity._fold_norm(cv))})"
+            for s, cv in sorted(by_cell[cell])
+        )
+        parts.append(f"CAST({cell} AS BIGINT),array({subs})")
+    return F.expr("map(" + ",".join(parts) + ")")
+
+
 def _route_cells(
     vectors: DataFrame, index: dict, out_id: str
 ) -> DataFrame:
     """Route vectors through the index's FROZEN assignment chain —
-    top-level argmax against the inlined centroid literal (no
-    Exchange), then one broadcast join + argmax per recorded refinement
-    level (skipped levels are pure id arithmetic).  Returns
+    top-level argmax against the inlined centroid literal, then one
+    argmax against a per-cell sub-centroid MAP LITERAL per recorded
+    refinement level (skipped levels are pure id arithmetic) — the
+    whole routing is ONE map-side projection, zero Exchange.  Returns
     ``(out_id, __qv__, __cell__)``.  Shared by the index probe, the
     accumulation-pool probe, and pool assignment — all three must route
-    identically or cell joins silently miss."""
+    identically or cell joins silently miss.
+
+    r15: each level was previously a broadcast join + groupBy argmax +
+    join-back — three Exchanges and a DUPLICATED probe subtree (the
+    join-back re-evaluated the scan + top-level argmax) per level, per
+    probe frame.  Level frames are structurally tiny (<= nlist * nsub^d
+    rows — they exist only for cells the splitter broke), so they inline
+    exactly like the top-level centroids: per row, ``element_at(map,
+    cell)`` fetches the cell's sub-centroids (NULL for unsplit cells ->
+    sub 0, the old left-join coalesce) and ``array_max`` replays the
+    ``max(struct(s, -sub))`` tie break.  Scores are the same
+    ``round(dot/(norm*norm), 6)`` IEEE sequence — the row norm let-bound
+    once, the sub-centroid norm inlined via ``_fold_norm`` (bit-equality
+    argued at ``_centroid_literal``) — so every cell id is identical."""
+    from financial_data_science_spark.functions import similarity
+    from financial_data_science_spark.functions.porthash import let_
     from financial_data_science_spark.functions.similarity import (
         _assign_clusters,
+        dot as _dot,
+        norm as _norm,
     )
 
     id_col, vec_col = index["id_col"], index["vec_col"]
     nsub = index["nsub"]
+    # per-index cache of the collected level rows: bounded driver-side
+    # plan-build peeks (same class as the centroid collect the index
+    # build already does), paid once per index dict, not per probe
+    rows_cache = index.get("_levels_rows")
+    if rows_cache is None:
+        rows_cache = [
+            None if c is None else c.collect() for c in index["levels"]
+        ]
+        index["_levels_rows"] = rows_cache
     probes = _assign_clusters(
         vectors.select(
             F.col(id_col).alias(out_id), F.col(vec_col).alias("__qv__")
@@ -458,30 +513,32 @@ def _route_cells(
         index["centroids"],
         6,
     ).withColumn("__cell__", F.col("cluster").cast("long")).drop("cluster")
-    for cents in index["levels"]:
-        if cents is None:
+    qv = F.col("__qv__")
+    for level_rows in rows_cache:
+        if level_rows is None or not level_rows:
             probes = probes.withColumn(
                 "__cell__", F.col("__cell__") * (nsub + 1)
             )
             continue
-        scored = probes.join(F.broadcast(cents), "__cell__").select(
-            out_id,
-            "__sub__",
-            F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("__s__"),
+        lvl = _level_literal(level_rows, similarity)
+        best = let_(
+            _norm(qv),
+            lambda nv: F.array_max(
+                F.transform(
+                    F.element_at(lvl, F.col("__cell__")),
+                    lambda c: F.struct(
+                        F.round(
+                            _dot(qv, c["cv"]) / (nv * c["cnorm"]), 6
+                        ).alias("s"),
+                        (-c["sub"]).alias("negsub"),
+                    ),
+                )
+            ),
         )
-        best = scored.groupBy(out_id).agg(
-            F.max(
-                F.struct(F.col("__s__"), (-F.col("__sub__")).alias("__negsub__"))
-            ).alias("__b__")
-        ).select(out_id, (-F.col("__b__.__negsub__")).alias("__sub__"))
-        probes = (
-            probes.join(best, out_id, "left")
-            .withColumn(
-                "__cell__",
-                F.col("__cell__") * (nsub + 1)
-                + F.coalesce(F.col("__sub__"), F.lit(0)),
-            )
-            .drop("__sub__")
+        probes = probes.withColumn(
+            "__cell__",
+            F.col("__cell__") * (nsub + 1)
+            + F.coalesce((-best["negsub"]).cast("int"), F.lit(0)),
         )
     return probes
 
@@ -546,12 +603,10 @@ def semdedup_query_index(
     return _join_reps(probes, index, tau, query_id, reps)
 
 
-def _join_reps(
-    probes: DataFrame, index: dict, tau: float, query_id: str, reps: str
-) -> DataFrame:
-    """The representative-capped cell join half of the index probe,
-    over an already-routed batch (``(query_id, __qv__, __cell__)``)."""
-    id_col, vec_col = index["id_col"], index["vec_col"]
+def _rep_rows(index: dict, reps: str) -> DataFrame:
+    """The representative rows of the index's cell table under the
+    ``reps`` policy — whole cells when small, the policy's <= cap
+    ranks of cells the splitter could not break."""
     cap = index["cap"]
     if reps == "lowest":
         rep_pick = F.col("__rn__") <= cap
@@ -565,11 +620,42 @@ def _join_reps(
             f"semdedup_query_index: reps must be 'lowest' or 'stratified', "
             f"got {reps!r}"
         )
-    rep_rows = index["cells"].filter((F.col("__cnt__") <= cap) | rep_pick)
+    return index["cells"].filter((F.col("__cnt__") <= cap) | rep_pick)
+
+
+def _pair_cos(qn_col: str, cv_col: str, cn_col: str):
+    """``round(cosine(__qv__, cv), 6)`` with BOTH norms hoisted to
+    per-row columns (``qn_col`` under the probe projection, ``cn_col``
+    under the candidate projection): the per-PAIR work drops from three
+    interpreted O(dim) folds to one dot fold.  Same operands in the same
+    order — ``dot / (norm(q) * norm(c))`` — so every c6 double is
+    bit-identical to the inline ``cosine`` it replaces (r15)."""
+    from financial_data_science_spark.functions.similarity import dot as _dot
+
+    return F.round(
+        _dot(F.col("__qv__"), F.col(cv_col))
+        / (F.col(qn_col) * F.col(cn_col)),
+        6,
+    )
+
+
+def _join_reps(
+    probes: DataFrame, index: dict, tau: float, query_id: str, reps: str
+) -> DataFrame:
+    """The representative-capped cell join half of the index probe,
+    over an already-routed batch (``(query_id, __qv__, __cell__)``)."""
+    from financial_data_science_spark.functions.similarity import norm as _norm
+
+    id_col, vec_col = index["id_col"], index["vec_col"]
+    cap = index["cap"]
+    rep_rows = _rep_rows(index, reps).withColumn(
+        "__cn__", _norm(F.col(vec_col))
+    )
     return (
         probes.withColumnRenamed("__cell__", "cell")
+        .withColumn("__qn__", _norm(F.col("__qv__")))
         .join(rep_rows.withColumnRenamed("cell", "cell"), "cell")
-        .withColumn("c6", F.round(cosine(F.col("__qv__"), F.col(vec_col)), 6))
+        .withColumn("c6", _pair_cos("__qn__", vec_col, "__cn__"))
         .filter(F.col("c6") >= tau)
         .select(
             query_id,
@@ -622,14 +708,27 @@ def semdedup_query_with_pool(
     policy's truncation label, pool pairs are truncated only under
     ``pool_cap``.  Ids in ``queries`` and ``pool`` must be disjoint
     from each other and from the indexed ids."""
+    from financial_data_science_spark.functions.similarity import norm as _norm
+
     id_col = index["id_col"]
+    vec_col = index["vec_col"]
+    cap = index["cap"]
     query_id = query_id or f"new_{id_col}"
-    # the batch routes ONCE; both arms consume the same routed frame
-    # (the index arm is _join_reps over it — literally the body of
-    # semdedup_query_index, row-for-row parity pytest-pinned)
+    # the batch routes ONCE and joins ONCE: both arms' candidate rows —
+    # index representatives and routed pool members — are unioned into
+    # one (cell, corpus_id, vec, truncated, source) frame FIRST, then
+    # one cell-keyed join scores everything (r15; union-of-joins on the
+    # same left side == join-of-union, so the pair set is unchanged and
+    # the index arm stays value-identical to semdedup_query_index —
+    # parity pytest-pinned).  The r14 shape ran two joins whose left
+    # subtrees each re-evaluated the batch routing.
     qcells = _route_cells(queries, index, query_id)
-    idx_pairs = _join_reps(qcells, index, tau, query_id, reps).withColumn(
-        "source", F.lit("index")
+    rep_rows = _rep_rows(index, reps).select(
+        "cell",
+        F.col(id_col).alias("__corpus_id__"),
+        F.col(vec_col).alias("__cv__"),
+        (F.col("__cnt__") > cap).alias("__trunc__"),
+        F.lit("index").alias("source"),
     )
     pcells = _route_cells(pool, index, "__pool_id__").select(
         F.col("__pool_id__"),
@@ -653,19 +752,30 @@ def semdedup_query_with_pool(
         p_trunc = F.col("__pcnt__") > pool_cap
     else:
         p_trunc = F.lit(False)
-    pool_pairs = (
-        qcells.join(pcells, "__cell__")
-        .withColumn("c6", F.round(cosine(F.col("__qv__"), F.col("__pv__")), 6))
+    pool_rows = pcells.select(
+        F.col("__cell__").alias("cell"),
+        F.col("__pool_id__").alias("__corpus_id__"),
+        F.col("__pv__").alias("__cv__"),
+        p_trunc.alias("__trunc__"),
+        F.lit("pool").alias("source"),
+    )
+    cands = rep_rows.unionByName(pool_rows).withColumn(
+        "__cn__", _norm(F.col("__cv__"))
+    )
+    return (
+        qcells.withColumnRenamed("__cell__", "cell")
+        .withColumn("__qn__", _norm(F.col("__qv__")))
+        .join(cands, "cell")
+        .withColumn("c6", _pair_cos("__qn__", "__cv__", "__cn__"))
         .filter(F.col("c6") >= tau)
         .select(
             query_id,
-            F.col("__pool_id__").alias("corpus_id"),
+            F.col("__corpus_id__").alias("corpus_id"),
             F.round(F.col("c6"), 4).alias("cos"),
-            p_trunc.alias("truncated"),
-            F.lit("pool").alias("source"),
+            F.col("__trunc__").alias("truncated"),
+            "source",
         )
     )
-    return idx_pairs.unionByName(pool_pairs)
 
 
 def semdedup_write_index(
