@@ -51,25 +51,61 @@ def event_window(
     ``pivot=True`` (wide columns ``{val}_{rel}``) — long is preferable at
     scale (SURVEY §2.3 J4).
     """
+    from pyspark.sql import Window
+
     by = [by] if isinstance(by, str) else list(by)
-    rel = F.explode(F.sequence(F.lit(left), F.lit(right))).alias("rel")
-    ev = events.select("*", rel)
     if calendar is not None:
-        cal = F.broadcast(calendar.select(cal_date, cal_num))
-        ev = (
-            ev.join(cal, ev[event_date] == cal[cal_date], "inner")
-            .drop(cal_date)
-            .withColumn("__num__", F.col(cal_num) + F.col("rel"))
-            .drop(cal_num)
+        # ONE calendar walk (r15): the old shape joined the calendar
+        # twice — once keyed on the date (anchor -> day_num) and once on
+        # the offset number (day_num + rel -> date) — and because the two
+        # broadcasts hash different keys, ReusedExchange can never fire,
+        # so the WHOLE calendar lineage (a full fact-table distinct-date
+        # scan in every catalog caller) was computed twice per query.
+        # Offsets are instead precomputed ON the calendar itself: per
+        # calendar row, date at rank+r is lead(date, r) / lag(date, -r)
+        # over the day_num order (one Window over the already
+        # single-partition dimension), exploded to (date, rel, reldate)
+        # and filtered non-null — exactly the rows the old inner join on
+        # day_num+rel kept, since lead/lag null out beyond either end.
+        # Events then join the tiny offset calendar ONCE.
+        w = Window.orderBy(cal_num)
+        shifted = calendar.select(
+            F.col(cal_date),
+            *[
+                (
+                    F.lag(F.col(cal_date), -r).over(w)
+                    if r < 0
+                    else F.lead(F.col(cal_date), r).over(w)
+                ).alias(f"__rd_{i}__")
+                for i, r in enumerate(range(left, right + 1))
+            ],
         )
-        cal2 = F.broadcast(
-            calendar.select(
-                F.col(cal_date).alias("__reldate__"), F.col(cal_num).alias("__num__")
+        offs = F.array(*[
+            F.struct(
+                F.lit(r).cast("int").alias("rel"),
+                F.col(f"__rd_{i}__").alias("__reldate__"),
             )
+            for i, r in enumerate(range(left, right + 1))
+        ])
+        cal_off = (
+            shifted.select(F.col(cal_date), F.explode(offs).alias("__o__"))
+            .select(
+                cal_date,
+                F.col("__o__.rel").alias("rel"),
+                F.col("__o__.__reldate__").alias("__reldate__"),
+            )
+            .filter(F.col("__reldate__").isNotNull())
         )
-        ev = ev.join(cal2, "__num__", "inner").drop("__num__")
+        ev = events.join(
+            F.broadcast(cal_off),
+            events[event_date] == cal_off[cal_date],
+            "inner",
+        ).drop(cal_date)
     else:
-        ev = ev.withColumn("__reldate__", F.col(event_date) + F.col("rel"))
+        rel = F.explode(F.sequence(F.lit(left), F.lit(right))).alias("rel")
+        ev = events.select("*", rel).withColumn(
+            "__reldate__", F.col(event_date) + F.col("rel")
+        )
     j = ev.join(
         fact.select(*by, F.col(fact_date).alias("__reldate__"), *values),
         by + ["__reldate__"],
