@@ -2069,32 +2069,37 @@ def recall_at_k(
     overrides the per-query denominator (use when the exact frame may
     hold fewer than k rows for boundary queries).
 
-    Shape: one broadcast-able semi-join on (query, neighbor) + a groupBy
-    on query — both sides are |Q| x k rows, trivially small next to the
-    corpus no matter the corpus scale."""
-    hits = (
+    Shape: one broadcast-able join on (query, neighbor) + a groupBy on
+    query — both sides are |Q| x k rows, trivially small next to the
+    corpus no matter the corpus scale.  The exact frame is walked ONCE
+    (r15): the old semi-join-for-hits + groupBy-for-denominator pair
+    referenced it twice, and `exact` is typically the expensive
+    brute-force arm — a left join against the deduped approx pairs
+    flags hits and counts the denominator in the same aggregate
+    (dedup keeps the semi-join's exists semantics if a caller passes
+    duplicate approx pairs), recall values identical."""
+    ap = (
+        approx.select(query_id, neighbor_id)
+        .dropDuplicates([query_id, neighbor_id])
+        .withColumn("__hit__", F.lit(1))
+    )
+    per_q = (
         exact.select(query_id, neighbor_id)
-        .join(
-            approx.select(query_id, neighbor_id), [query_id, neighbor_id],
-            "left_semi",
-        )
+        .join(ap, [query_id, neighbor_id], "left")
         .groupBy(query_id)
-        .agg(F.count(F.lit(1)).alias("__hits__"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_exact__"),
+            F.count("__hit__").alias("__hits__"),
+        )
     )
     denom = (
         F.lit(float(k))
         if k is not None
         else F.col("__n_exact__").cast("double")
     )
-    base = exact.groupBy(query_id).agg(
-        F.count(F.lit(1)).alias("__n_exact__")
-    )
-    return (
-        base.join(hits, query_id, "left")
-        .select(
-            query_id,
-            (F.coalesce("__hits__", F.lit(0)) / denom).alias("recall"),
-        )
+    return per_q.select(
+        query_id,
+        (F.coalesce("__hits__", F.lit(0)) / denom).alias("recall"),
     )
 
 

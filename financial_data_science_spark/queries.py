@@ -3288,31 +3288,47 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk,
         ivf_build_index,
         ivf_query_index,
-        recall_at_k,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk(q, emb, k=3, round_dp=6)
     index = ivf_build_index(emb, nlist=8, iters=3, train_mod=4, persist=True)
-    parts = []
+    # ONE exact-arm walk for the whole sweep (r15): the per-nprobe
+    # recall_at_k + union shape re-evaluated the brute-force exact top-k
+    # subtree in every branch (and the two differently-keyed consumers
+    # inside the old recall_at_k blocked exchange reuse — six walks in
+    # the initial plan).  The three probe passes union under an nprobe
+    # label instead, the exact pairs fan across the labels with one
+    # explode, and a single left join + two-level aggregate computes the
+    # same per-query recalls and the same rounded means (recall is
+    # hits / 3.0 per query either way; the cross-query avg was already
+    # partition-order-dependent and 4dp-rounded).
+    arms = None
     for np_ in (1, 2, 4):
-        approx = ivf_query_index(q, index, k=3, nprobe=np_)
-        parts.append(
-            recall_at_k(approx, exact, k=3).agg(
-                F.count(F.lit(1)).alias("n_queries"),
-                _r(F.avg("recall"), 4).alias("mean_recall"),
-            ).select(
-                F.lit(np_).alias("nprobe"),
-                F.lit(3).alias("k"),
-                "n_queries",
-                "mean_recall",
-            )
+        a = ivf_query_index(q, index, k=3, nprobe=np_).select(
+            F.lit(np_).alias("nprobe"), "query_id", "neighbor_id"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        arms = a if arms is None else arms.unionAll(a)
+    ap = arms.dropDuplicates(["nprobe", "query_id", "neighbor_id"]).withColumn(
+        "__hit__", F.lit(1)
+    )
+    ex3 = exact.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("nprobe"),
+        "query_id",
+        "neighbor_id",
+    )
+    per_q = (
+        ex3.join(ap, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("__hit__").alias("__hits__"))
+    )
+    return per_q.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        _r(F.avg(F.coalesce(F.col("__hits__"), F.lit(0)) / F.lit(3.0)), 4).alias(
+            "mean_recall"
+        ),
+    ).select("nprobe", F.lit(3).alias("k"), "n_queries", "mean_recall")
 
 
 ORACLE["ann_recall_at_k"] = _ann_recall_oracle_sql()
