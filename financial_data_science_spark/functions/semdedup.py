@@ -271,14 +271,22 @@ def semantic_dedup_pairs(
         index["binned"], id_col, vec_col, "cluster", cap, nsub, sub_iters,
         max_depth,
     )
+    # alias cluster -> cell BEFORE the windows so the window exchange's
+    # partitioning attribute IS the pair join's key: the within-cap join
+    # arms then need no re-shuffle on cell (the window's (cell, id) sort
+    # also satisfies the merge join's cell sort), where the old
+    # partitionBy("cluster")-then-alias shape re-exchanged both sides
+    # (r15; values unchanged — same keys, same data)
     ranked = cells.select(
-        F.col("cluster").alias("cell"),
+        F.col("cluster").alias("cell"), F.col(id_col), F.col(vec_col)
+    ).select(
+        "cell",
         F.col(id_col),
         F.col(vec_col),
         F.row_number().over(
-            Window.partitionBy("cluster").orderBy(id_col)
+            Window.partitionBy("cell").orderBy(id_col)
         ).alias("__rn__"),
-        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("__cnt__"),
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("__cnt__"),
     )
     # exact pair scoring on FLAT-UNPACKED columns with per-ROW norms
     # (similarity._flat_dot): the per-pair cosine() fold is interpreted
