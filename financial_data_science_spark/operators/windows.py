@@ -530,7 +530,24 @@ def global_cumsum(
         Window.unboundedPreceding, 0
     )
     local = d.withColumn(out, F.sum(F.col(col)).over(wl))
-    totals = d.groupBy("__blk__").agg(F.sum(F.col(col)).alias("__tot__"))
+    # block totals = the LAST row's local cumsum per block (max over the
+    # (order, cum) struct — lexicographic max is the last row in window
+    # order), NOT a fresh sum over d: a groupBy(d) plants a partial
+    # aggregate UNDER its exchange, so its exchange never canonicalizes
+    # equal to the window's and the full input lineage was computed
+    # twice per action.  Reading totals off `local` makes both consumers
+    # share the window's exchange (ReusedExchange), one input walk
+    # (r15).  Exact for the integer columns every caller sums; a double
+    # column changes accumulation order only in the same way the
+    # two-phase split itself already did.
+    last = F.max(
+        F.struct(*[F.col(c) for c in order_l], F.col(out).alias("__lv__"))
+    )
+    totals = (
+        local.groupBy("__blk__")
+        .agg(last.alias("__last__"))
+        .select("__blk__", F.col("__last__.__lv__").alias("__tot__"))
+    )
     # bounded by construction: num_blocks rows
     woff = tiny_ordered_window("__blk__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
