@@ -6251,10 +6251,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed prefix sum) -> per-(split, shard) stats.  Every stage is
     an operator the catalog also checks individually; this query proves
     they COMPOSE — no materialization boundaries, one plan."""
-    from financial_data_science_spark.functions.pipeline import (
-        hash_split,
-        pack_token_budget,
-    )
+    from financial_data_science_spark.functions.pipeline import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
     # NOT fanned (r15, measured twice and rejected): fanning by doc_id
@@ -6276,20 +6273,35 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
     ).drop("text")
     sp = hash_split(ded, "doc_id", {"train": 0.9, "val": 0.1})
-    train = pack_token_budget(
-        sp.filter(F.col("split") == "train").select("doc_id", "n_tokens"),
-        "doc_id",
+    # ONE packing walk for both splits (r15): the train-filter /
+    # val-filter branch pair re-derived the whole verdict+dedup+split
+    # lineage per arm.  Val rows ride the SAME prefix sum with a ZERO
+    # token contribution — exact integer sums, so every train row's
+    # cumulative total (and therefore its shard) is bit-identical to
+    # packing the train split alone — and take shard -1 by the split
+    # label, so the lineage is walked once and the union disappears.
+    from financial_data_science_spark.operators.windows import global_cumsum
+
+    contrib = sp.select(
+        "split",
         "n_tokens",
-        budget=2000,
-    ).withColumn("split", F.lit("train"))
-    val = (
-        sp.filter(F.col("split") == "val")
-        .select("doc_id", "n_tokens")
-        .withColumn("shard", F.lit(-1).cast("long"))
-        .withColumn("split", F.lit("val"))
+        "doc_id",
+        F.when(F.col("split") == "train", F.col("n_tokens"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__contrib__"),
     )
-    allrows = train.select("split", "shard", "n_tokens").unionByName(
-        val.select("split", "shard", "n_tokens")
+    cum = global_cumsum(contrib, "doc_id", "__contrib__", out="__cum__")
+    allrows = cum.select(
+        "split",
+        F.when(
+            F.col("split") == "train",
+            F.floor(
+                (F.col("__cum__") - F.col("n_tokens")) / F.lit(float(2000))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("shard"),
+        "n_tokens",
     )
     return allrows.groupBy("split", "shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
