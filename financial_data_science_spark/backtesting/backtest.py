@@ -181,32 +181,45 @@ def turnover(holdings: DataFrame) -> DataFrame:
     bench entry.)  Two shuffles, both on the holdings keys; no driver
     iteration.
     """
-    seq = holdings.select("rebaldate").distinct().withColumn(
-        "__seq__", F.row_number().over(Window.orderBy("rebaldate"))
+    # the rebalance calendar carries its OWN successor (lead over the
+    # distinct dates) so the shifted contribution lands directly on the
+    # next rebalance DATE — r15: the former integer-seq encoding joined
+    # this tiny frame twice under two DIFFERENT broadcast keys
+    # (rebaldate to attach seq, then __seq__ to map back), which the
+    # runtime can never deduplicate, so the whole distinct-dates lineage
+    # (a full holdings walk) executed twice per action.  A null
+    # successor is the phantom (last + 1) rebalance the seq shape
+    # dropped with its inner join back; the filter drops the same rows.
+    seq = holdings.select("rebaldate").distinct().select(
+        "rebaldate",
+        F.lead("rebaldate", 1).over(
+            Window.orderBy("rebaldate")
+        ).alias("__next__"),
     )
     h = holdings.join(F.broadcast(seq), "rebaldate")
-    contrib = h.select(
-        "permno",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("__seq__").alias("__seq__"),
-                    F.col("weight").alias("w"),
-                    F.lit(0.0).alias("pw"),
-                ),
-                F.struct(
-                    (F.col("__seq__") + 1).alias("__seq__"),
-                    F.lit(0.0).alias("w"),
-                    F.col("weight").alias("pw"),
-                ),
-            )
-        ).alias("__c__"),
-    ).select("permno", "__c__.__seq__", "__c__.w", "__c__.pw")
-    # inner join back to `seq` drops the phantom (max_seq + 1) rebalance.
-    oj = (
-        contrib.groupBy("__seq__", "permno")
-        .agg(F.sum("w").alias("w"), F.sum("pw").alias("pw"))
-        .join(F.broadcast(seq), "__seq__")
+    contrib = (
+        h.select(
+            "permno",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("rebaldate").alias("rebaldate"),
+                        F.col("weight").alias("w"),
+                        F.lit(0.0).alias("pw"),
+                    ),
+                    F.struct(
+                        F.col("__next__").alias("rebaldate"),
+                        F.lit(0.0).alias("w"),
+                        F.col("weight").alias("pw"),
+                    ),
+                )
+            ).alias("__c__"),
+        )
+        .select("permno", "__c__.rebaldate", "__c__.w", "__c__.pw")
+        .filter(F.col("rebaldate").isNotNull())
+    )
+    oj = contrib.groupBy("rebaldate", "permno").agg(
+        F.sum("w").alias("w"), F.sum("pw").alias("pw")
     )
     delta = F.col("w") - F.col("pw")
     return (
