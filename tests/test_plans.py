@@ -410,7 +410,10 @@ _ANN_PLAN_FINGERPRINTS = {
     "ann_ivfpq_residual":  {"Exchange hashpartitioning": 4, "BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 0, "Window": 3},
     "ann_ivfpq_refined":   {"Exchange hashpartitioning": 4, "BroadcastHashJoin": 4, "BroadcastNestedLoopJoin": 0, "Window": 6},
     "ann_ivfpq_query_only": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
-    "hard_negative_mining": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
+    # r15: +1 deliberate fan exchange (fan_out_scan on the corpus side,
+    # same treatment as cosine_topk — the |Q| x |C| flat-score
+    # projection parallelizes off the under-split scan)
+    "hard_negative_mining": {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 0, "BroadcastNestedLoopJoin": 1, "Window": 3},
     "hard_negative_mining_production": {"Exchange hashpartitioning": 2, "BroadcastHashJoin": 5, "BroadcastNestedLoopJoin": 0, "Window": 6},
     "hard_negative_mining_ivf": {"Exchange hashpartitioning": 1, "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 0, "Window": 3},
 }
