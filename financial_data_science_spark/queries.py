@@ -8807,19 +8807,30 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 #   2 rows newly touched in r15 itself (bpe_segment_tokens — the
 #     fanned segmentation scan — and quality_classifier_score, which
 #     reads the now-fanned _doc_quality_feats checkpoint).
-# Touched rows left OUT of the 50, each with a same-kernel sibling IN
-# this gate plus the local full-catalog strict replica (run green at
-# BOTH sf0.01 and sf0.1 on the final r15 tree, tools/check_correctness.py):
-#   hard_negative_mining   (kernel = cosine_topk scoring + top-k window,
-#                           both in-gate via cosine_topk; r13-green)
-#   ann_recall_at_k        (composite of cosine_topk + ann_ivf_topk,
-#                           both in this gate; r13-green)
-#   corpus_curation_pipeline (v1 is strictly contained in v3, in this
-#                           gate; its only r15 change is the
-#                           order-independent scan fan)
-#   bpe_tokenize_and_pack  (bpe_train + bpe_apply + global_cumsum —
-#                           train/apply in-gate via bpe_train_merges /
-#                           bpe_segment_tokens; cumsum untouched)
+# RESUMED-SESSION AMENDMENT: the resumed r15 session changed the very
+# query bodies the original exclusion list justified leaving out —
+# hard_negative_mining (flat scoring + corpus fan), ann_recall_at_k
+# (single exact-arm restructure), corpus_curation_pipeline (one packing
+# walk) — and touched global_cumsum itself (block totals off the local
+# cumsum), which voids the "cumsum untouched" sibling argument.  Those
+# three queries plus token_budget_packing (the direct cumsum/pack
+# consumer) rotate IN; four r11-stale rows whose kernels NOTHING in
+# r14/r15 touched rotate OUT to 4-stale (compound_by_year,
+# ewma_riskmetrics_vol, ffill_last_error, portfolio_monthly_returns) —
+# the same changed-code-first priority, with the 4-stale rows guarded
+# by the committed run_all 167/167 strict replica on the final tree.
+# Touched rows still OUT of the 50, each with a same-kernel sibling IN
+# this gate plus that replica:
+#   event_window_trading_days / event_study_corrected (kernel =
+#                           operators/events.event_window single-
+#                           calendar-walk, in-gate via
+#                           car_by_relative_day)
+#   batch_assign_epochs / bpe_tokenize_and_pack (kernel =
+#                           global_cumsum, in-gate via
+#                           token_budget_packing)
+#   semantic_dedup (window-keying change shared with in-gate
+#                           semantic_dedup_capped; was an r11 row,
+#                           stays in-gate anyway)
 # The ~40 untouched r12-cohort rows deferred past their nominal ~29-row
 # rotation quota this round: an optimization round must spend its gate
 # slots on the code that CHANGED (the r14 verdict's explicit top
@@ -8829,19 +8840,17 @@ ORACLE["bpe_train_batched"] = _bpe_train_oracle_sql()
 _GATE_ORDER = [
     # anchor
     "universe_assembly",        # flagship: §2.2 screens + §2.3 joins
-    # r11 cohort: 3-stale ceiling, all 20
+    # r11 cohort: 16 of 20 (4 untouched-kernel rows rotated out to
+    # 4-stale for the resumed-session touched rows — see the amendment
+    # note above)
     "car_by_relative_day",
-    "compound_by_year",
     "corpus_curation_pipeline_v3",
     "cosine_ann_bucketed",
     "dedup_keep_last",
     "doc_chunking",
-    "ewma_riskmetrics_vol",
-    "ffill_last_error",
     "minhash_index_increment",
     "minhash_lsh_stopshingle",
     "month_end_trading_days",
-    "portfolio_monthly_returns",
     "prevailing_click_at_purchase",
     "repetition_quality",
     "semantic_dedup",
@@ -8882,6 +8891,12 @@ _GATE_ORDER = [
     # r15-touched rows
     "bpe_segment_tokens",
     "quality_classifier_score",
+    # resumed-r15-session touched rows (bodies/kernels changed after
+    # the first r15 rotation landed)
+    "ann_recall_at_k",
+    "hard_negative_mining",
+    "corpus_curation_pipeline",
+    "token_budget_packing",
 ]
 
 
